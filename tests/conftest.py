@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so sharding/collective code paths are
+exercised without TPU hardware (the driver separately dry-runs multi-chip).
+Must set env before jax is imported anywhere.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Reference python mirror (gguf-py) used ONLY as a differential-test oracle.
+REFERENCE_GGUF_PY = "/root/reference/gguf-py"
+
+
+def ref_gguf():
+    """Import the reference gguf-py package as an oracle (tests only)."""
+    if REFERENCE_GGUF_PY not in sys.path:
+        sys.path.insert(0, REFERENCE_GGUF_PY)
+    import gguf as refgguf  # noqa
+
+    return refgguf
