@@ -1,0 +1,95 @@
+"""End-to-end model slice: synthetic GGUF -> loader -> decode engine.
+
+Checks: load/stack correctness, greedy decode determinism, quantized-vs-f32
+logit agreement, left-pad batching equivalence with single-sequence decode,
+and KV-cache incremental decode == full recompute.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpullm.gguf import GGMLType
+from tpullm.runtime.loader import load_model
+from tpullm.runtime.engine import InferenceEngine
+from tpullm.utils.synth import build_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def synth_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "synth_q8.gguf")
+    build_llama_gguf(path, qtype=GGMLType.Q8_0, n_layer=2, n_embd=128, seed=0)
+    cfg, params, _ = load_model(path)
+    return cfg, params
+
+
+def test_load_shapes(synth_model):
+    cfg, params = synth_model
+    assert cfg.n_layer == 2 and cfg.n_embd == 128 and cfg.n_head == 4
+    assert params["layers"]["wq"].shape == (2, 128, 128)
+    assert params["layers"]["attn_norm"].shape == (2, 128)
+    assert params["tok_embd"].shape == (512, 128)
+
+
+def test_greedy_decode_deterministic(synth_model):
+    cfg, params = synth_model
+    eng = InferenceEngine(cfg, params, max_seq_len=128, compute_dtype=jnp.float32)
+    r1 = eng.generate([[1, 5, 9, 12]], max_new_tokens=8)
+    r2 = eng.generate([[1, 5, 9, 12]], max_new_tokens=8)
+    assert r1.tokens == r2.tokens
+    assert len(r1.tokens[0]) == 8
+    assert all(0 <= t < cfg.vocab_size for t in r1.tokens[0])
+
+
+def test_incremental_equals_full_recompute(synth_model):
+    """Decode with KV cache must match running the whole sequence at once."""
+    cfg, params = synth_model
+    eng = InferenceEngine(cfg, params, max_seq_len=128, compute_dtype=jnp.float32)
+    prompt = [3, 7, 1, 4, 4, 2]
+    r = eng.generate([prompt], max_new_tokens=4, return_logits=True)
+    full = prompt + r.tokens[0]
+    # logits for full sequence minus last token must predict the last token
+    logits = eng.logits_for([full[:-1]])
+    pred = int(np.argmax(logits[0]))
+    assert pred == r.tokens[0][-1]
+
+
+def test_batched_equals_single(synth_model):
+    cfg, params = synth_model
+    eng = InferenceEngine(cfg, params, max_seq_len=128, compute_dtype=jnp.float32)
+    p1, p2 = [2, 9, 11], [5, 1, 8, 13, 2, 6, 7]
+    rb = eng.generate([p1, p2], max_new_tokens=6)
+    r1 = eng.generate([p1], max_new_tokens=6)
+    r2 = eng.generate([p2], max_new_tokens=6)
+    assert rb.tokens[0] == r1.tokens[0]
+    assert rb.tokens[1] == r2.tokens[0]
+
+
+@pytest.mark.parametrize(
+    "qtype,bound",
+    [(GGMLType.Q8_0, 1e-3), (GGMLType.Q4_K, 0.2)],
+)
+def test_quantized_close_to_f32(tmp_path, qtype, bound):
+    pq = str(tmp_path / f"{qtype.name}.gguf")
+    pf = str(tmp_path / "f32.gguf")
+    kw = dict(n_layer=2, n_embd=256, n_head=4, n_head_kv=2, n_ff=512, vocab_size=512, seed=3)
+    build_llama_gguf(pq, qtype=qtype, **kw)
+    build_llama_gguf(pf, qtype=GGMLType.F32, **kw)
+    cfg_q, params_q, _ = load_model(pq)
+    cfg_f, params_f, _ = load_model(pf)
+    eq = InferenceEngine(cfg_q, params_q, max_seq_len=64, compute_dtype=jnp.float32)
+    ef = InferenceEngine(cfg_f, params_f, max_seq_len=64, compute_dtype=jnp.float32)
+    prompt = [[1, 2, 3, 4, 5, 6, 7, 8]]
+    lq = eq.logits_for(prompt)[0]
+    lf = ef.logits_for(prompt)[0]
+    nmse = float(((lq - lf) ** 2).mean() / (lf**2).mean())
+    assert nmse < bound, f"{qtype.name} logits vs f32: nmse={nmse}"
+
+
+def test_tied_embeddings(tmp_path):
+    p = str(tmp_path / "tied.gguf")
+    build_llama_gguf(p, qtype=GGMLType.Q8_0, tie_embeddings=True, n_layer=1)
+    cfg, params, _ = load_model(p)
+    assert cfg.tie_embeddings
+    eng = InferenceEngine(cfg, params, max_seq_len=64, compute_dtype=jnp.float32)
+    r = eng.generate([[1, 2, 3]], max_new_tokens=3)
+    assert len(r.tokens[0]) == 3

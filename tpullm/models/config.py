@@ -1,0 +1,114 @@
+"""Model hyperparameters parsed from GGUF metadata.
+
+Counterpart of the reference's hparams loader (src/llama-hparams.h:1-359 +
+per-arch KV reads in src/llama-model.cpp). One flat dataclass covers the
+transformer families; arch-specific quirks (parallel residual, expert gating,
+sliding window patterns) are fields with defaults.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..gguf.reader import GGUFFile
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "llama"
+    vocab_size: int = 32000
+    n_embd: int = 2048
+    n_layer: int = 22
+    n_head: int = 32
+    n_head_kv: int = 4
+    head_dim: int = 64  # key_length
+    head_dim_v: int = 64
+    n_ff: int = 5632
+    n_ctx_train: int = 2048
+    rms_eps: float = 1e-5
+    norm_eps: float = 0.0  # layernorm (non-RMS) archs
+    rope_base: float = 10000.0
+    rope_dim: int = 64
+    rope_type: str = "norm"  # "norm" (interleaved pairs) | "neox" (half split)
+    rope_scaling: str = "none"  # none | linear | yarn
+    rope_scale: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_yarn_low: float = 1.0
+    rope_yarn_high: float = 4.0
+    rope_attn_factor: float = 1.0
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    expert_gating: str = "softmax"  # softmax | sigmoid
+    expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0
+    n_ff_exp: int = 0
+    n_expert_shared: int = 0
+    # attention details
+    sliding_window: int = 0
+    swa_pattern: int = 1  # every Nth layer is full-attention (1 = all full)
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
+    clamp_kqv: float = 0.0
+    # structure flags
+    parallel_residual: bool = False
+    tie_embeddings: bool = False
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm
+    act_fn: str = "silu"  # silu | gelu | relu2 | swiglu_oai
+    ffn_gate: bool = True  # gated (SwiGLU-style) FFN
+    attn_qk_norm: bool = False
+    attn_bias: bool = False
+    post_norms: bool = False  # gemma-style post-attn/post-ffn norms
+    embedding_scale: float = 1.0
+    raw_kv: dict = field(default_factory=dict, repr=False)
+
+    @property
+    def n_gqa_groups(self) -> int:
+        return self.n_head // max(self.n_head_kv, 1)
+
+
+def _k(g: GGUFFile, key: str, default: Any = None, arch: str | None = None) -> Any:
+    a = arch or g.architecture
+    return g.get(key.format(arch=a), default)
+
+
+def config_from_gguf(g: GGUFFile) -> ModelConfig:
+    arch = g.architecture
+    n_embd = int(_k(g, "{arch}.embedding_length", 2048))
+    n_head = int(_k(g, "{arch}.attention.head_count", 32))
+    head_dim = int(_k(g, "{arch}.attention.key_length", n_embd // max(n_head, 1)))
+    n_vocab = _k(g, "{arch}.vocab_size")
+    if n_vocab is None:
+        toks = g.get("tokenizer.ggml.tokens")
+        n_vocab = len(toks) if toks is not None else 32000
+    cfg = ModelConfig(
+        arch=arch,
+        vocab_size=int(n_vocab),
+        n_embd=n_embd,
+        n_layer=int(_k(g, "{arch}.block_count", 22)),
+        n_head=n_head,
+        n_head_kv=int(_k(g, "{arch}.attention.head_count_kv", n_head)),
+        head_dim=head_dim,
+        head_dim_v=int(_k(g, "{arch}.attention.value_length", head_dim)),
+        n_ff=int(_k(g, "{arch}.feed_forward_length", 4 * n_embd)),
+        n_ctx_train=int(_k(g, "{arch}.context_length", 2048)),
+        rms_eps=float(_k(g, "{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+        norm_eps=float(_k(g, "{arch}.attention.layer_norm_epsilon", 0.0)),
+        rope_base=float(_k(g, "{arch}.rope.freq_base", 10000.0)),
+        rope_dim=int(_k(g, "{arch}.rope.dimension_count", head_dim)),
+        n_expert=int(_k(g, "{arch}.expert_count", 0)),
+        n_expert_used=int(_k(g, "{arch}.expert_used_count", 0)),
+        n_ff_exp=int(_k(g, "{arch}.expert_feed_forward_length", 0)),
+        n_expert_shared=int(_k(g, "{arch}.expert_shared_count", 0)),
+        sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
+        raw_kv=dict(g.metadata),
+    )
+    scaling = _k(g, "{arch}.rope.scaling.type", "none") or "none"
+    cfg.rope_scaling = str(scaling)
+    cfg.rope_scale = float(_k(g, "{arch}.rope.scaling.factor", 1.0))
+    cfg.rope_orig_ctx = int(_k(g, "{arch}.rope.scaling.original_context_length", 0))
+    from .registry import apply_arch_defaults
+
+    apply_arch_defaults(cfg)
+    return cfg

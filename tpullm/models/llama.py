@@ -1,0 +1,285 @@
+"""Generic decoder-only transformer graph (Llama family) in functional JAX.
+
+One builder covers the many reference graph-builders whose dataflow is
+identical up to flags (src/models/llama.cpp, qwen2/3, mistral, gemma*, ...):
+RMS/LayerNorm -> QKV -> RoPE -> GQA attention over a KV cache -> output proj
+-> gated FFN, with optional parallel residual, QK-norm, post-norms, softcaps.
+
+Weights are QTensor pytrees stacked over the layer axis; the layer loop is a
+``lax.scan`` so compile time is depth-independent and XLA pipelines the
+per-layer HBM streams. The KV cache is a preallocated device array updated
+with dynamic_update_slice (the SET_ROWS analogue, SURVEY §2.1).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.qtensor import QTensor
+from .config import ModelConfig
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    """Per-model KV cache: k/v shaped (L, B, S_max, H_kv, D)."""
+
+    k: Any
+    v: Any
+
+    def tree_flatten(self):
+        return (self.k, self.v), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape_k = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim)
+        shape_v = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim_v)
+        return KVCache(jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * w.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rope_cache(cfg: ModelConfig, positions):
+    """positions (B, T) -> (cos, sin) each (B, T, rope_dim//2), f32.
+
+    Matches ggml_rope_ext semantics (ggml/include/ggml.h:2200-2260): theta_i =
+    pos * base^(-2i/d), with linear/YaRN scaling applied to the frequency.
+    """
+    half = cfg.rope_dim // 2
+    inv_freq = cfg.rope_base ** (-np.arange(0, half, dtype=np.float32) * 2.0 / cfg.rope_dim)
+    inv_freq = jnp.asarray(inv_freq)
+    pos = positions.astype(jnp.float32)[..., None]  # (B, T, 1)
+    if cfg.rope_scaling == "linear" and cfg.rope_scale != 1.0:
+        pos = pos / cfg.rope_scale
+    theta = pos * inv_freq
+    mscale = 1.0
+    if cfg.rope_scaling == "yarn" and cfg.rope_orig_ctx:
+        # YaRN ramp (reference: ggml rope_yarn, ggml/src/ggml-cpu/ops.cpp)
+        freq = 1.0 / inv_freq
+        lo = max(cfg.rope_yarn_low, 0.001)
+        hi = max(cfg.rope_yarn_high, lo + 0.001)
+        # dims wavelength thresholds
+        d = np.arange(0, half, dtype=np.float32)
+        wavelen = 2 * np.pi * cfg.rope_base ** (d * 2.0 / cfg.rope_dim)
+        low_rot = cfg.rope_orig_ctx / hi
+        high_rot = cfg.rope_orig_ctx / lo
+        ramp = np.clip(
+            (d - _rot_dim(low_rot, cfg)) / max(_rot_dim(high_rot, cfg) - _rot_dim(low_rot, cfg), 1e-3),
+            0,
+            1,
+        )
+        ramp = jnp.asarray(1 - ramp)
+        theta_extrap = pos * inv_freq
+        theta_interp = pos * inv_freq / cfg.rope_scale
+        theta = theta_interp * (1 - ramp) + theta_extrap * ramp
+        mscale = float(0.1 * np.log(cfg.rope_scale) + 1.0) if cfg.rope_scale > 1 else 1.0
+        mscale *= cfg.rope_attn_factor
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
+def _rot_dim(n_rot: float, cfg: ModelConfig) -> float:
+    return (
+        cfg.rope_dim
+        * np.log(cfg.n_ctx_train / (n_rot * 2 * np.pi))
+        / (2 * np.log(cfg.rope_base))
+    )
+
+
+def apply_rope(x, cos, sin, rope_type: str, rope_dim: int):
+    """x: (B, T, H, D). Rotates the first rope_dim dims of D."""
+    B, T, H, D = x.shape
+    xr = x[..., :rope_dim]
+    rest = x[..., rope_dim:]
+    c = cos[:, :, None, :].astype(x.dtype)  # (B, T, 1, half)
+    s = sin[:, :, None, :].astype(x.dtype)
+    if rope_type == "neox":
+        half = rope_dim // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    else:  # "norm": interleaved pairs (x[2i], x[2i+1])
+        x1 = xr[..., 0::2]
+        x2 = xr[..., 1::2]
+        r1 = x1 * c - x2 * s
+        r2 = x2 * c + x1 * s
+        out = jnp.stack([r1, r2], axis=-1).reshape(*xr.shape)
+    return jnp.concatenate([out, rest], axis=-1) if rest.shape[-1] else out
+
+
+def _mm(x, qt: QTensor, dtype):
+    """x (..., n_in) @ W^T for a QTensor W (n_out, n_in)."""
+    w = qt.dequant(dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
+def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg: ModelConfig, layer_is_swa=False):
+    """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
+
+    Masking is slot-based (left-padded layout): kv slot s is attendable by the
+    query in slot t iff ``valid_from[b] <= s <= t``. This replaces the
+    reference's host-built KQ mask upload (SURVEY §A.8) with on-device
+    positional comparisons. SWA additionally windows on real positions.
+    """
+    B, T, H, Dk = q.shape
+    S = k_all.shape[1]
+    groups = H // k_all.shape[2]
+    kv = jnp.repeat(k_all, groups, axis=2)  # (B,S,H,Dk)
+    vv = jnp.repeat(v_all, groups, axis=2)
+    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kv.astype(jnp.float32))
+    scores = scores * scale
+    if cfg.attn_logit_softcap:
+        scores = jnp.tanh(scores / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+    kv_slot = jnp.arange(S)[None, None, None, :]  # (1,1,1,S)
+    q_slot = q_slots[None, None, :, None]  # (1,1,T,1)
+    mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None])
+    if layer_is_swa and cfg.sliding_window:
+        kv_pos = kv_positions[:, None, None, :]  # (B,1,1,S) real positions
+        q_pos = positions[:, None, :, None]
+        mask = mask & (kv_pos > q_pos - cfg.sliding_window)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+    out = jnp.einsum("bhts,bshd->bthd", probs, vv.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def ffn(x, p, cfg: ModelConfig, dtype):
+    if cfg.ffn_gate:
+        g = _mm(x, p["ffn_gate"], dtype)
+        u = _mm(x, p["ffn_up"], dtype)
+        if cfg.act_fn == "silu":
+            h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
+        elif cfg.act_fn == "gelu":
+            h = jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(dtype) * u
+        elif cfg.act_fn == "swiglu_oai":
+            # gpt-oss variant: clamped swiglu with alpha=1.702, limit 7
+            gf = jnp.clip(g.astype(jnp.float32), None, 7.0)
+            uf = jnp.clip(u.astype(jnp.float32), -7.0, 7.0)
+            h = (gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)).astype(dtype)
+        else:
+            raise ValueError(cfg.act_fn)
+    else:
+        u = _mm(x, p["ffn_up"], dtype)
+        uf = u.astype(jnp.float32)
+        h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
+    return _mm(h, p["ffn_down"], dtype)
+
+
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, w, b, cfg.norm_eps or cfg.rms_eps)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    tokens,  # (B, T) int32
+    positions,  # (B, T) int32 real positions (for RoPE / SWA)
+    cache: KVCache,
+    cache_pos,  # scalar int32: slot offset this ubatch writes at
+    valid_from,  # (B,) first valid kv slot (= left-pad length)
+    dtype=jnp.bfloat16,
+):
+    """Returns (logits (B, T, vocab) f32, new KVCache).
+
+    Sequences are laid out left-padded so every batch row writes the same
+    cache slots; causality is then uniform in slot space (slot_k <= slot_q).
+    """
+    B, T = tokens.shape
+    x = params["tok_embd"].take_rows(tokens, dtype)  # gather-then-dequant
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
+    cos, sin = rope_cache(cfg, positions)
+
+    S = cache.max_len
+    q_slots = cache_pos + jnp.arange(T)
+    kv_positions = jnp.arange(S)[None, :] - valid_from[:, None]  # (B, S)
+
+    def layer(carry, inp):
+        x = carry
+        p, k_cache, v_cache, layer_idx = inp
+        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
+        q = _mm(h, p["wq"], dtype)
+        k = _mm(h, p["wk"], dtype)
+        v = _mm(h, p["wv"], dtype)
+        if cfg.attn_bias and "bq" in p:
+            q = q + p["bq"].astype(dtype)
+            k = k + p["bk"].astype(dtype)
+            v = v + p["bv"].astype(dtype)
+        q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
+        if cfg.attn_qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
+        k = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+        if cfg.clamp_kqv:
+            q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+            k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+            v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0))
+        is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
+        att = attention(
+            q, k_cache.astype(dtype), v_cache.astype(dtype),
+            q_slots, kv_positions, positions, valid_from, cfg, is_swa,
+        )
+        att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
+        att = _mm(att, p["wo"], dtype)
+        if cfg.post_norms and "post_attn_norm" in p:
+            att = _norm(att, p["post_attn_norm"], None, cfg)
+        if cfg.parallel_residual:
+            f = ffn(h, p, cfg, dtype)
+            x = x + att + f
+        else:
+            x = x + att
+            h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            f = ffn(h2, p, cfg, dtype)
+            if cfg.post_norms and "post_ffn_norm" in p:
+                f = _norm(f, p["post_ffn_norm"], None, cfg)
+            x = x + f
+        return x, (k_cache, v_cache)
+
+    layer_ids = jnp.arange(cfg.n_layer)
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v, layer_ids)
+    )
+    x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
+    logits = _mm(x, params["output"], dtype).astype(jnp.float32)
+    if cfg.final_logit_softcap:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits, KVCache(new_k, new_v)

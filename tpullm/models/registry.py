@@ -1,0 +1,56 @@
+"""Architecture registry: per-arch defaults and graph-builder dispatch.
+
+Counterpart of src/llama-arch.{h,cpp} (127 archs) + the graph-builder dispatch
+in src/llama-model.cpp:2056. Each entry sets structural flags on ModelConfig;
+the decoder-graph function itself is shared where the dataflow is identical
+(most Llama-family archs differ only in flags, which is why one functional
+builder + a flag table covers many of the reference's 128 builder classes).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+ARCH_REGISTRY: dict[str, dict] = {
+    # rope_type: "norm" = interleaved pairs (ggml GGML_ROPE_TYPE_NORM),
+    # "neox" = half-split. Matches llama_model_rope_type() per arch.
+    "llama": dict(rope_type="norm"),
+    "llama4": dict(rope_type="norm"),
+    "mistral": dict(rope_type="norm"),
+    "qwen2": dict(rope_type="neox", attn_bias=True),
+    "qwen3": dict(rope_type="neox", attn_qk_norm=True),
+    "qwen3moe": dict(rope_type="neox", attn_qk_norm=True),
+    "qwen2moe": dict(rope_type="neox", attn_bias=True),
+    "gemma": dict(rope_type="neox", act_fn="gelu", embedding_scale=-1.0),
+    "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True, embedding_scale=-1.0),
+    "gemma3": dict(rope_type="neox", act_fn="gelu", post_norms=True, attn_qk_norm=True, embedding_scale=-1.0),
+    "phi2": dict(rope_type="neox", parallel_residual=True, norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
+    "phi3": dict(rope_type="neox"),
+    "mixtral": dict(rope_type="norm"),
+    "deepseek": dict(rope_type="norm"),
+    "deepseek2": dict(rope_type="neox"),
+    "gpt-oss": dict(rope_type="neox", act_fn="swiglu_oai", attn_bias=True),
+    "starcoder2": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
+    "gptneox": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu", ffn_gate=False, parallel_residual=True, attn_bias=True),
+    "stablelm": dict(rope_type="neox", norm_type="layernorm"),
+    "olmo2": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
+    "smollm3": dict(rope_type="norm"),
+    "granite": dict(rope_type="norm"),
+    "internlm2": dict(rope_type="norm"),
+    "exaone": dict(rope_type="norm"),
+    "exaone4": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
+    "minicpm": dict(rope_type="norm"),
+    "cohere2": dict(rope_type="norm", norm_type="layernorm"),
+    "command-r": dict(rope_type="norm", norm_type="layernorm", parallel_residual=True),
+}
+
+
+def get_arch(name: str) -> dict:
+    return ARCH_REGISTRY.get(name, {})
+
+
+def apply_arch_defaults(cfg) -> None:
+    for k, v in get_arch(cfg.arch).items():
+        if k == "embedding_scale" and v == -1.0:
+            cfg.embedding_scale = float(cfg.n_embd) ** 0.5
+        else:
+            setattr(cfg, k, v)

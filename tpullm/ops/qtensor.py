@@ -43,10 +43,26 @@ class QTensor:
         return self.qtype in PLANAR_TYPES
 
     def dequant(self, dtype=jnp.bfloat16):
-        """Full dense materialization (XLA reference path)."""
+        """Full dense materialization (XLA reference path).
+
+        Output shape follows the *leaf* leading dims, so a layer-stacked or
+        scan-sliced QTensor dequantizes correctly regardless of the static
+        ``shape`` recorded at construction.
+        """
         if not self.is_quantized:
             return self.data["w"].astype(dtype)
-        return dequant_jax(self.data, self.qtype, dtype).reshape(self.shape)
+        return dequant_jax(self.data, self.qtype, dtype)
+
+    def take_rows(self, idx, dtype=jnp.bfloat16):
+        """Gather rows by index then dequantize only those (embedding lookup).
+
+        Avoids materializing the dense table (the GET_ROWS-on-quantized
+        analogue, ggml/include/ggml.h GGML_OP_GET_ROWS).
+        """
+        if not self.is_quantized:
+            return self.data["w"][idx].astype(dtype)
+        sub = {k: v[idx] for k, v in self.data.items()}
+        return dequant_jax(sub, self.qtype, dtype)
 
     @property
     def nbytes(self) -> int:
@@ -71,7 +87,8 @@ def qtensor_from_bytes(
         return QTensor(qtype, tuple(shape), data)
     blk, bs = GGML_QUANT_SIZES[qtype]
     row_bytes = n_in // blk * bs
-    planar = decode_planar(raw.reshape(n_rows, row_bytes), qtype)
+    lead = tuple(shape[:-1]) if len(shape) > 1 else (1,)
+    planar = decode_planar(raw.reshape(*lead, row_bytes), qtype)
     if device_put:
         planar = {k: jnp.asarray(np.ascontiguousarray(v)) for k, v in planar.items()}
     return QTensor(qtype, tuple(shape), planar)

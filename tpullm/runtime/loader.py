@@ -1,0 +1,151 @@
+"""GGUF checkpoint -> device params pytree.
+
+Counterpart of the reference model loader (src/llama-model-loader.cpp +
+per-arch load_tensors): reads tensor payloads from the mmap, decodes each
+quantized weight into planar arrays (the load-time relayout, SURVEY §7), and
+stacks per-layer tensors along a leading layer axis so the decoder can
+``lax.scan`` over depth. Upload happens once per stacked tensor.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFFile
+from ..models.config import ModelConfig, config_from_gguf
+from ..ops.qtensor import QTensor, qtensor_from_bytes
+from ..quant.layout import PLANAR_TYPES, decode_planar
+
+# GGUF tensor-name suffix -> params key (per-layer tensors, "blk.{i}." prefix)
+LAYER_TENSORS = {
+    "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_b",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_output.weight": "wo",
+    "attn_q.bias": "bq",
+    "attn_k.bias": "bk",
+    "attn_v.bias": "bv",
+    "attn_output.bias": "bo",
+    "attn_q_norm.weight": "q_norm",
+    "attn_k_norm.weight": "k_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_b",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "post_attention_norm.weight": "post_attn_norm",
+    "post_ffw_norm.weight": "post_ffn_norm",
+    "attn_post_norm.weight": "post_attn_norm",
+    "ffn_post_norm.weight": "post_ffn_norm",
+    # MoE
+    "ffn_gate_inp.weight": "moe_gate_inp",
+    "ffn_gate_exps.weight": "moe_gate_exps",
+    "ffn_up_exps.weight": "moe_up_exps",
+    "ffn_down_exps.weight": "moe_down_exps",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
+    "exp_probs_b.bias": "moe_probs_b",
+}
+
+GLOBAL_TENSORS = {
+    "token_embd.weight": "tok_embd",
+    "output.weight": "output",
+    "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_b",
+    "rope_freqs.weight": "rope_freqs",
+}
+
+_FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
+
+
+def _to_float_array(g: GGUFFile, name: str) -> np.ndarray:
+    """Small norm/bias tensors -> f32 numpy."""
+    from ..quant.numpy_impl import dequantize
+
+    ti = g.tensors[name]
+    raw = g.tensor_data(name)
+    n_in = ti.shape[0]
+    rows = ti.n_elements // n_in
+    y = dequantize(raw.reshape(rows, -1), ti.ggml_type).reshape(ti.np_shape)
+    return y.astype(np.float32)
+
+
+def _load_qtensor(g: GGUFFile, name: str, device_put=True) -> QTensor:
+    ti = g.tensors[name]
+    return qtensor_from_bytes(g.tensor_data(name), ti.ggml_type, ti.np_shape, device_put)
+
+
+def _stack_qtensors(items: list[QTensor]) -> QTensor:
+    """Stack per-layer QTensors (same qtype/shape) along a new leading axis."""
+    t0 = items[0]
+    assert all(t.qtype == t0.qtype and t.shape == t0.shape for t in items)
+    data = {
+        k: jnp.asarray(np.stack([np.asarray(t.data[k]) for t in items]))
+        for k in t0.data
+    }
+    return QTensor(t0.qtype, (len(items),) + t0.shape, data)
+
+
+def load_model(path: str, device_put: bool = True):
+    """Returns (config, params dict, GGUFFile)."""
+    g = GGUFFile(path)
+    cfg = config_from_gguf(g)
+    params: dict[str, Any] = {}
+
+    for tname, key in GLOBAL_TENSORS.items():
+        if tname not in g.tensors:
+            continue
+        ti = g.tensors[tname]
+        if key in ("output_norm", "output_norm_b", "rope_freqs"):
+            arr = _to_float_array(g, tname)
+            params[key] = jnp.asarray(arr) if device_put else arr
+        else:
+            params[key] = _load_qtensor(g, tname, device_put=False)
+
+    if "output" not in params:
+        params["output"] = params["tok_embd"]  # tied embeddings
+        cfg.tie_embeddings = True
+
+    # per-layer tensors: collect -> stack
+    per_key: dict[str, list] = {}
+    for i in range(cfg.n_layer):
+        prefix = f"blk.{i}."
+        for suffix, key in LAYER_TENSORS.items():
+            tname = prefix + suffix
+            if tname not in g.tensors:
+                continue
+            per_key.setdefault(key, [])
+            assert len(per_key[key]) == i, f"layer gap for {key} at {i}"
+            ti = g.tensors[tname]
+            if ti.ggml_type in _FLOAT_TYPES and (
+                "norm" in key or key.startswith("b") or key == "moe_probs_b"
+            ):
+                per_key[key].append(_to_float_array(g, tname))
+            else:
+                per_key[key].append(_load_qtensor(g, tname, device_put=False))
+
+    layers: dict[str, Any] = {}
+    for key, items in per_key.items():
+        if isinstance(items[0], QTensor):
+            layers[key] = _stack_qtensors(items)
+        else:
+            arr = np.stack(items)
+            layers[key] = jnp.asarray(arr) if device_put else arr
+    params["layers"] = layers
+
+    if device_put:
+        for key in ("tok_embd", "output"):
+            qt = params[key]
+            if isinstance(qt, QTensor) and isinstance(next(iter(qt.data.values())), np.ndarray):
+                params[key] = QTensor(
+                    qt.qtype, qt.shape, {k: jnp.asarray(v) for k, v in qt.data.items()}
+                )
+        if cfg.tie_embeddings:
+            params["output"] = params["tok_embd"]
+    return cfg, params, g
