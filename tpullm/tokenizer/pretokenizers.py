@@ -1,0 +1,140 @@
+"""BPE pre-tokenizer regex registry.
+
+The reference executes these with a custom unicode regex engine
+(src/unicode.cpp); here the PCRE-compatible `regex` module runs the same
+adapted expressions (the public patterns from each model's tokenizer.json,
+collected in src/llama-vocab.cpp:283-460). Multiple expressions are applied
+sequentially: each further splits the fragments produced by the previous one.
+"""
+from __future__ import annotations
+
+import regex as re
+
+_LLAMA3 = (
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])"
+    r"|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*"
+    r"|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+_GPT2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)"
+_QWEN2 = (
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])"
+    r"|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*"
+    r"|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
+PRE_REGEX: dict[str, list[str]] = {
+    "default": [_GPT2],
+    "gpt-2": [_GPT2],
+    "mpt": [_GPT2],
+    "olmo": [_GPT2],
+    "jais": [_GPT2],
+    "phi-2": [_GPT2],
+    "llama3": [_LLAMA3],
+    "llama-v3": [_LLAMA3],
+    "llama-bpe": [_LLAMA3],
+    "dbrx": [_LLAMA3],
+    "smaug-bpe": [_LLAMA3],
+    "falcon3": [_LLAMA3],
+    "falcon-h1": [_LLAMA3],
+    "pixtral": [_LLAMA3],
+    "midm-2.0": [_LLAMA3],
+    "llada": [_LLAMA3],
+    "granite-docling": [_GPT2],
+    "deepseek-llm": [
+        "[\\r\\n]",
+        # exact class from the model's tokenizer.json (escaped; a raw paste
+        # normalizes lookalike codepoints like \u1f7d and breaks ranges)
+        "\\s?[A-Za-z\u00b5\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u01ba\u01bc-\u01bf"
+        "\u01c4-\u0293\u0295-\u02af\u0370-\u0373\u0376\u0377\u037b-\u037d\u037f"
+        "\u0386\u0388-\u038a\u038c\u038e-\u03a1\u03a3-\u03f5\u03f7-\u0481"
+        "\u048a-\u052f\u0531-\u0556\u10a0-\u10c5\u13a0-\u13f5\u13f8-\u13fd"
+        "\u1c90-\u1cba\u1cbd-\u1cbf\u1d00-\u1d2b\u1d6b-\u1d77\u1d79-\u1d9a"
+        "\u1e00-\u1f15\u1f18-\u1f1d\u1f20-\u1f45\u1f48-\u1f4d\u1f50-\u1f57"
+        "\u1f59\u1f5b\u1f5d\u1f5f-\u1f7d\u1f80-\u1fb4\u1fb6-\u1fbc\u1fbe"
+        "\u1fc2-\u1fc4\u1fc6-\u1fcc\u1fd0-\u1fd3\u1fd6-\u1fdb\u1fe0-\u1fec"
+        "\u1ff2-\u1ff4\u1ff6-\u1ffc\u2102\u2107\u210a-\u2113\u2115\u2119-\u211d"
+        "\u2124\u2126\u2128\u212a-\u212d\u212f-\u2134\u2139\u213c-\u213f"
+        "\u2145-\u2149\u214e\u2183\u2184\u2c00-\u2c7b\u2c7e-\u2ce4\u2ceb-\u2cee"
+        "\u2cf2\u2cf3\ua640-\ua66d\ua680-\ua69b\ua722-\ua76f\ua771-\ua787"
+        "\ua78b-\ua78e\uab70-\uabbf\ufb00-\ufb06\ufb13-\ufb17\uff21-\uff3a"
+        "\uff41-\uff5a\U00010400-\U0001044f\U000104b0-\U000104d3"
+        "\U000104d8-\U000104fb\U00010c80-\U00010cb2\U00010cc0-\U00010cf2"
+        "\U000118a0-\U000118df\U0001e900-\U0001e943]+",
+        "\\s?[!-/:-~\uff01-\uff0f\uff1a-\uff5e\u2018-\u201f\u3000-\u3002]+",
+        "\\s+$",
+        "[\u4e00-\u9fa5\u0800-\u4e00\uac00-\ud7ff]+",
+        "\\p{N}+",
+    ],
+    "deepseek-coder": [
+        r"[\r\n]",
+        r"\s?\p{L}+",
+        r"\s?\p{P}+",
+        r"[一-龥ࠀ-一가-퟿]+",
+        r"\p{N}",
+    ],
+    "deepseek-v3": [
+        r"\p{N}{1,3}",
+        r"[一-龥぀-ゟ゠-ヿ]+",
+        r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~][A-Za-z]+|[^\r\n\p{L}\p{P}\p{S}]?[\p{L}\p{M}]+| ?[\p{P}\p{S}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "falcon": [
+        r"[\p{P}\$\+<=>\^~\|`]+",
+        _GPT2,
+        r"[0-9][0-9][0-9]",
+    ],
+    "starcoder": [r"\p{N}", _GPT2],
+    "refact": [r"\p{N}", _GPT2],
+    "command-r": [r"\p{N}", _GPT2],
+    "smollm": [r"\p{N}", _GPT2],
+    "codeshell": [r"\p{N}", _GPT2],
+    "exaone": [r"\p{N}", _GPT2],
+    "minerva-7b": [r"\p{N}", _GPT2],
+    "qwen2": [_QWEN2],
+    "stablelm2": [_QWEN2],
+    "hunyuan": [_QWEN2],
+    "glm4": [_LLAMA3],
+    "chatglm-bpe": [_LLAMA3],
+    "poro-chat": [r" ?[^(\s|.,!?…。，、।۔،)]+"],
+    "bloom": [r" ?[^(\s|.,!?…。，、।۔،)]+"],
+    "gpt3-finnish": [r" ?[^(\s|.,!?…。，、।۔،)]+"],
+    "viking": [r" ?[^(\s|.,!?…。，、।۔،)]+", r"\p{N}"],
+    "tekken": [
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+"
+        r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*"
+        r"|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+    ],
+    "gpt-4o": [
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])?"
+        r"|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])?"
+        r"|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+    ],
+}
+
+_COMPILED: dict[str, list] = {}
+
+
+def get_pre_regexes(pre: str) -> list:
+    if pre not in _COMPILED:
+        exprs = PRE_REGEX.get(pre, PRE_REGEX["default"])
+        _COMPILED[pre] = [re.compile(e) for e in exprs]
+    return _COMPILED[pre]
+
+
+def regex_split(text: str, patterns: list) -> list[str]:
+    """Sequentially split text: each pattern further splits prior fragments;
+    both matches and gaps survive as fragments (src/unicode.cpp semantics)."""
+    frags = [text]
+    for pat in patterns:
+        nxt: list[str] = []
+        for frag in frags:
+            pos = 0
+            for m in pat.finditer(frag):
+                if m.start() > pos:
+                    nxt.append(frag[pos : m.start()])
+                if m.end() > m.start():
+                    nxt.append(m.group())
+                pos = m.end()
+            if pos < len(frag):
+                nxt.append(frag[pos:])
+        frags = nxt
+    return frags
