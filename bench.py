@@ -1,0 +1,98 @@
+"""Driver benchmark: single-chip decode/prefill throughput.
+
+Builds a synthetic Llama-3-8B-shaped checkpoint (Q4_K weights — random
+payloads; throughput does not depend on weight values), runs pp512 prefill +
+tg decode on the real TPU, and prints ONE JSON line.
+
+Baseline: single-chip HBM roofline for batch-1 decode. v5e: ~819 GB/s HBM;
+Q4_K 8B weights = 4.52 GB/token pass -> ~181 tok/s ceiling. vs_baseline is
+the fraction of that roofline achieved (1.0 == speed of light).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MODEL = os.environ.get("BENCH_MODEL", "8b")
+SHAPES = {
+    "8b": dict(vocab_size=128256, n_embd=4096, n_layer=32, n_head=32, n_head_kv=8, n_ff=14336),
+    "1b": dict(vocab_size=32000, n_embd=2048, n_layer=22, n_head=32, n_head_kv=4, n_ff=5632),
+    "tiny": dict(vocab_size=2048, n_embd=512, n_layer=4, n_head=8, n_head_kv=4, n_ff=1024),
+}
+
+HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1638.0}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpullm.gguf.constants import GGMLType
+    from tpullm.ops.qtensor import QTensor
+    from tpullm.runtime.engine import InferenceEngine
+    from tpullm.utils.synth import synth_qparams
+
+    shape = SHAPES[MODEL]
+    t0 = time.time()
+    cfg, params = synth_qparams(qtype=GGMLType.Q4_K, seed=0, **shape)
+    gen_s = time.time() - t0
+
+    n_params = (
+        2 * shape["vocab_size"] * shape["n_embd"]
+        + shape["n_layer"]
+        * (
+            2 * shape["n_embd"] * shape["n_embd"]
+            + 2 * shape["n_embd"] * shape["n_embd"] // (shape["n_head"] // shape["n_head_kv"])
+            + 3 * shape["n_embd"] * shape["n_ff"]
+        )
+    )
+    qbytes = n_params * 144 / 256  # Q4_K: 144B per 256 elems
+
+    eng = InferenceEngine(cfg, params, max_seq_len=1024, compute_dtype=jnp.bfloat16)
+    B, T_PP, N_TG = 1, 512, 64
+    prompt = [list(range(2, T_PP + 2))]
+
+    # warmup (compile)
+    t0 = time.time()
+    r = eng.generate(prompt, max_new_tokens=2)
+    compile_s = time.time() - t0
+
+    # prefill timing
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        eng.logits_for(prompt)
+    pp_s = (time.time() - t0) / reps
+    pp_tok_s = T_PP / pp_s
+
+    # decode timing (includes per-step host sampling loop, as served)
+    t0 = time.time()
+    r = eng.generate(prompt, max_new_tokens=N_TG)
+    tg_s = time.time() - t0
+    # subtract one prefill
+    tg_tok_s = (N_TG - 1) / max(tg_s - pp_s, 1e-9)
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    bw = next((v for k, v in HBM_GBPS.items() if k in str(kind).lower()), 819.0)
+    roofline = bw * 1e9 / qbytes
+
+    result = {
+        "metric": f"decode_tok_s_llama3_{MODEL}_q4k_chip({kind})",
+        "value": round(tg_tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tg_tok_s / roofline, 4),
+        "prefill_tok_s": round(pp_tok_s, 1),
+        "roofline_tok_s": round(roofline, 1),
+        "compile_s": round(compile_s, 1),
+        "weight_gb": round(qbytes / 1e9, 2),
+        "synth_s": round(gen_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# the axon sitecustomize overrides jax_platforms to "axon,cpu" at interpreter
+# start; force it back to cpu before any backend initialization
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # Reference python mirror (gguf-py) used ONLY as a differential-test oracle.
 REFERENCE_GGUF_PY = "/root/reference/gguf-py"
 

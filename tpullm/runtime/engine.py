@@ -1,14 +1,19 @@
-"""Inference engine: jitted prefill/decode over bucketed static shapes.
+"""Inference engine: jitted prefill + on-device multi-step decode.
 
 The reference rebuilds a ggml graph every ubatch and reuses it when topology
 matches (src/llama-context.cpp:1185 can_reuse). The XLA inversion: trace once
 per (batch, seq-bucket) signature and let the compilation cache do graph
 reuse; shapes are bucketed to powers of two to bound the number of compiles.
+
+Decode runs CHUNKED ON DEVICE: a lax.scan advances `decode_chunk` tokens per
+dispatch with the sampler chain in-graph (the reference's "backend sampler",
+llama.h:381), so host<->device latency is amortized 1/chunk. EOS is detected
+on host between chunks (slight overrun, bounded by chunk size).
 """
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +21,7 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.llama import KVCache, forward
+from ..ops.sampling import GREEDY, SamplerConfig, make_sample_fn
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -28,13 +34,13 @@ def _bucket(n: int, minimum: int = 16) -> int:
 @dataclass
 class GenerationResult:
     tokens: list[list[int]]
-    logits: np.ndarray | None = None  # (B, vocab) last-step logits
+    logits: np.ndarray | None = None  # (B, vocab) logits after the prompt
     n_prefill: int = 0
     n_decode: int = 0
 
 
 class InferenceEngine:
-    """Single-model batch inference (greedy / sampled via Sampler)."""
+    """Single-model batch inference with on-device sampling."""
 
     def __init__(
         self,
@@ -43,13 +49,14 @@ class InferenceEngine:
         max_seq_len: int = 1024,
         compute_dtype=jnp.bfloat16,
         kv_dtype=None,
-        donate_cache: bool = True,
+        decode_chunk: int = 32,
     ):
         self.cfg = cfg
         self.params = params
         self.max_seq_len = max_seq_len
         self.dtype = compute_dtype
         self.kv_dtype = kv_dtype or compute_dtype
+        self.decode_chunk = decode_chunk
 
         fwd = functools.partial(forward, cfg=cfg, dtype=compute_dtype)
 
@@ -60,16 +67,35 @@ class InferenceEngine:
             )
             return logits[:, -1, :], cache
 
-        def _step(params, tokens, positions, cache, cache_pos, valid_from):
-            logits, cache = fwd(
-                params, tokens=tokens, positions=positions, cache=cache,
-                cache_pos=cache_pos, valid_from=valid_from,
-            )
-            return logits[:, -1, :], cache
+        self._prefill = jax.jit(_prefill, donate_argnums=(3,))
+        self._decode_fns: dict = {}
 
-        donate = (3,) if donate_cache else ()
-        self._prefill = jax.jit(_prefill, donate_argnums=donate)
-        self._step = jax.jit(_step, donate_argnums=(3,) if donate_cache else ())
+    def _decode_fn(self, sampler: SamplerConfig, chunk: int):
+        key_ = (sampler, chunk)
+        if key_ in self._decode_fns:
+            return self._decode_fns[key_]
+        fwd = functools.partial(forward, cfg=self.cfg, dtype=self.dtype)
+        sample = make_sample_fn(sampler)
+
+        def _chunk(params, tok0, pos0, cache, slot0, valid_from, key):
+            def body(carry, _):
+                tok, cache, pos, slot, key = carry
+                logits, cache = fwd(
+                    params, tokens=tok[:, None], positions=pos[:, None],
+                    cache=cache, cache_pos=slot, valid_from=valid_from,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample(logits[:, -1, :], sub)
+                return (nxt, cache, pos + 1, slot + 1, key), nxt
+
+            (tok, cache, pos, slot, key), toks = jax.lax.scan(
+                body, (tok0, cache, pos0, slot0, key), None, length=chunk
+            )
+            return toks, cache  # toks: (chunk, B)
+
+        fn = jax.jit(_chunk, donate_argnums=(3,))
+        self._decode_fns[key_] = fn
+        return fn
 
     def new_cache(self, batch: int) -> KVCache:
         return KVCache.create(self.cfg, batch, self.max_seq_len, self.kv_dtype)
@@ -92,10 +118,12 @@ class InferenceEngine:
         self,
         prompts: list[list[int]],
         max_new_tokens: int = 32,
-        sampler=None,
+        sampler: SamplerConfig | None = None,
+        seed: int = 0,
         eos_id: int | None = None,
         return_logits: bool = False,
     ) -> GenerationResult:
+        sampler = sampler or GREEDY
         tokens, positions, valid_from, T, lens = self.prepare_batch(prompts)
         B = tokens.shape[0]
         if T + max_new_tokens > self.max_seq_len:
@@ -104,40 +132,50 @@ class InferenceEngine:
             )
         cache = self.new_cache(B)
         logits, cache = self._prefill(self.params, tokens, positions, cache, valid_from)
+        first_logits = np.asarray(logits) if return_logits else None
 
-        out = [[] for _ in range(B)]
-        finished = np.zeros(B, bool)
-        cur_pos = lens.copy()  # next real position per seq
-        last_logits = None
-        for t in range(max_new_tokens):
-            if sampler is None:
-                nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
-            else:
-                nxt = sampler(np.asarray(logits))
-            for i in range(B):
-                if not finished[i]:
-                    out[i].append(int(nxt[i]))
-                    if eos_id is not None and nxt[i] == eos_id:
-                        finished[i] = True
-            last_logits = logits
-            if finished.all() or t == max_new_tokens - 1:
-                break
-            step_tokens = jnp.asarray(nxt[:, None])
-            step_positions = jnp.asarray(cur_pos[:, None].astype(np.int32))
-            logits, cache = self._step(
-                self.params, step_tokens, step_positions, cache,
-                jnp.int32(T + t), valid_from,
-            )
-            cur_pos += 1
+        key = jax.random.PRNGKey(seed)
+        sample = make_sample_fn(sampler)
+        key, sub = jax.random.split(key)
+        tok = jax.jit(sample)(logits, sub)
+
+        out_chunks = [np.asarray(tok)[None]]  # (1, B)
+        produced = 1
+        slot = T
+        pos = jnp.asarray(lens.astype(np.int32))
+        # fixed chunk size: a variable tail chunk would recompile per length
+        while produced < max_new_tokens and slot + self.decode_chunk <= self.max_seq_len:
+            chunk = self.decode_chunk
+            fn = self._decode_fn(sampler, chunk)
+            key, sub = jax.random.split(key)
+            toks, cache = fn(self.params, tok, pos, cache, jnp.int32(slot), valid_from, sub)
+            toks_np = np.asarray(toks)  # (chunk, B)
+            out_chunks.append(toks_np)
+            produced += chunk
+            slot += chunk
+            pos = pos + chunk
+            tok = toks[-1]
+            if eos_id is not None:
+                flat = np.concatenate(out_chunks, axis=0)
+                if all((flat[:, b] == eos_id).any() for b in range(B)):
+                    break
+
+        flat = np.concatenate(out_chunks, axis=0)  # (N, B)
+        out: list[list[int]] = []
+        for b in range(B):
+            seq = flat[:, b].tolist()
+            if eos_id is not None and eos_id in seq:
+                seq = seq[: seq.index(eos_id) + 1]
+            out.append(seq[:max_new_tokens])
         return GenerationResult(
             tokens=out,
-            logits=np.asarray(last_logits) if return_logits else None,
+            logits=first_logits,
             n_prefill=int(lens.sum()),
             n_decode=sum(len(o) for o in out),
         )
 
     def logits_for(self, prompts: list[list[int]]) -> np.ndarray:
-        """Last-position logits, no generation (testing/perplexity)."""
+        """Logits after the prompt's last token (testing/perplexity)."""
         tokens, positions, valid_from, T, lens = self.prepare_batch(prompts)
         cache = self.new_cache(tokens.shape[0])
         logits, _ = self._prefill(self.params, tokens, positions, cache, valid_from)

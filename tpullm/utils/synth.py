@@ -19,6 +19,111 @@ def _add_quant_tensor(w: GGUFWriter, name: str, arr: np.ndarray, qtype: GGMLType
     w.add_tensor(name, raw.tobytes(), qtype, tuple(reversed(arr.shape)))
 
 
+def random_payload(qtype: GGMLType, rows: int, n: int, rng, scale: float = 0.02) -> np.ndarray:
+    """Structurally valid random quantized payload — instant synthesis of
+    arbitrarily large weights (perf benches don't need trained values).
+
+    Quant bytes are uniform random; fp16 scale fields are overwritten with
+    small positive finite values so dequantized magnitudes resemble weights.
+    """
+    from ..gguf.constants import GGML_QUANT_SIZES
+
+    if qtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        w = rng.normal(0, scale, size=(rows, n)).astype(np.float32)
+        from ..quant import quantize
+
+        return quantize(w, qtype)
+    blk, bs = GGML_QUANT_SIZES[qtype]
+    assert n % blk == 0
+    nb = n // blk
+    raw = rng.integers(0, 256, size=(rows, nb, bs), dtype=np.uint8)
+    f16_offs = {
+        GGMLType.Q4_0: [0], GGMLType.Q4_1: [0, 2], GGMLType.Q5_0: [0],
+        GGMLType.Q5_1: [0, 2], GGMLType.Q8_0: [0], GGMLType.IQ4_NL: [0],
+        GGMLType.IQ4_XS: [0], GGMLType.Q4_K: [0, 2], GGMLType.Q5_K: [0, 2],
+        GGMLType.Q6_K: [208], GGMLType.Q3_K: [108], GGMLType.Q2_K: [80, 82],
+        GGMLType.TQ2_0: [64],
+    }
+    d = (scale * (0.5 + rng.random((rows, nb), np.float32))).astype(np.float16)
+    u16 = d.view(np.uint16)
+    for off in f16_offs.get(qtype, []):
+        raw[..., off] = (u16 & 0xFF).astype(np.uint8)
+        raw[..., off + 1] = (u16 >> 8).astype(np.uint8)
+    if qtype == GGMLType.MXFP4:
+        raw[..., 0] = 121  # e8m0 ~ 2^-7
+    return raw.reshape(rows, nb * bs)
+
+
+def synth_qparams(
+    *,
+    vocab_size: int,
+    n_embd: int,
+    n_layer: int,
+    n_head: int,
+    n_head_kv: int,
+    n_ff: int,
+    qtype: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    device_put: bool = True,
+):
+    """Directly fabricate a device params pytree (bypasses GGUF; used by
+    bench/dryrun to build multi-GiB models in seconds)."""
+    import jax.numpy as jnp
+
+    from ..ops.qtensor import QTensor, qtensor_from_bytes
+
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    def qt(rows, cols):
+        raw = random_payload(qtype, rows, cols, rng)
+        return qtensor_from_bytes(raw.reshape(-1), qtype, (rows, cols), device_put)
+
+    def stack(make, n):
+        items = [make() for _ in range(n)]
+        t0 = items[0]
+        data = {k: np.stack([np.asarray(t.data[k]) for t in items]) for k in t0.data}
+        if device_put:
+            data = {k: jnp.asarray(v) for k, v in data.items()}
+        return QTensor(t0.qtype, (n,) + t0.shape, data)
+
+    def norm(n_):
+        w = np.ones((n_layer, n_), np.float32)
+        return jnp.asarray(w) if device_put else w
+
+    params = {
+        "tok_embd": qt(vocab_size, n_embd),
+        "output": qt(vocab_size, n_embd),
+        "output_norm": (jnp.ones(n_embd, jnp.float32) if device_put else np.ones(n_embd, np.float32)),
+        "layers": {
+            "attn_norm": norm(n_embd),
+            "ffn_norm": norm(n_embd),
+            "wq": stack(lambda: _host_qt(qtype, n_head * head_dim, n_embd, rng), n_layer),
+            "wk": stack(lambda: _host_qt(qtype, n_head_kv * head_dim, n_embd, rng), n_layer),
+            "wv": stack(lambda: _host_qt(qtype, n_head_kv * head_dim, n_embd, rng), n_layer),
+            "wo": stack(lambda: _host_qt(qtype, n_embd, n_head * head_dim, rng), n_layer),
+            "ffn_gate": stack(lambda: _host_qt(qtype, n_ff, n_embd, rng), n_layer),
+            "ffn_up": stack(lambda: _host_qt(qtype, n_ff, n_embd, rng), n_layer),
+            "ffn_down": stack(lambda: _host_qt(qtype, n_embd, n_ff, rng), n_layer),
+        },
+    }
+    from ..models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=vocab_size, n_embd=n_embd, n_layer=n_layer,
+        n_head=n_head, n_head_kv=n_head_kv, head_dim=head_dim, head_dim_v=head_dim,
+        n_ff=n_ff, rope_dim=head_dim,
+    )
+    return cfg, params
+
+
+def _host_qt(qtype, rows, cols, rng):
+    from ..ops.qtensor import qtensor_from_bytes
+
+    raw = random_payload(qtype, rows, cols, rng)
+    return qtensor_from_bytes(raw.reshape(-1), qtype, (rows, cols), device_put=False)
+
+
 def build_llama_gguf(
     path: str,
     *,
