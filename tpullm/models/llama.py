@@ -135,12 +135,11 @@ def apply_rope(x, cos, sin, rope_type: str, rope_dim: int):
 
 
 def _mm(x, qt: QTensor, dtype):
-    """x (..., n_in) @ W^T for a QTensor W (n_out, n_in)."""
-    w = qt.dequant(dtype)
-    return jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    """x (..., n_in) @ W^T for a QTensor W (n_out, n_in); fused Pallas
+    dequant-matmul on TPU (tpullm.ops.qmm), dequant+dot elsewhere."""
+    from ..ops.qmm import qmm
+
+    return qmm(x, qt, dtype)
 
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg: ModelConfig, layer_is_swa=False):

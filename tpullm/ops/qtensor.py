@@ -1,14 +1,23 @@
-"""QTensor: a quantized weight as a JAX pytree of planar device arrays.
+"""QTensor: a quantized weight as a JAX pytree of device arrays.
 
 Plays the role of the reference's quantized ggml_tensor + repacked buffer
-(ggml/src/ggml-cpu/repack.cpp): logical shape (n_out, n_in) row-major, data
-held as the planar arrays from tpullm.quant.layout. Being a pytree, it passes
-through jit/shard_map/scan transparently; the qtype and shape are static
-(part of the treedef), so compiled kernels specialize per format.
+(ggml/src/ggml-cpu/repack.cpp): logical shape (n_out, n_in) row-major.
+
+Two quantized storage layouts:
+- "kmajor" (default for supported types): the TPU kernel layout from
+  tpullm.quant.kmajor — packed quants transposed (K-major) + combined f32
+  group scales; consumed zero-copy by the fused Pallas dequant-matmul
+  (tpullm.ops.qmm) and dequantizable in plain XLA as the fallback/oracle.
+- "planar": the direct ggml block decomposition (tpullm.quant.layout),
+  kept for conversion tools and differential tests.
+
+Being a pytree, QTensor passes through jit/shard_map/scan transparently; the
+qtype and logical shape are static (part of the treedef), so compiled kernels
+specialize per format.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax
@@ -17,7 +26,10 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, GGML_QUANT_SIZES
 from ..quant.layout import decode_planar, PLANAR_TYPES
+from ..quant.kmajor import KMAJOR_TYPES, pack_kmajor, dequant_kmajor_jnp
 from .dequant import dequant_jax
+
+_FLOAT_TYPES = frozenset({GGMLType.F32, GGMLType.F16, GGMLType.BF16})
 
 
 @jax.tree_util.register_pytree_node_class
@@ -27,7 +39,7 @@ class QTensor:
 
     qtype: GGMLType
     shape: tuple[int, ...]
-    data: dict[str, Any]  # planar arrays, or {"w": array} for float types
+    data: dict[str, Any]  # layout-specific arrays; {"w": array} for float types
 
     def tree_flatten(self):
         keys = tuple(sorted(self.data))
@@ -40,27 +52,51 @@ class QTensor:
 
     @property
     def is_quantized(self) -> bool:
-        return self.qtype in PLANAR_TYPES
+        return self.qtype not in _FLOAT_TYPES
+
+    @property
+    def layout(self) -> str:
+        if not self.is_quantized:
+            return "dense"
+        return "kmajor" if "q" in self.data and "sc" in self.data else "planar"
+
+    @property
+    def n_out(self) -> int:
+        return self.shape[-2] if len(self.shape) > 1 else 1
+
+    @property
+    def n_in(self) -> int:
+        return self.shape[-1]
 
     def dequant(self, dtype=jnp.bfloat16):
         """Full dense materialization (XLA reference path).
 
-        Output shape follows the *leaf* leading dims, so a layer-stacked or
-        scan-sliced QTensor dequantizes correctly regardless of the static
-        ``shape`` recorded at construction.
+        For planar layout the output follows the leaf leading dims (so a
+        layer-stacked or scan-sliced QTensor dequantizes correctly); kmajor
+        dequant requires unstacked (2-D) leaves.
         """
         if not self.is_quantized:
             return self.data["w"].astype(dtype)
+        if self.layout == "kmajor":
+            assert self.data["q"].ndim == 2, "kmajor dequant needs per-layer leaves"
+            return dequant_kmajor_jnp(self.data, self.qtype, dtype)[: self.n_out]
         return dequant_jax(self.data, self.qtype, dtype)
 
     def take_rows(self, idx, dtype=jnp.bfloat16):
         """Gather rows by index then dequantize only those (embedding lookup).
 
         Avoids materializing the dense table (the GET_ROWS-on-quantized
-        analogue, ggml/include/ggml.h GGML_OP_GET_ROWS).
+        analogue, ggml/include/ggml.h GGML_OP_GET_ROWS). kmajor stores rows
+        as lanes, so this is a column gather + dequant of the gathered slab.
         """
         if not self.is_quantized:
             return self.data["w"][idx].astype(dtype)
+        if self.layout == "kmajor":
+            idx = jnp.asarray(idx)
+            flat = idx.reshape(-1)
+            sub = {k: v[:, flat] for k, v in self.data.items()}
+            w = dequant_kmajor_jnp(sub, self.qtype, dtype)  # (nidx, K)
+            return w.reshape(*idx.shape, self.n_in)
         sub = {k: v[idx] for k, v in self.data.items()}
         return dequant_jax(sub, self.qtype, dtype)
 
@@ -69,13 +105,26 @@ class QTensor:
         return sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in self.data.values())
 
 
+def _choose_layout(qtype: GGMLType, shape: tuple[int, ...], layout: str) -> str:
+    if layout != "auto":
+        return layout
+    from .qmm import qmm_supported
+
+    if len(shape) == 2 and qtype in KMAJOR_TYPES and qmm_supported(qtype, shape[-1]):
+        return "kmajor"
+    return "planar"
+
+
 def qtensor_from_bytes(
-    raw: np.ndarray, qtype: GGMLType, shape: tuple[int, ...], device_put: bool = True
+    raw: np.ndarray,
+    qtype: GGMLType,
+    shape: tuple[int, ...],
+    device_put: bool = True,
+    layout: str = "auto",
 ) -> QTensor:
-    """Raw GGUF payload bytes -> planar QTensor (host decode, optional upload)."""
+    """Raw GGUF payload bytes -> QTensor (host decode, optional upload)."""
     qtype = GGMLType(qtype)
     n_in = shape[-1]
-    n_rows = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     if qtype in (GGMLType.F32, GGMLType.F16):
         w = raw.view(np.float32 if qtype == GGMLType.F32 else np.float16).reshape(shape)
         data = {"w": jnp.asarray(w) if device_put else w}
@@ -89,13 +138,18 @@ def qtensor_from_bytes(
     row_bytes = n_in // blk * bs
     lead = tuple(shape[:-1]) if len(shape) > 1 else (1,)
     planar = decode_planar(raw.reshape(*lead, row_bytes), qtype)
+    if _choose_layout(qtype, tuple(shape), layout) == "kmajor":
+        assert len(lead) == 1, "kmajor packing expects 2-D logical weights"
+        data = pack_kmajor(planar, qtype)
+    else:
+        data = planar
     if device_put:
-        planar = {k: jnp.asarray(np.ascontiguousarray(v)) for k, v in planar.items()}
-    return QTensor(qtype, tuple(shape), planar)
+        data = {k: jnp.asarray(np.ascontiguousarray(v)) for k, v in data.items()}
+    return QTensor(qtype, tuple(shape), data)
 
 
 def qtensor_from_float(
-    w: np.ndarray, qtype: GGMLType, device_put: bool = True
+    w: np.ndarray, qtype: GGMLType, device_put: bool = True, layout: str = "auto"
 ) -> QTensor:
     """Quantize a float array into a QTensor (test/synthetic-model helper)."""
     from ..quant import quantize
@@ -109,4 +163,4 @@ def qtensor_from_float(
         data = {"w": jnp.asarray(arr) if device_put and qtype != GGMLType.BF16 else arr}
         return QTensor(qtype, tuple(w.shape), data)
     raw = quantize(np.asarray(w, np.float32).reshape(-1, w.shape[-1]), qtype)
-    return qtensor_from_bytes(raw.reshape(-1), qtype, tuple(w.shape), device_put)
+    return qtensor_from_bytes(raw.reshape(-1), qtype, tuple(w.shape), device_put, layout)

@@ -59,18 +59,26 @@ _LAYER_RULES: dict[str, str] = {
 
 
 def _qtensor_pspec(qt: QTensor, kind: str, stacked: bool) -> dict[str, P]:
-    """PartitionSpec per planar leaf.
+    """PartitionSpec per quantized leaf.
 
-    Leaf layouts: quants (L?, n_out, nb, bytes...), scales (L?, n_out, nb),
-    block scalars (L?, n_out, nb). Sharding n_out = axis 1 (stacked) / 0;
-    sharding n_in = the nb axis.
+    kmajor layout (the kernel layout): leaves q/sc/bi are (L?, K', Npad) —
+    n_out lives on the last (lane) axis, the reduction dim on axis -2.
+
+    planar layout: quants (L?, n_out, nb, bytes...), scales (L?, n_out, nb);
+    n_out = axis 0 (+1 if stacked), n_in = the nb axis.
     """
     specs = {}
     off = 1 if stacked else 0
+    kmajor = qt.layout == "kmajor"
     for key, arr in qt.data.items():
         nd = np.asarray(arr).ndim if not hasattr(arr, "ndim") else arr.ndim
         spec = [None] * nd
-        if kind in ("out", "exp_out"):
+        if kmajor:
+            if kind in ("out", "exp_out"):
+                spec[nd - 1] = "tp"
+            elif kind in ("in", "exp_in"):
+                spec[nd - 2] = "tp"
+        elif kind in ("out", "exp_out"):
             spec[off + (1 if kind == "exp_out" else 0)] = "tp"
         elif kind in ("in", "exp_in"):
             # reduction dim = blocks axis: quants (L?, rows..., nb, k) or (L?, rows, nb)
