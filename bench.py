@@ -25,6 +25,86 @@ SHAPES = {
 HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1638.0}
 
 
+def _cached_synth(shape):
+    """Synth the 8B-scale packed model once, cache host arrays on disk
+    (fabrication is ~4 min of host numpy; the bench should measure the TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpullm.gguf.constants import GGMLType
+    from tpullm.ops.qtensor import QTensor
+    from tpullm.utils.synth import synth_qparams
+
+    tag = "-".join(f"{k}{v}" for k, v in sorted(shape.items()))
+    cache = f"/tmp/tpullm_bench_{tag}_q4k_v1.npz"
+
+    def _up(params):
+        def walk(v):
+            if isinstance(v, QTensor):
+                return QTensor(v.qtype, v.shape, {k: jnp.asarray(a) for k, a in v.data.items()})
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            return jnp.asarray(v)
+        return {k: walk(v) for k, v in params.items()}
+
+    if os.path.exists(cache):
+        z = np.load(cache)
+        meta = json.loads(str(z["__meta__"]))
+        params = {}
+        for name, (qt, shp) in meta["qtensors"].items():
+            keys = [k for k in z.files if k.startswith(name + "::")]
+            data = {k.split("::", 1)[1]: z[k] for k in keys}
+            node = QTensor(GGMLType(qt), tuple(shp), data)
+            parts = name.split("/")
+            d = params
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = node
+        for name in meta["arrays"]:
+            parts = name.split("/")
+            d = params
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = z["arr::" + name]
+        from tpullm.models.config import ModelConfig
+
+        cfg = ModelConfig(**json.loads(str(z["__cfg__"])))
+        return cfg, _up(params)
+
+    cfg, params = synth_qparams(qtype=GGMLType.Q4_K, seed=0, device_put=False, **shape)
+    flat_q, flat_a = {}, {}
+
+    def flatten(prefix, v):
+        if isinstance(v, QTensor):
+            flat_q[prefix] = v
+        elif isinstance(v, dict):
+            for k, x in v.items():
+                flatten(f"{prefix}/{k}" if prefix else k, x)
+        else:
+            flat_a[prefix] = np.asarray(v)
+
+    flatten("", params)
+    save = {"__meta__": json.dumps({
+        "qtensors": {n: (int(q.qtype), list(q.shape)) for n, q in flat_q.items()},
+        "arrays": list(flat_a),
+    }), "__cfg__": json.dumps({
+        k: getattr(cfg, k) for k in (
+            "arch", "vocab_size", "n_embd", "n_layer", "n_head", "n_head_kv",
+            "head_dim", "head_dim_v", "n_ff", "rope_dim")
+    })}
+    for n, q in flat_q.items():
+        for k, a in q.data.items():
+            save[f"{n}::{k}"] = np.asarray(a)
+    for n, a in flat_a.items():
+        save["arr::" + n] = a
+    try:
+        np.savez(cache + ".tmp.npz", **save)
+        os.replace(cache + ".tmp.npz", cache)
+    except OSError:
+        pass
+    return cfg, _up(params)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -37,7 +117,7 @@ def main():
 
     shape = SHAPES[MODEL]
     t0 = time.time()
-    cfg, params = synth_qparams(qtype=GGMLType.Q4_K, seed=0, **shape)
+    cfg, params = _cached_synth(shape)
     gen_s = time.time() - t0
 
     n_params = (

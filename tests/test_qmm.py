@@ -107,6 +107,28 @@ def test_take_rows_kmajor():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
+def test_qmm_stacked_layer_index():
+    """Layer-stacked weights + in-kernel scalar-prefetch layer indexing."""
+    qtype = GGMLType.Q4_K
+    L, N, K = 3, 256, 512
+    qts = [_mk(qtype, N, K, seed=s)[2] for s in range(L)]
+    stacked = {k: jnp.asarray(np.stack([np.asarray(t.data[k]) for t in qts]))
+               for k in qts[0].data}
+    st_qt = QTensor(qtype, (L, N, K), stacked)
+    planars = [_mk(qtype, N, K, seed=s)[1] for s in range(L)]
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.bfloat16)
+    for l in range(L):
+        y = np.asarray(qmm(x, st_qt, jnp.float32, layer=jnp.int32(l), interpret=True))
+        w = np.asarray(planars[l].dequant(jnp.float32))
+        y_ref = np.asarray(x, np.float32) @ w.T
+        assert _nmse(y, y_ref) < 5e-5, f"layer {l}"
+    # fallback path (no interpret, CPU): dynamic slice + dequant
+    y_fb = np.asarray(qmm(x, st_qt, jnp.float32, layer=jnp.int32(1)))
+    w = np.asarray(planars[1].dequant(jnp.float32))
+    assert _nmse(y_fb, np.asarray(x, np.float32) @ w.T) < 5e-5
+
+
 def test_npad_masked_out():
     """Padded output columns never leak: n_logical slicing."""
     qtype = GGMLType.Q4_0

@@ -1,0 +1,163 @@
+"""Server integration tests (the reference's pytest server suite analogue,
+tools/server/tests/unit/test_*.py): a real HTTP server over a tiny synthetic
+GGUF model, exercised with urllib — completions, chat, streaming, tokenize,
+metrics, concurrent requests, prefix reuse."""
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpullm.gguf.constants import GGMLType
+from tpullm.runtime.loader import load_model
+from tpullm.server.context import GenParams, ServerContext, Task
+from tpullm.server.http import serve
+from tpullm.tokenizer import Tokenizer
+from tpullm.utils.synth import build_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    build_llama_gguf(path, vocab_size=512, n_embd=128, n_layer=2, n_head=4,
+                     n_head_kv=2, n_ff=256, qtype=GGMLType.Q4_0, with_vocab=True)
+    cfg, params, g = load_model(path)
+    tok = Tokenizer.from_gguf(g)
+    ctx = ServerContext(cfg, params, tok, n_slots=2, max_seq_len=256,
+                        decode_chunk=4, prefill_chunk=64, model_name="tiny")
+    # pick a free port
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    srv = serve(ctx, "127.0.0.1", port, block=False)
+    yield ctx, f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    ctx.stop()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, json.dumps(body).encode(), {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.read().decode()
+
+
+def test_health_props_models(server):
+    ctx, url = server
+    assert json.loads(_get(url, "/health"))["status"] == "ok"
+    props = json.loads(_get(url, "/props"))
+    assert props["n_slots"] == 2 and props["n_ctx"] == 256
+    models = json.loads(_get(url, "/v1/models"))
+    assert models["data"][0]["id"] == "tiny"
+
+
+def test_completion_basic(server):
+    ctx, url = server
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2 tok3", "max_tokens": 8, "temperature": 0})
+    assert r["object"] == "text_completion"
+    assert r["usage"]["completion_tokens"] <= 8
+    assert r["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+def test_completion_deterministic_greedy(server):
+    ctx, url = server
+    a = _post(url, "/v1/completions", {"prompt": "tok5 tok6", "max_tokens": 6,
+                                       "temperature": 0})
+    b = _post(url, "/v1/completions", {"prompt": "tok5 tok6", "max_tokens": 6,
+                                       "temperature": 0})
+    assert a["choices"][0]["text"] == b["choices"][0]["text"]
+
+
+def test_chat_completion(server):
+    ctx, url = server
+    r = _post(url, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4, "temperature": 0})
+    assert r["object"] == "chat.completion"
+    assert r["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming(server):
+    ctx, url = server
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        json.dumps({"prompt": "tok1", "max_tokens": 6, "temperature": 0,
+                    "stream": True}).encode(),
+        {"Content-Type": "application/json"})
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                chunks.append(line[6:])
+    assert chunks[-1] == "[DONE]"
+    parsed = [json.loads(c) for c in chunks[:-1]]
+    finals = [p for p in parsed if p["choices"][0]["finish_reason"]]
+    assert len(finals) == 1 and finals[0]["timings"]["completion_tokens"] <= 6
+
+
+def test_tokenize_roundtrip(server):
+    ctx, url = server
+    r = _post(url, "/tokenize", {"content": "tok1 tok2"})
+    assert isinstance(r["tokens"], list) and r["tokens"]
+    d = _post(url, "/detokenize", {"tokens": r["tokens"]})
+    assert "tok1" in d["content"]
+
+
+def test_concurrent_requests(server):
+    ctx, url = server
+    results = {}
+
+    def go(i):
+        results[i] = _post(url, "/v1/completions", {
+            "prompt": f"tok{i} tok{i+1}", "max_tokens": 5, "temperature": 0})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join(timeout=300) for t in threads]
+    assert len(results) == 4
+    for r in results.values():
+        assert r["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+def test_prefix_reuse(server):
+    ctx, url = server
+    p = "tok7 tok8 tok9 tok10 tok11 tok12"
+    _post(url, "/v1/completions", {"prompt": p, "max_tokens": 3, "temperature": 0})
+    r2 = _post(url, "/v1/completions", {"prompt": p, "max_tokens": 3, "temperature": 0})
+    assert r2["timings"]["cached_tokens"] > 0
+
+
+def test_stop_string(server):
+    ctx, url = server
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2", "max_tokens": 32, "temperature": 0, "stop": ["tok"]})
+    assert "tok" not in r["choices"][0]["text"]
+    assert r["choices"][0]["finish_reason"] == "stop"
+
+
+def test_metrics(server):
+    ctx, url = server
+    m = _get(url, "/metrics")
+    assert "tpullm:requests_total" in m
+    assert "# TYPE" in m
+
+
+def test_generate_sync_api(server):
+    ctx, url = server
+    toks = ctx.tok.encode("tok3 tok4", add_special=True)
+    info = ctx.generate(toks, GenParams(max_tokens=4, temperature=0.0))
+    assert info["stats"]["completion_tokens"] <= 4

@@ -134,50 +134,52 @@ def apply_rope(x, cos, sin, rope_type: str, rope_dim: int):
     return jnp.concatenate([out, rest], axis=-1) if rest.shape[-1] else out
 
 
-def _mm(x, qt: QTensor, dtype):
+def _mm(x, qt: QTensor, dtype, layer=None):
     """x (..., n_in) @ W^T for a QTensor W (n_out, n_in); fused Pallas
-    dequant-matmul on TPU (tpullm.ops.qmm), dequant+dot elsewhere."""
+    dequant-matmul on TPU (tpullm.ops.qmm), dequant+dot elsewhere. ``layer``
+    indexes layer-stacked weights inside the kernel (scalar prefetch), so the
+    scan over depth never materializes per-layer weight slices."""
     from ..ops.qmm import qmm
 
-    return qmm(x, qt, dtype)
+    return qmm(x, qt, dtype, layer=layer)
 
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg: ModelConfig, layer_is_swa=False):
     """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
 
-    Masking is slot-based (left-padded layout): kv slot s is attendable by the
-    query in slot t iff ``valid_from[b] <= s <= t``. This replaces the
-    reference's host-built KQ mask upload (SURVEY §A.8) with on-device
-    positional comparisons. SWA additionally windows on real positions.
+    Masking is slot-based: kv slot s is attendable by the query at slot
+    ``q_slots[b, t]`` iff ``valid_from[b] <= s <= q_slots[b, t]``. This
+    replaces the reference's host-built KQ mask upload (SURVEY §A.8) with
+    on-device positional comparisons. SWA additionally windows on real
+    positions. GQA is grouped via reshape (no KV head replication).
     """
     B, T, H, Dk = q.shape
-    S = k_all.shape[1]
-    groups = H // k_all.shape[2]
-    kv = jnp.repeat(k_all, groups, axis=2)  # (B,S,H,Dk)
-    vv = jnp.repeat(v_all, groups, axis=2)
+    S, Hkv = k_all.shape[1], k_all.shape[2]
+    G = H // Hkv
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), kv.astype(jnp.float32))
+    qf = q.reshape(B, T, Hkv, G, Dk).astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all.astype(jnp.float32))
     scores = scores * scale
     if cfg.attn_logit_softcap:
         scores = jnp.tanh(scores / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
-    kv_slot = jnp.arange(S)[None, None, None, :]  # (1,1,1,S)
-    q_slot = q_slots[None, None, :, None]  # (1,1,T,1)
-    mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None])
+    kv_slot = jnp.arange(S)[None, None, None, None, :]  # (1,1,1,1,S)
+    q_slot = q_slots[:, None, None, :, None]  # (B,1,1,T,1)
+    mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None, None])
     if layer_is_swa and cfg.sliding_window:
-        kv_pos = kv_positions[:, None, None, :]  # (B,1,1,S) real positions
-        q_pos = positions[:, None, :, None]
+        kv_pos = kv_positions[:, None, None, None, :]  # (B,1,1,1,S) real positions
+        q_pos = positions[:, None, None, :, None]
         mask = mask & (kv_pos > q_pos - cfg.sliding_window)
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-    out = jnp.einsum("bhts,bshd->bthd", probs, vv.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v_all.astype(jnp.float32))
+    return out.reshape(B, T, H, -1).astype(q.dtype)
 
 
-def ffn(x, p, cfg: ModelConfig, dtype):
+def ffn(x, qw, li, cfg: ModelConfig, dtype):
     if cfg.ffn_gate:
-        g = _mm(x, p["ffn_gate"], dtype)
-        u = _mm(x, p["ffn_up"], dtype)
+        g = _mm(x, qw["ffn_gate"], dtype, li)
+        u = _mm(x, qw["ffn_up"], dtype, li)
         if cfg.act_fn == "silu":
             h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
         elif cfg.act_fn == "gelu":
@@ -190,10 +192,10 @@ def ffn(x, p, cfg: ModelConfig, dtype):
         else:
             raise ValueError(cfg.act_fn)
     else:
-        u = _mm(x, p["ffn_up"], dtype)
+        u = _mm(x, qw["ffn_up"], dtype, li)
         uf = u.astype(jnp.float32)
         h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
-    return _mm(h, p["ffn_down"], dtype)
+    return _mm(h, qw["ffn_down"], dtype, li)
 
 
 def _norm(x, w, b, cfg: ModelConfig):
@@ -208,14 +210,20 @@ def forward(
     tokens,  # (B, T) int32
     positions,  # (B, T) int32 real positions (for RoPE / SWA)
     cache: KVCache,
-    cache_pos,  # scalar int32: slot offset this ubatch writes at
+    cache_pos,  # int32 scalar or (B,): cache slot this ubatch writes at, per row
     valid_from,  # (B,) first valid kv slot (= left-pad length)
     dtype=jnp.bfloat16,
+    slot0=None,  # int32 scalar: first cache batch row this ubatch occupies
+    logits_idx=None,  # int32 scalar: only compute logits for this T position
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
-    Sequences are laid out left-padded so every batch row writes the same
-    cache slots; causality is then uniform in slot space (slot_k <= slot_q).
+    Layouts supported:
+    - batch engine: left-padded rows share slot indices (scalar cache_pos);
+    - server slots: per-row cache_pos (each sequence at its own length), and
+      ``slot0`` selects a contiguous sub-range of cache batch rows so a
+      single-sequence prefill updates just its slot (B here = ubatch rows,
+      cache batch = n_slots).
     """
     B, T = tokens.shape
     x = params["tok_embd"].take_rows(tokens, dtype)  # gather-then-dequant
@@ -224,16 +232,27 @@ def forward(
     cos, sin = rope_cache(cfg, positions)
 
     S = cache.max_len
-    q_slots = cache_pos + jnp.arange(T)
+    uniform = jnp.ndim(cache_pos) == 0 and slot0 is None and B == cache.k.shape[1]
+    cache_pos = jnp.broadcast_to(jnp.asarray(cache_pos, jnp.int32), (B,))
+    slot0 = jnp.int32(0) if slot0 is None else jnp.asarray(slot0, jnp.int32)
+    rows = jnp.arange(B)
+    q_slots = cache_pos[:, None] + jnp.arange(T)[None, :]  # (B, T)
     kv_positions = jnp.arange(S)[None, :] - valid_from[:, None]  # (B, S)
+
+    # QTensor weights stay layer-stacked OUTSIDE the scan (closed over);
+    # the scan carries only the layer index and the small float tensors.
+    # The fused kernel indexes the stacked HBM arrays directly — XLA never
+    # copies a per-layer weight slice (SURVEY §7: graph-reuse inversion).
+    qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
+    fl = {k: v for k, v in params["layers"].items() if not isinstance(v, QTensor)}
 
     def layer(carry, inp):
         x = carry
-        p, k_cache, v_cache, layer_idx = inp
+        p, k_cache, v_cache, li = inp
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
-        q = _mm(h, p["wq"], dtype)
-        k = _mm(h, p["wk"], dtype)
-        v = _mm(h, p["wv"], dtype)
+        q = _mm(h, qw["wq"], dtype, li)
+        k = _mm(h, qw["wk"], dtype, li)
+        v = _mm(h, qw["wv"], dtype, li)
         if cfg.attn_bias and "bq" in p:
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
@@ -250,24 +269,35 @@ def forward(
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0))
+        if uniform:  # contiguous fast path (SET_ROWS analogue)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_pos[0], 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_pos[0], 0, 0))
+            k_view, v_view = k_cache, v_cache
+        else:  # per-row scatter at (slot0+b, cache_pos[b]+t)
+            bi = slot0 + rows[:, None]
+            si = q_slots
+            k_cache = k_cache.at[bi, si].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[bi, si].set(v.astype(v_cache.dtype))
+            k_view = jax.lax.dynamic_slice_in_dim(k_cache, slot0, B, axis=0)
+            v_view = jax.lax.dynamic_slice_in_dim(v_cache, slot0, B, axis=0)
         is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
         att = attention(
-            q, k_cache.astype(dtype), v_cache.astype(dtype),
+            q, k_view.astype(dtype), v_view.astype(dtype),
             q_slots, kv_positions, positions, valid_from, cfg, is_swa,
         )
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
-        att = _mm(att, p["wo"], dtype)
+        att = _mm(att, qw["wo"], dtype, li)
         if cfg.post_norms and "post_attn_norm" in p:
             att = _norm(att, p["post_attn_norm"], None, cfg)
         if cfg.parallel_residual:
-            f = ffn(h, p, cfg, dtype)
+            f = ffn(h, qw, li, cfg, dtype)
             x = x + att + f
         else:
             x = x + att
             h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
-            f = ffn(h2, p, cfg, dtype)
+            f = ffn(h2, qw, li, cfg, dtype)
             if cfg.post_norms and "post_ffn_norm" in p:
                 f = _norm(f, p["post_ffn_norm"], None, cfg)
             x = x + f
@@ -275,8 +305,12 @@ def forward(
 
     layer_ids = jnp.arange(cfg.n_layer)
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v, layer_ids)
+        layer, x, (fl, cache.k, cache.v, layer_ids)
     )
+    if logits_idx is not None:
+        # lm_head over one position only (prefill chunks need just the last
+        # real token's logits; skips the vocab matmul for the other T-1 rows)
+        x = jax.lax.dynamic_slice_in_dim(x, jnp.asarray(logits_idx, jnp.int32), 1, axis=1)
     x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)
     if cfg.final_logit_softcap:

@@ -169,3 +169,190 @@ def make_sample_fn(cfg: SamplerConfig):
 
 
 GREEDY = SamplerConfig(greedy=True)
+
+
+# ---------------------------------------------------------------------------
+# Batched per-row sampler: every parameter is a (B,) array, so one compiled
+# function serves slots with heterogeneous sampler settings (the reference's
+# per-sequence backend samplers, llama.h:381-382) without recompilation.
+# Neutral values disable a stage per row (top_k=0, top_p=1, min_p=0,
+# typical_p=1, top_n_sigma=0, xtc_probability=0, temperature=1,
+# penalty_repeat=1/freq=0/present=0; temperature<=0 = greedy).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BatchSamplerParams:
+    temperature: jnp.ndarray  # (B,) f32; <=0 means greedy
+    top_k: jnp.ndarray  # (B,) i32; 0 disables
+    top_p: jnp.ndarray  # (B,) f32
+    min_p: jnp.ndarray  # (B,) f32
+    typical_p: jnp.ndarray  # (B,) f32
+    top_n_sigma: jnp.ndarray  # (B,) f32
+    xtc_probability: jnp.ndarray  # (B,) f32
+    xtc_threshold: jnp.ndarray  # (B,) f32
+    penalty_repeat: jnp.ndarray  # (B,) f32
+    penalty_freq: jnp.ndarray  # (B,) f32
+    penalty_present: jnp.ndarray  # (B,) f32
+
+    _FIELDS = (
+        "temperature", "top_k", "top_p", "min_p", "typical_p", "top_n_sigma",
+        "xtc_probability", "xtc_threshold", "penalty_repeat", "penalty_freq",
+        "penalty_present",
+    )
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def neutral(B: int):
+        f = lambda v: jnp.full((B,), v, jnp.float32)
+        return BatchSamplerParams(
+            temperature=f(0.0), top_k=jnp.zeros(B, jnp.int32), top_p=f(1.0),
+            min_p=f(0.0), typical_p=f(1.0), top_n_sigma=f(0.0),
+            xtc_probability=f(0.0), xtc_threshold=f(0.1), penalty_repeat=f(1.0),
+            penalty_freq=f(0.0), penalty_present=f(0.0),
+        )
+
+    def with_row(self, i: int, cfg: SamplerConfig) -> "BatchSamplerParams":
+        """Functional per-slot update from a scalar SamplerConfig."""
+        vals = dict(
+            temperature=0.0 if cfg.greedy else cfg.temperature,
+            top_k=cfg.top_k, top_p=cfg.top_p, min_p=cfg.min_p,
+            typical_p=cfg.typical_p, top_n_sigma=cfg.top_n_sigma,
+            xtc_probability=cfg.xtc_probability, xtc_threshold=cfg.xtc_threshold,
+            penalty_repeat=cfg.penalty_repeat, penalty_freq=cfg.penalty_freq,
+            penalty_present=cfg.penalty_present,
+        )
+        new = {f: getattr(self, f).at[i].set(vals[f]) for f in self._FIELDS}
+        return BatchSamplerParams(**new)
+
+
+def _col(x):
+    return x[:, None]
+
+
+def sample_batch(logits, p: BatchSamplerParams, key, counts=None):
+    """(B, V) f32 logits + per-row params -> (B,) i32 tokens. Chain order
+    follows common/common.h:244-254 (penalties -> top_n_sigma -> top_k ->
+    typical -> top_p -> min_p -> xtc -> temperature -> dist)."""
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+
+    if counts is not None:
+        used = counts > 0
+        rep = jnp.where(
+            logits <= 0, logits * _col(p.penalty_repeat), logits / _col(p.penalty_repeat)
+        )
+        logits = jnp.where(used, rep, logits)
+        logits = logits - counts * _col(p.penalty_freq) \
+            - used.astype(jnp.float32) * _col(p.penalty_present)
+
+    # top_n_sigma
+    mx = logits.max(axis=-1, keepdims=True)
+    mean = logits.mean(axis=-1, keepdims=True)
+    std = jnp.sqrt(jnp.maximum(((logits - mean) ** 2).mean(-1, keepdims=True), 0.0))
+    thr = jnp.where(_col(p.top_n_sigma) > 0, mx - _col(p.top_n_sigma) * std, NEG_INF)
+    logits = jnp.where(logits < thr, NEG_INF, logits)
+
+    # single descending sort reused by top_k / typical-free top_p
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+
+    # top_k (per-row k; 0 -> V)
+    k = jnp.where(p.top_k > 0, jnp.minimum(p.top_k, V), V)
+    kth = jnp.take_along_axis(sorted_desc, _col(k - 1), axis=-1)
+    logits = jnp.where(logits < kth, NEG_INF, logits)
+
+    # typical_p
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(logp)
+    ent = -(probs * jnp.where(probs > 0, logp, 0.0)).sum(-1, keepdims=True)
+    shifted = jnp.abs(-logp - ent)
+    order = jnp.argsort(shifted, axis=-1)
+    sp = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    keep_sorted = jnp.concatenate(
+        [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < _col(p.typical_p)], axis=-1
+    )
+    keep = jnp.zeros_like(keep_sorted).at[jnp.arange(B)[:, None], order].set(keep_sorted)
+    logits = jnp.where(keep | (_col(p.typical_p) >= 1.0), logits, NEG_INF)
+
+    # top_p
+    sd = jnp.sort(logits, axis=-1)[..., ::-1]
+    pr = jax.nn.softmax(sd, axis=-1)
+    cum = jnp.cumsum(pr, axis=-1)
+    keep_sorted = jnp.concatenate(
+        [jnp.ones_like(cum[..., :1], bool), cum[..., :-1] < _col(p.top_p)], axis=-1
+    )
+    n_keep = keep_sorted.sum(axis=-1, keepdims=True)
+    kth = jnp.take_along_axis(sd, n_keep - 1, axis=-1)
+    logits = jnp.where((logits < kth) & (_col(p.top_p) < 1.0), NEG_INF, logits)
+
+    # min_p
+    mx = logits.max(axis=-1, keepdims=True)
+    minp_thr = jnp.where(_col(p.min_p) > 0, mx + jnp.log(_col(p.min_p)), NEG_INF)
+    logits = jnp.where(logits < minp_thr, NEG_INF, logits)
+
+    # xtc
+    key, sub = jax.random.split(key)
+    probs = jax.nn.softmax(logits, axis=-1)
+    above = probs >= _col(p.xtc_threshold)
+    n_above = above.sum(axis=-1, keepdims=True)
+    min_above = jnp.where(above, probs, jnp.inf).min(axis=-1, keepdims=True)
+    drop = above & (probs > min_above) & (n_above >= 2)
+    roll = jax.random.uniform(sub, (B, 1))
+    logits = jnp.where((roll < _col(p.xtc_probability)) & drop, NEG_INF, logits)
+
+    # temperature / greedy
+    greedy_mask = jnp.where(logits < logits.max(-1, keepdims=True), NEG_INF, logits)
+    t = _col(p.temperature)
+    logits = jnp.where(t > 0, logits / jnp.where(t > 0, t, 1.0), greedy_mask)
+
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PenaltyState:
+    """Ring buffer of the last-N accepted tokens per row + token counts
+    (llama.cpp llama_sampler_penalties window semantics)."""
+
+    counts: jnp.ndarray  # (B, V) i32
+    ring: jnp.ndarray  # (B, N) i32, -1 = empty
+    pos: jnp.ndarray  # (B,) i32 next write index
+
+    def tree_flatten(self):
+        return (self.counts, self.ring, self.pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(B: int, V: int, window: int = 64):
+        return PenaltyState(
+            counts=jnp.zeros((B, V), jnp.int32),
+            ring=jnp.full((B, window), -1, jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+        )
+
+    def push(self, tokens):
+        """Accept one token per row; evicts the oldest beyond the window."""
+        B, N = self.ring.shape
+        rows = jnp.arange(B)
+        old = self.ring[rows, self.pos]
+        dec = jnp.where(old >= 0, 1, 0)
+        counts = self.counts.at[rows, jnp.maximum(old, 0)].add(-dec)
+        counts = counts.at[rows, tokens].add(1)
+        ring = self.ring.at[rows, self.pos].set(tokens)
+        return PenaltyState(counts, ring, (self.pos + 1) % N)
+
+    def clear_row(self, i: int):
+        return PenaltyState(
+            self.counts.at[i].set(0), self.ring.at[i].set(-1), self.pos.at[i].set(0)
+        )

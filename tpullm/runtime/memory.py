@@ -1,0 +1,137 @@
+"""Slot-based KV memory for the serving engine.
+
+The reference's memory module (src/llama-memory.h:46-120, llama-kv-cache.*)
+manages a unified cell pool with per-cell seq bookkeeping because CPU/GPU
+graphs are rebuilt per ubatch. The TPU-native inversion: one preallocated
+device KV pair (L, n_slots, S_max, H_kv, D) with *contiguous* per-slot
+regions (slot == sequence), host-side metadata (lengths + token history),
+and jitted in-place updates. Static shapes mean zero recompiles; "finding a
+slot" is a host-side free-list pop instead of a cell scan (find_slot,
+src/llama-kv-cache.h:185).
+
+Supported sequence ops (llama_memory_i parity):
+- clear / remove-suffix (truncate)      <- seq_rm(p0, -1)
+- context_shift(n_keep, n_discard)      <- seq_rm + seq_add + K rope-shift on
+  device (build_graph_shift analogue, src/llama-kv-cache.cpp:1800)
+- prefix reuse: longest common prefix with the slot's previous content
+  (server-side cache_prompt, tools/server/server-context.cpp:2309)
+- copy_slot (seq_cp; whole-sequence copy for speculative/branching)
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import KVCache, rope_cache, apply_rope
+
+
+@dataclass
+class SlotState:
+    n_past: int = 0  # tokens currently materialized in the cache
+    tokens: list = field(default_factory=list)  # token history (prompt+gen)
+
+    def clear(self):
+        self.n_past = 0
+        self.tokens = []
+
+
+class SlotMemory:
+    """Host bookkeeping + device KV arrays for n_slots sequences."""
+
+    def __init__(self, cfg: ModelConfig, n_slots: int, max_seq_len: int,
+                 kv_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_seq_len = max_seq_len
+        self.cache = KVCache.create(cfg, n_slots, max_seq_len, kv_dtype)
+        self.slots = [SlotState() for _ in range(n_slots)]
+
+    # -- host-side sequence bookkeeping ------------------------------------
+
+    def prefix_match(self, slot: int, tokens: list[int]) -> int:
+        """Longest reusable prefix of `tokens` already in the slot's cache.
+        Leaves at least one token to (re)decode so logits exist."""
+        st = self.slots[slot]
+        n = 0
+        limit = min(st.n_past, len(tokens) - 1)
+        hist = st.tokens
+        while n < limit and n < len(hist) and hist[n] == tokens[n]:
+            n += 1
+        return n
+
+    def truncate(self, slot: int, n_keep: int):
+        """seq_rm(slot, n_keep, -1): drop cached tokens >= n_keep."""
+        st = self.slots[slot]
+        st.n_past = min(st.n_past, n_keep)
+        st.tokens = st.tokens[:n_keep]
+
+    def clear_slot(self, slot: int):
+        self.slots[slot].clear()
+
+    def copy_slot(self, src: int, dst: int):
+        """seq_cp whole-sequence: device rows dst <- src + host metadata."""
+        self.cache = _copy_slot(self.cache, jnp.int32(src), jnp.int32(dst))
+        self.slots[dst].n_past = self.slots[src].n_past
+        self.slots[dst].tokens = list(self.slots[src].tokens)
+
+    def context_shift(self, slot: int, n_keep: int, n_discard: int):
+        """Discard tokens [n_keep, n_keep+n_discard); roll the tail left and
+        rope-shift cached K by -n_discard (on device)."""
+        st = self.slots[slot]
+        n_past = st.n_past
+        assert n_keep + n_discard <= n_past
+        self.cache = _context_shift(
+            self.cache, jnp.int32(slot), jnp.int32(n_keep),
+            jnp.int32(n_discard), jnp.int32(n_past), cfg=self.cfg,
+        )
+        st.tokens = st.tokens[:n_keep] + st.tokens[n_keep + n_discard:]
+        st.n_past = n_past - n_discard
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_slot(cache: KVCache, src, dst):
+    k = jax.lax.dynamic_slice_in_dim(cache.k, src, 1, axis=1)
+    v = jax.lax.dynamic_slice_in_dim(cache.v, src, 1, axis=1)
+    return KVCache(
+        jax.lax.dynamic_update_slice_in_dim(cache.k, k, dst, axis=1),
+        jax.lax.dynamic_update_slice_in_dim(cache.v, v, dst, axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
+    """Roll rows [n_keep+nd, n_past) to [n_keep, n_past-nd) for one slot and
+    apply the RoPE delta rotation theta(-nd) to the moved K rows."""
+    S = cache.max_len
+    idx = jnp.arange(S)
+    moved = (idx >= n_keep) & (idx < n_past - n_discard)
+    src = jnp.where(moved, idx + n_discard, idx)
+
+    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)  # (L,1,S,H,D)
+    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    k_rolled = jnp.take(k_slot, src, axis=2)
+    v_rolled = jnp.take(v_slot, src, axis=2)
+
+    # RoPE delta: rotating a post-rope K from position p to p-nd multiplies
+    # by the rotation at angle (-nd) — constant across rows.
+    L, _, _, H, D = k_rolled.shape
+    delta = (-n_discard).astype(jnp.float32) * jnp.ones((1, 1), jnp.float32)
+    cos, sin = rope_cache(cfg, delta)  # (1,1,half)
+    kr = k_rolled.reshape(L, S, H, D).astype(jnp.bfloat16)
+    cosS = jnp.broadcast_to(cos, (1, S, cos.shape[-1]))
+    sinS = jnp.broadcast_to(sin, (1, S, sin.shape[-1]))
+
+    def rot_layer(k_l):
+        return apply_rope(k_l[None], cosS, sinS, cfg.rope_type, cfg.rope_dim)[0]
+
+    k_shifted = jax.vmap(rot_layer)(kr).astype(cache.k.dtype)
+    k_new = jnp.where(moved[None, :, None, None], k_shifted, k_rolled.reshape(L, S, H, D))
+    return KVCache(
+        jax.lax.dynamic_update_slice_in_dim(cache.k, k_new[:, None], slot, axis=1),
+        jax.lax.dynamic_update_slice_in_dim(cache.v, v_rolled, slot, axis=1),
+    )

@@ -1,0 +1,40 @@
+"""`python -m tpullm.server -m model.gguf [--host H] [--port P] ...`
+
+The llama-server entry point (tools/server/server.cpp) equivalent.
+"""
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("tpullm.server")
+    ap.add_argument("-m", "--model", required=True, help="GGUF checkpoint path")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--parallel", type=int, default=4, help="slots")
+    ap.add_argument("--decode-chunk", type=int, default=8)
+    ap.add_argument("--prefill-chunk", type=int, default=512)
+    ap.add_argument("--alias", default=None, help="model name in the API")
+    args = ap.parse_args(argv)
+
+    from ..runtime.loader import load_model
+    from ..tokenizer import Tokenizer
+    from .context import ServerContext
+    from .http import serve
+
+    print(f"loading {args.model} ...", file=sys.stderr)
+    cfg, params, g = load_model(args.model)
+    tok = Tokenizer.from_gguf(g)
+    ctx = ServerContext(
+        cfg, params, tok, n_slots=args.parallel, max_seq_len=args.ctx_size,
+        decode_chunk=args.decode_chunk, prefill_chunk=args.prefill_chunk,
+        model_name=args.alias or args.model.rsplit("/", 1)[-1],
+    )
+    print(f"serving {cfg.arch} on http://{args.host}:{args.port} "
+          f"({args.parallel} slots, ctx {args.ctx_size})", file=sys.stderr)
+    serve(ctx, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,380 @@
+"""Serving engine: slots, task queue, continuous batching loop.
+
+Maps the reference's server-context/update_slots design
+(tools/server/server-context.cpp:2139) onto XLA's static-shape model:
+
+- A slot is a fixed row of the preallocated KV batch (SlotMemory); admitting
+  a task is a host-side free-slot pop + prefix-cache match
+  (server-context.cpp:2309 cache_prompt), not a cell-pool scan.
+- Prompt processing runs one bucketed prefill chunk per loop iteration per
+  pending slot (ubatch-chunked prefill); decode runs DECODE_CHUNK steps fully
+  on device for all generating slots with per-row sampler params
+  (ops/sampling.sample_batch == per-seq backend samplers, llama.h:381).
+- Stop handling (EOS/stop strings/limits) happens on the host between device
+  chunks; the bounded overrun tokens are discarded (cache rows beyond n_past
+  are masked by position, so no cleanup pass is needed).
+"""
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import forward
+from ..ops.sampling import BatchSamplerParams, PenaltyState, SamplerConfig, sample_batch
+from ..runtime.memory import SlotMemory
+
+
+@dataclass
+class GenParams:
+    max_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 40
+    top_p: float = 0.95
+    min_p: float = 0.05
+    typical_p: float = 1.0
+    top_n_sigma: float = 0.0
+    xtc_probability: float = 0.0
+    xtc_threshold: float = 0.1
+    penalty_repeat: float = 1.0
+    penalty_freq: float = 0.0
+    penalty_present: float = 0.0
+    seed: int = -1  # -1 -> time-based
+    stop: list[str] = field(default_factory=list)
+    ignore_eos: bool = False
+    stream: bool = False
+    n_probs: int = 0
+
+    def sampler_config(self) -> SamplerConfig:
+        greedy = self.temperature <= 0
+        return SamplerConfig(
+            temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+            min_p=self.min_p, typical_p=self.typical_p,
+            top_n_sigma=self.top_n_sigma, xtc_probability=self.xtc_probability,
+            xtc_threshold=self.xtc_threshold, penalty_repeat=self.penalty_repeat,
+            penalty_freq=self.penalty_freq, penalty_present=self.penalty_present,
+            greedy=greedy,
+        )
+
+
+@dataclass
+class Task:
+    tokens: list  # prompt token ids
+    params: GenParams
+    id: str = field(default_factory=lambda: f"task-{uuid.uuid4().hex[:12]}")
+    out: queue.Queue = field(default_factory=queue.Queue)
+    cancelled: threading.Event = field(default_factory=threading.Event)
+    submitted_at: float = field(default_factory=time.time)
+
+    def events(self):
+        """Iterate ('delta'|'done'|'error', payload) until completion."""
+        while True:
+            kind, payload = self.out.get()
+            yield kind, payload
+            if kind in ("done", "error"):
+                return
+
+
+@dataclass
+class _SlotRt:
+    """Per-slot runtime state for the loop."""
+    task: Task | None = None
+    pending: list = field(default_factory=list)  # prompt tokens not yet prefilled
+    gen: list = field(default_factory=list)  # generated token ids
+    sent_text: str = ""
+    n_prompt: int = 0
+    reused: int = 0
+    started_at: float = 0.0
+    prefill_done_at: float = 0.0
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ServerContext:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        tokenizer=None,
+        n_slots: int = 4,
+        max_seq_len: int = 2048,
+        decode_chunk: int = 8,
+        prefill_chunk: int = 512,
+        compute_dtype=jnp.bfloat16,
+        kv_dtype=None,
+        model_name: str = "tpullm",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tok = tokenizer
+        self.n_slots = n_slots
+        self.max_seq_len = max_seq_len
+        self.decode_chunk = decode_chunk
+        self.prefill_chunk = prefill_chunk
+        self.dtype = compute_dtype
+        self.model_name = model_name
+        self.memory = SlotMemory(cfg, n_slots, max_seq_len, kv_dtype or compute_dtype)
+        self.rt = [_SlotRt() for _ in range(n_slots)]
+        self.queue: "queue.Queue[Task]" = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+
+        self.sparams = BatchSamplerParams.neutral(n_slots)
+        self.penalties = PenaltyState.create(n_slots, cfg.vocab_size)
+        self._pos = np.zeros(n_slots, np.int64)
+        self._active = np.zeros(n_slots, bool)
+        self._key = jax.random.PRNGKey(0)
+
+        self.metrics = {
+            "requests_total": 0, "prompt_tokens_total": 0,
+            "generated_tokens_total": 0, "prefill_seconds_total": 0.0,
+            "decode_seconds_total": 0.0, "queue_depth": 0, "slots_busy": 0,
+        }
+
+        fwd = functools.partial(forward, cfg=cfg, dtype=compute_dtype)
+
+        def _prefill(params, tokens, positions, cache, slot0, pos0, last_idx):
+            logits, cache = fwd(
+                params, tokens=tokens, positions=positions, cache=cache,
+                cache_pos=pos0, valid_from=jnp.zeros((1,), jnp.int32),
+                slot0=slot0, logits_idx=last_idx,
+            )
+            return logits[:, 0, :], cache
+
+        self._prefill = jax.jit(_prefill, donate_argnums=(3,))
+
+        def _decode(params, logits0, pos0, active, cache, sparams, pen, key):
+            """Sample-then-forward: each step samples from the carried logits
+            (first step: the prefill's next-token logits), writes the sampled
+            token's K/V at pos, and computes logits for the next step."""
+            S = cache.max_len
+
+            def body(carry, _):
+                logits, pos, cache, pen, key = carry
+                key, sub = jax.random.split(key)
+                nxt = sample_batch(logits, sparams, sub, pen.counts)
+                pen = pen.push(nxt)
+                pos_eff = jnp.where(active, pos, S - 1).astype(jnp.int32)
+                logits, cache = fwd(
+                    params, tokens=nxt[:, None], positions=pos_eff[:, None],
+                    cache=cache, cache_pos=pos_eff,
+                    valid_from=jnp.zeros((nxt.shape[0],), jnp.int32),
+                )
+                logits = logits[:, -1, :]
+                pos = pos + jnp.where(active, 1, 0)
+                return (logits, pos, cache, pen, key), nxt
+
+            (logits, pos, cache, pen, key), toks = jax.lax.scan(
+                body, (logits0, pos0, cache, pen, key), None, length=decode_chunk,
+            )
+            return toks, logits, pos, cache, pen
+
+        self._decode = jax.jit(_decode, donate_argnums=(1, 4))
+
+        def _set_row(buf, i, row):
+            return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=0)
+
+        self._set_row = jax.jit(_set_row, donate_argnums=(0,))
+        # per-slot next-token logits carried across decode chunks (device)
+        self._logits_buf = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+
+    # ------------------------------------------------------------------ api
+
+    def submit(self, task: Task) -> Task:
+        self.metrics["requests_total"] += 1
+        self.queue.put(task)
+        self._wake.set()
+        return task
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    # ----------------------------------------------------------------- loop
+
+    def _free_slots(self):
+        return [i for i, r in enumerate(self.rt) if r.task is None]
+
+    def _admit(self):
+        for i in self._free_slots():
+            try:
+                task = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if task.cancelled.is_set():
+                continue
+            toks = list(task.tokens)
+            if len(toks) >= self.max_seq_len - 1:
+                task.out.put(("error", f"prompt too long ({len(toks)} tokens)"))
+                continue
+            r = self.rt[i]
+            r.task = task
+            r.gen = []
+            r.sent_text = ""
+            r.n_prompt = len(toks)
+            r.started_at = time.time()
+            reuse = self.memory.prefix_match(i, toks)
+            r.reused = reuse
+            self.memory.truncate(i, reuse)
+            r.pending = toks[reuse:]
+            self.memory.slots[i].tokens = toks[:reuse]
+            cfg = task.params.sampler_config()
+            self.sparams = self.sparams.with_row(i, cfg)
+            self.penalties = self.penalties.clear_row(i)
+            seed = task.params.seed if task.params.seed >= 0 else int(time.time_ns() % (2**31))
+            self._key = jax.random.fold_in(self._key, seed)
+
+    def _prefill_step(self, i: int):
+        """Run one bucketed prompt chunk for slot i; on the last chunk stash
+        the next-token logits for the decode loop."""
+        r = self.rt[i]
+        st = self.memory.slots[i]
+        chunk = r.pending[: self.prefill_chunk]
+        is_last = len(chunk) == len(r.pending)
+        Tc = len(chunk)
+        Tb = _bucket(Tc)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :Tc] = chunk
+        pos = st.n_past + np.arange(Tb, dtype=np.int32)[None]
+        t0 = time.time()
+        logits, self.memory.cache = self._prefill(
+            self.params, jnp.asarray(toks), jnp.asarray(pos), self.memory.cache,
+            jnp.int32(i), jnp.int32(st.n_past), jnp.int32(Tc - 1),
+        )
+        self.metrics["prefill_seconds_total"] += time.time() - t0
+        self.metrics["prompt_tokens_total"] += Tc
+        st.tokens.extend(chunk)
+        st.n_past += Tc
+        r.pending = r.pending[Tc:]
+        if is_last:
+            self._logits_buf = self._set_row(self._logits_buf, jnp.int32(i), logits)
+            self._active[i] = True
+            self._pos[i] = st.n_past
+            r.prefill_done_at = time.time()
+
+    def _finish(self, i: int, reason: str):
+        r = self.rt[i]
+        task = r.task
+        self._active[i] = False
+        if task is not None:
+            now = time.time()
+            stats = {
+                "prompt_tokens": r.n_prompt,
+                "completion_tokens": len(r.gen),
+                "cached_tokens": r.reused,
+                "prefill_s": round(max(r.prefill_done_at - r.started_at, 0), 4),
+                "decode_s": round(max(now - (r.prefill_done_at or now), 0), 4),
+            }
+            task.out.put(("done", {"reason": reason, "stats": stats,
+                                   "text": r.sent_text, "tokens": list(r.gen)}))
+        r.task = None
+        r.pending = []
+
+    def _emit(self, i: int, new_tokens: list[int]):
+        """Detokenize incrementally, check stops, stream deltas."""
+        r = self.rt[i]
+        task = r.task
+        p = task.params
+        vocab = self.tok.vocab if self.tok else None
+        finished = None
+        for t in new_tokens:
+            t = int(t)
+            if not p.ignore_eos and vocab is not None and vocab.is_eog(t):
+                finished = "stop"
+                break
+            r.gen.append(t)
+            self.memory.slots[i].tokens.append(t)
+            if len(r.gen) >= p.max_tokens:
+                finished = "length"
+                break
+        # text so far (re-decode; cheap at chat scale, utf-8 safe)
+        if self.tok is not None:
+            text = self.tok.decode(r.gen, skip_special=True)
+            if text.endswith("�"):  # hold back partial utf-8
+                text = text[: text.rfind("�")]
+        else:
+            text = " ".join(map(str, r.gen))
+        for s in p.stop:
+            idx = text.find(s, max(0, len(r.sent_text) - len(s)))
+            if idx >= 0:
+                text = text[:idx]
+                finished = "stop"
+                break
+        delta = text[len(r.sent_text):]
+        if delta and p.stream:
+            task.out.put(("delta", {"text": delta, "tokens": new_tokens}))
+        r.sent_text = text
+        if task.cancelled.is_set():
+            finished = "cancelled"
+        if finished:
+            self.memory.slots[i].n_past = r.n_prompt + len(r.gen)
+            self.memory.slots[i].tokens = (
+                self.memory.slots[i].tokens[: r.n_prompt + len(r.gen)])
+            self._finish(i, finished)
+
+    def _decode_step(self):
+        act = jnp.asarray(self._active)
+        t0 = time.time()
+        self._key, sub = jax.random.split(self._key)
+        toks, self._logits_buf, pos, self.memory.cache, self.penalties = self._decode(
+            self.params, self._logits_buf, jnp.asarray(self._pos.astype(np.int32)),
+            act, self.memory.cache, self.sparams, self.penalties, sub,
+        )
+        toks_np = np.asarray(toks)  # (chunk, n_slots)
+        self.metrics["decode_seconds_total"] += time.time() - t0
+        for i in range(self.n_slots):
+            if not self._active[i]:
+                continue
+            n = toks_np.shape[0]
+            self._pos[i] += n
+            self.memory.slots[i].n_past = int(self._pos[i])
+            self.metrics["generated_tokens_total"] += n
+            self._emit(i, toks_np[:, i].tolist())
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._admit()
+            self.metrics["queue_depth"] = self.queue.qsize()
+            self.metrics["slots_busy"] = sum(r.task is not None for r in self.rt)
+            pending = [i for i, r in enumerate(self.rt) if r.task and r.pending]
+            for i in pending:
+                self._prefill_step(i)
+            if self._active.any():
+                self._decode_step()
+            elif not pending:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    # ------------------------------------------------------------- sync api
+
+    def generate(self, tokens: list[int], params: GenParams | None = None) -> dict:
+        """Blocking convenience wrapper (used by tests/CLI)."""
+        task = Task(tokens=tokens, params=params or GenParams())
+        self.submit(task)
+        info = {}
+        for kind, payload in task.events():
+            if kind == "error":
+                raise RuntimeError(payload)
+            if kind == "done":
+                info = payload
+        return info

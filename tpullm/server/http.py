@@ -1,0 +1,259 @@
+"""HTTP surface: OpenAI-compatible endpoints over the serving engine.
+
+Stdlib ThreadingHTTPServer (the cpp-httplib analogue, tools/server/
+server-http.cpp) — each request thread parses/validates, posts a Task to the
+single inference loop, and streams SSE chunks back. Endpoints mirror the
+reference's routing table (tools/server/server.cpp:172-218):
+
+  POST /completion /completions /v1/completions   - text completion
+  POST /v1/chat/completions                       - chat (template-applied)
+  POST /tokenize /detokenize /apply-template
+  GET  /health /props /v1/models /metrics (Prometheus) /slots
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .chat import apply_chat_template
+from .context import GenParams, ServerContext, Task
+
+
+def _gen_params(body: dict) -> GenParams:
+    p = GenParams()
+    m = {
+        "max_tokens": "max_tokens", "n_predict": "max_tokens",
+        "temperature": "temperature", "top_k": "top_k", "top_p": "top_p",
+        "min_p": "min_p", "typical_p": "typical_p", "top_n_sigma": "top_n_sigma",
+        "xtc_probability": "xtc_probability", "xtc_threshold": "xtc_threshold",
+        "repeat_penalty": "penalty_repeat", "frequency_penalty": "penalty_freq",
+        "presence_penalty": "penalty_present", "seed": "seed",
+        "ignore_eos": "ignore_eos", "stream": "stream", "n_probs": "n_probs",
+    }
+    for k, attr in m.items():
+        if k in body and body[k] is not None:
+            setattr(p, attr, type(getattr(p, attr))(body[k]))
+    stop = body.get("stop")
+    if isinstance(stop, str):
+        p.stop = [stop]
+    elif isinstance(stop, list):
+        p.stop = [str(s) for s in stop]
+    return p
+
+
+class Handler(BaseHTTPRequestHandler):
+    ctx: ServerContext = None  # set by serve()
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    # ------------------------------------------------------------- helpers
+
+    def _json(self, code: int, obj):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, code: int, msg: str):
+        self._json(code, {"error": {"message": msg, "type": "invalid_request_error"}})
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        if n == 0:
+            return {}
+        return json.loads(self.rfile.read(n))
+
+    def _sse_start(self):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+    def _sse(self, obj):
+        data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+        self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
+
+    def _sse_done(self):
+        data = b"data: [DONE]\n\n"
+        self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
+    # -------------------------------------------------------------- routes
+
+    def do_GET(self):
+        ctx = self.ctx
+        path = self.path.split("?")[0]
+        if path == "/health":
+            self._json(200, {"status": "ok"})
+        elif path == "/v1/models":
+            self._json(200, {"object": "list", "data": [{
+                "id": ctx.model_name, "object": "model", "created": 0,
+                "owned_by": "tpullm"}]})
+        elif path == "/props":
+            self._json(200, {
+                "model": ctx.model_name,
+                "n_ctx": ctx.max_seq_len,
+                "n_slots": ctx.n_slots,
+                "arch": ctx.cfg.arch,
+                "vocab_size": ctx.cfg.vocab_size,
+            })
+        elif path == "/slots":
+            self._json(200, [{
+                "id": i,
+                "busy": r.task is not None,
+                "n_past": ctx.memory.slots[i].n_past,
+                "n_gen": len(r.gen),
+            } for i, r in enumerate(ctx.rt)])
+        elif path == "/metrics":
+            m = ctx.metrics
+            lines = []
+            for k, v in m.items():
+                name = f"tpullm:{k}"
+                kind = "counter" if k.endswith("_total") else "gauge"
+                lines.append(f"# TYPE {name} {kind}")
+                lines.append(f"{name} {v}")
+            data = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            self._error(404, f"unknown path {path}")
+
+    def do_POST(self):
+        ctx = self.ctx
+        path = self.path.split("?")[0]
+        try:
+            body = self._body()
+        except Exception as e:
+            return self._error(400, f"bad json: {e}")
+        try:
+            if path in ("/completion", "/completions", "/v1/completions"):
+                return self._completion(body, chat=False)
+            if path == "/v1/chat/completions":
+                return self._completion(body, chat=True)
+            if path == "/tokenize":
+                toks = ctx.tok.encode(body.get("content", ""),
+                                      add_special=bool(body.get("add_special", False)))
+                return self._json(200, {"tokens": toks})
+            if path == "/detokenize":
+                text = ctx.tok.decode([int(t) for t in body.get("tokens", [])])
+                return self._json(200, {"content": text})
+            if path == "/apply-template":
+                prompt = apply_chat_template(ctx, body.get("messages", []))
+                return self._json(200, {"prompt": prompt})
+            return self._error(404, f"unknown path {path}")
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # surface handler bugs as 500s, keep serving
+            try:
+                self._error(500, f"{type(e).__name__}: {e}")
+            except Exception:
+                pass
+
+    # -------------------------------------------------------- completion
+
+    def _completion(self, body: dict, chat: bool):
+        ctx = self.ctx
+        params = _gen_params(body)
+        created = int(time.time())
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:16]
+        if chat:
+            prompt_text = apply_chat_template(ctx, body.get("messages", []))
+            tokens = ctx.tok.encode(prompt_text, add_special=True, parse_special=True)
+        else:
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                tokens = [int(t) for t in prompt]
+            else:
+                tokens = ctx.tok.encode(str(prompt), add_special=True,
+                                        parse_special=bool(body.get("parse_special", True)))
+
+        task = Task(tokens=tokens, params=params)
+        ctx.submit(task)
+        model = body.get("model") or ctx.model_name
+
+        if params.stream:
+            self._sse_start()
+            try:
+                for kind, payload in task.events():
+                    if kind == "error":
+                        self._sse({"error": payload})
+                        break
+                    if kind == "delta":
+                        self._sse(_chunk(rid, created, model, payload["text"], None, chat))
+                    elif kind == "done":
+                        self._sse(_chunk(rid, created, model, "",
+                                         payload["reason"], chat, payload["stats"]))
+                self._sse_done()
+            except BrokenPipeError:
+                task.cancelled.set()
+            return
+
+        result = None
+        for kind, payload in task.events():
+            if kind == "error":
+                return self._error(400, str(payload))
+            if kind == "done":
+                result = payload
+        stats = result["stats"]
+        usage = {
+            "prompt_tokens": stats["prompt_tokens"],
+            "completion_tokens": stats["completion_tokens"],
+            "total_tokens": stats["prompt_tokens"] + stats["completion_tokens"],
+        }
+        if chat:
+            self._json(200, {
+                "id": rid, "object": "chat.completion", "created": created,
+                "model": model, "usage": usage, "timings": stats,
+                "choices": [{"index": 0, "finish_reason": result["reason"],
+                             "message": {"role": "assistant", "content": result["text"]}}],
+            })
+        else:
+            self._json(200, {
+                "id": rid, "object": "text_completion", "created": created,
+                "model": model, "usage": usage, "timings": stats,
+                "choices": [{"index": 0, "finish_reason": result["reason"],
+                             "text": result["text"], "logprobs": None}],
+            })
+
+
+def _chunk(rid, created, model, text, finish, chat, stats=None):
+    if chat:
+        delta = {"content": text} if text else {}
+        obj = {"id": rid, "object": "chat.completion.chunk", "created": created,
+               "model": model,
+               "choices": [{"index": 0, "delta": delta, "finish_reason": finish}]}
+    else:
+        obj = {"id": rid, "object": "text_completion", "created": created,
+               "model": model,
+               "choices": [{"index": 0, "text": text, "finish_reason": finish}]}
+    if stats:
+        obj["timings"] = stats
+    return obj
+
+
+def serve(ctx: ServerContext, host: str = "127.0.0.1", port: int = 8080,
+          block: bool = True):
+    """Start the inference loop + HTTP server. Returns the HTTPServer."""
+    handler = type("BoundHandler", (Handler,), {"ctx": ctx})
+    srv = ThreadingHTTPServer((host, port), handler)
+    ctx.start()
+    if block:
+        try:
+            srv.serve_forever()
+        finally:
+            ctx.stop()
+    else:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+    return srv

@@ -159,10 +159,19 @@ def build_llama_gguf(
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
     if with_vocab:
-        toks = ["<unk>", "<s>", "</s>"] + [f"tok{i}" for i in range(vocab_size - 3)]
+        # Usable SPM-style toy vocab: single-char pieces make any ASCII text
+        # tokenizable (and round-trippable); "▁tokN" word pieces exercise the
+        # merge path; the tail is filler ids.
+        chars = ["▁"] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?")
+        n_words = max(0, min((vocab_size - 3 - len(chars)) // 2, 200))
+        toks = ["<unk>", "<s>", "</s>"] + chars + [f"▁tok{i}" for i in range(n_words)]
+        toks += [f"<fill{i}>" for i in range(vocab_size - len(toks))]
+        scores = np.zeros(vocab_size, np.float32)
+        # word pieces score higher than chars so merges prefer them
+        scores[3 + len(chars): 3 + len(chars) + n_words] = 1.0
         w.add_string("tokenizer.ggml.model", "llama")
         w.add_array("tokenizer.ggml.tokens", toks)
-        w.add_array("tokenizer.ggml.scores", np.zeros(vocab_size, np.float32))
+        w.add_array("tokenizer.ggml.scores", scores)
         w.add_array("tokenizer.ggml.token_type", np.ones(vocab_size, np.int32))
 
     def rand(*shape):
