@@ -67,8 +67,10 @@ def _cached_synth(shape):
                 d = d.setdefault(p, {})
             d[parts[-1]] = z["arr::" + name]
         from tpullm.models.config import ModelConfig
+        from tpullm.ops.fuse import fuse_layer_weights
 
         cfg = ModelConfig(**json.loads(str(z["__cfg__"])))
+        params["layers"] = fuse_layer_weights(params["layers"])
         return cfg, _up(params)
 
     cfg, params = synth_qparams(qtype=GGMLType.Q4_K, seed=0, device_put=False, **shape)
@@ -102,6 +104,9 @@ def _cached_synth(shape):
         os.replace(cache + ".tmp.npz", cache)
     except OSError:
         pass
+    from tpullm.ops.fuse import fuse_layer_weights
+
+    params["layers"] = fuse_layer_weights(params["layers"])
     return cfg, _up(params)
 
 

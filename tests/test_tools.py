@@ -1,0 +1,89 @@
+"""Offline tools: quantize policy/roundtrip, perplexity runner, tokenize CLI."""
+import json
+import math
+import sys
+
+import numpy as np
+import pytest
+
+from tpullm.gguf.constants import GGMLType
+from tpullm.gguf.reader import GGUFFile
+from tpullm.utils.synth import build_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("m") / "tiny-f16.gguf")
+    # K-quant blocks are 256 elements, so every matmul n_in must be >=256
+    build_llama_gguf(p, vocab_size=256, n_embd=256, n_layer=3, n_head=4,
+                     n_head_kv=2, n_ff=256, qtype=GGMLType.F16, with_vocab=True)
+    return p
+
+
+def test_quantize_gguf_roundtrip(tiny_gguf, tmp_path):
+    from tpullm.tools.quantize import quantize_gguf
+
+    dst = str(tmp_path / "q4km.gguf")
+    stats = quantize_gguf(tiny_gguf, dst, "Q4_K_M", nthread=2)
+    assert stats["tensors"] > 0
+    assert stats["out_bytes"] < stats["in_bytes"]
+
+    g = GGUFFile(dst)
+    # policy: attn_v bumped to Q6_K, output norm stays f32
+    assert g.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert g.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
+    assert g.tensors["output_norm.weight"].ggml_type == GGMLType.F32
+    # first half of ffn_down layers bumped
+    assert g.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q6_K
+    assert g.tensors["blk.2.ffn_down.weight"].ggml_type == GGMLType.Q4_K
+
+    # the requantized model still loads and runs
+    from tpullm.runtime.loader import load_model
+    from tpullm.runtime.engine import InferenceEngine
+
+    cfg, params, _ = load_model(dst)
+    eng = InferenceEngine(cfg, params, max_seq_len=64)
+    r = eng.generate([[1, 5, 9]], max_new_tokens=2)
+    assert len(r.tokens[0]) >= 1
+
+
+def test_quantize_error_bounded(tiny_gguf, tmp_path):
+    """Requant error vs original f16 weights is within quant-type RMSE."""
+    from tpullm.tools.quantize import quantize_gguf
+    from tpullm.quant.numpy_impl import dequantize
+
+    dst = str(tmp_path / "q8.gguf")
+    quantize_gguf(tiny_gguf, dst, "Q8_0", nthread=2)
+    g0, g1 = GGUFFile(tiny_gguf), GGUFFile(dst)
+    name = "blk.0.attn_q.weight"
+    w0 = dequantize(g0.tensor_data(name).reshape(128, -1), GGMLType.F16)
+    w1 = dequantize(g1.tensor_data(name).reshape(128, -1), GGMLType.Q8_0)
+    rmse = float(np.sqrt(((w0 - w1) ** 2).mean()))
+    assert rmse < 0.002 * float(np.abs(w0).max() + 1)
+
+
+def test_perplexity_runner(tiny_gguf):
+    from tpullm.tools.perplexity import compute_ppl
+
+    text = " ".join(f"tok{i % 20}" for i in range(2000))
+    r = compute_ppl(tiny_gguf, text, n_ctx=64, max_chunks=3, progress=False)
+    assert r["chunks"] == 3
+    assert r["tokens_scored"] > 0
+    assert math.isfinite(r["ppl"]) and r["ppl"] > 1.0
+
+
+def test_tokenize_cli(tiny_gguf, capsys):
+    from tpullm.tools.tokenize import main
+
+    main(["-m", tiny_gguf, "-p", "tok1 tok2", "--ids"])
+    out = capsys.readouterr().out
+    ids = json.loads(out)
+    assert isinstance(ids, list) and len(ids) > 0
+
+
+def test_gguf_dump_cli(tiny_gguf, capsys):
+    from tpullm.tools.gguf_dump import main
+
+    main([tiny_gguf, "--json", "--no-tensors"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["metadata"]["general.architecture"] == "llama"

@@ -157,8 +157,9 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     S, Hkv = k_all.shape[1], k_all.shape[2]
     G = H // Hkv
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
-    qf = q.reshape(B, T, Hkv, G, Dk).astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all.astype(jnp.float32))
+    qf = q.reshape(B, T, Hkv, G, Dk)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all,
+                        preferred_element_type=jnp.float32)
     scores = scores * scale
     if cfg.attn_logit_softcap:
         scores = jnp.tanh(scores / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
@@ -172,14 +173,22 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, v_all.astype(jnp.float32))
+    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(q.dtype), v_all,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, H, -1).astype(q.dtype)
 
 
 def ffn(x, qw, li, cfg: ModelConfig, dtype):
     if cfg.ffn_gate:
-        g = _mm(x, qw["ffn_gate"], dtype, li)
-        u = _mm(x, qw["ffn_up"], dtype, li)
+        if "ffn_gateup" in qw:  # fused gate+up: one kernel launch
+            from ..ops.fuse import pad256
+
+            y = _mm(x, qw["ffn_gateup"], dtype, li)
+            g = y[..., : cfg.n_ff]
+            u = y[..., pad256(cfg.n_ff): pad256(cfg.n_ff) + cfg.n_ff]
+        else:
+            g = _mm(x, qw["ffn_gate"], dtype, li)
+            u = _mm(x, qw["ffn_up"], dtype, li)
         if cfg.act_fn == "silu":
             h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
         elif cfg.act_fn == "gelu":
@@ -243,16 +252,30 @@ def forward(
     # the scan carries only the layer index and the small float tensors.
     # The fused kernel indexes the stacked HBM arrays directly — XLA never
     # copies a per-layer weight slice (SURVEY §7: graph-reuse inversion).
-    qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
-    fl = {k: v for k, v in params["layers"].items() if not isinstance(v, QTensor)}
+    # Depth may be segmented into groups of uniform quant signature (mixed
+    # ftypes like Q4_K_M bump some layers' types): one scan per group. `qw`
+    # is a free variable rebound per group before each scan trace.
+    qw: dict = {}
 
     def layer(carry, inp):
         x = carry
         p, k_cache, v_cache, li = inp
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
-        q = _mm(h, qw["wq"], dtype, li)
-        k = _mm(h, qw["wk"], dtype, li)
-        v = _mm(h, qw["wv"], dtype, li)
+        if "wqkv" in qw:  # fused QKV: one kernel launch
+            from ..ops.fuse import pad256
+
+            nq = cfg.n_head * cfg.head_dim
+            nk = cfg.n_head_kv * cfg.head_dim
+            nv = cfg.n_head_kv * cfg.head_dim_v
+            y = _mm(h, qw["wqkv"], dtype, li)
+            ok, ov = pad256(nq), pad256(nq) + pad256(nk)
+            q = y[..., :nq]
+            k = y[..., ok: ok + nk]
+            v = y[..., ov: ov + nv]
+        else:
+            q = _mm(h, qw["wq"], dtype, li)
+            k = _mm(h, qw["wk"], dtype, li)
+            v = _mm(h, qw["wv"], dtype, li)
         if cfg.attn_bias and "bq" in p:
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
@@ -303,10 +326,24 @@ def forward(
             x = x + f
         return x, (k_cache, v_cache)
 
-    layer_ids = jnp.arange(cfg.n_layer)
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (fl, cache.k, cache.v, layer_ids)
-    )
+    groups = params["layers"].get("__groups__") or [params["layers"]]
+    new_ks, new_vs = [], []
+    off = 0
+    for gl in groups:
+        qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
+        fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
+        any_leaf = next(iter(gl.values()))
+        L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
+               else any_leaf.shape[0])
+        ids = jnp.arange(L_g)
+        x, (nk, nv) = jax.lax.scan(
+            layer, x, (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids)
+        )
+        new_ks.append(nk)
+        new_vs.append(nv)
+        off += L_g
+    new_k = jnp.concatenate(new_ks, axis=0) if len(new_ks) > 1 else new_ks[0]
+    new_v = jnp.concatenate(new_vs, axis=0) if len(new_vs) > 1 else new_vs[0]
     if logits_idx is not None:
         # lm_head over one position only (prefill chunks need just the last
         # real token's logits; skips the vocab matmul for the other T-1 rows)

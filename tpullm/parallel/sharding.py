@@ -40,6 +40,8 @@ _LAYER_RULES: dict[str, str] = {
     "wq": "out",
     "wk": "out",
     "wv": "out",
+    "wqkv": "out",
+    "ffn_gateup": "out",
     "wo": "in",
     "bq": "out_vec",
     "bk": "out_vec",

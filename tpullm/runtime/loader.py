@@ -81,19 +81,21 @@ def _load_qtensor(g: GGUFFile, name: str, device_put=True) -> QTensor:
     return qtensor_from_bytes(g.tensor_data(name), ti.ggml_type, ti.np_shape, device_put)
 
 
-def _stack_qtensors(items: list[QTensor]) -> QTensor:
+def _stack_qtensors(items: list[QTensor], device_put: bool = True) -> QTensor:
     """Stack per-layer QTensors (same qtype/shape) along a new leading axis."""
     t0 = items[0]
     assert all(t.qtype == t0.qtype and t.shape == t0.shape for t in items)
-    data = {
-        k: jnp.asarray(np.stack([np.asarray(t.data[k]) for t in items]))
-        for k in t0.data
-    }
+    data = {k: np.stack([np.asarray(t.data[k]) for t in items]) for k in t0.data}
+    if device_put:
+        data = {k: jnp.asarray(v) for k, v in data.items()}
     return QTensor(t0.qtype, (len(items),) + t0.shape, data)
 
 
-def load_model(path: str, device_put: bool = True):
-    """Returns (config, params dict, GGUFFile)."""
+def load_model(path: str, device_put: bool = True, fuse: bool = True):
+    """Returns (config, params dict, GGUFFile).
+
+    fuse: concatenate QKV / gate-up into single kmajor weights (one fused
+    kernel launch per block pair; tpullm.ops.fuse)."""
     g = GGUFFile(path)
     cfg = config_from_gguf(g)
     params: dict[str, Any] = {}
@@ -130,14 +132,47 @@ def load_model(path: str, device_put: bool = True):
             else:
                 per_key[key].append(_load_qtensor(g, tname, device_put=False))
 
-    layers: dict[str, Any] = {}
-    for key, items in per_key.items():
-        if isinstance(items[0], QTensor):
-            layers[key] = _stack_qtensors(items)
-        else:
-            arr = np.stack(items)
-            layers[key] = jnp.asarray(arr) if device_put else arr
-    params["layers"] = layers
+    # Mixed per-layer quant types (ftype policies bump attn_v/ffn_down for a
+    # subset of layers, src/llama-quant.cpp:661) can't share one stacked
+    # array: split the depth into contiguous segments of uniform signature
+    # and stack per segment. forward() scans each group in turn.
+    def sig(i):
+        return tuple(
+            (k, v[i].qtype, v[i].shape) if isinstance(v[i], QTensor)
+            else (k, "arr", v[i].shape)
+            for k, v in sorted(per_key.items())
+        )
+
+    bounds = [0]
+    for i in range(1, cfg.n_layer):
+        if sig(i) != sig(i - 1):
+            bounds.append(i)
+    bounds.append(cfg.n_layer)
+
+    def build_group(lo, hi):
+        layers: dict[str, Any] = {}
+        for key, items in per_key.items():
+            seg = items[lo:hi]
+            if isinstance(seg[0], QTensor):
+                layers[key] = _stack_qtensors(seg, device_put=False)
+            else:
+                layers[key] = np.stack(seg)
+        if fuse:
+            from ..ops.fuse import fuse_layer_weights
+
+            layers = fuse_layer_weights(layers)
+        if device_put:
+            def _up(v):
+                if isinstance(v, QTensor):
+                    return QTensor(v.qtype, v.shape,
+                                   {k: jnp.asarray(a) for k, a in v.data.items()})
+                return jnp.asarray(v)
+
+            layers = {k: _up(v) for k, v in layers.items()}
+        return layers
+
+    groups = [build_group(lo, hi) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    params["layers"] = groups[0] if len(groups) == 1 else {"__groups__": groups}
 
     if device_put:
         for key in ("tok_embd", "output"):

@@ -65,6 +65,7 @@ def synth_qparams(
     qtype: GGMLType = GGMLType.Q4_K,
     seed: int = 0,
     device_put: bool = True,
+    fuse: bool = False,
 ):
     """Directly fabricate a device params pytree (bypasses GGUF; used by
     bench/dryrun to build multi-GiB models in seconds)."""
@@ -114,6 +115,10 @@ def synth_qparams(
         n_head=n_head, n_head_kv=n_head_kv, head_dim=head_dim, head_dim_v=head_dim,
         n_ff=n_ff, rope_dim=head_dim,
     )
+    if fuse:
+        from ..ops.fuse import fuse_layer_weights
+
+        params["layers"] = fuse_layer_weights(params["layers"])
     return cfg, params
 
 
