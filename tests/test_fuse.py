@@ -33,7 +33,7 @@ def test_concat_kmajor_matmul():
 
 def test_forward_fused_equals_unfused():
     cfg, params = synth_qparams(
-        vocab_size=256, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+        vocab_size=256, n_embd=512, n_layer=2, n_head=4, n_head_kv=2,
         n_ff=512, qtype=GGMLType.Q4_K, seed=1,
     )
     tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)

@@ -132,7 +132,7 @@ def test_qmm_stacked_layer_index():
 def test_npad_masked_out():
     """Padded output columns never leak: n_logical slicing."""
     qtype = GGMLType.Q4_0
-    N, K = 200, 256
+    N, K = 200, 512
     _, qt_p, qt_k = _mk(qtype, N, K)
     assert qt_k.data["q"].shape[1] == 256  # padded
     x = jnp.ones((1, K), jnp.bfloat16)

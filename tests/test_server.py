@@ -156,6 +156,37 @@ def test_metrics(server):
     assert "# TYPE" in m
 
 
+def test_embeddings(server):
+    ctx, url = server
+    r = _post(url, "/v1/embeddings", {"input": ["tok1 tok2", "tok3"]})
+    assert len(r["data"]) == 2
+    v0 = r["data"][0]["embedding"]
+    assert len(v0) == ctx.cfg.n_embd
+    assert all(isinstance(x, float) for x in v0[:4])
+    # deterministic
+    r2 = _post(url, "/v1/embeddings", {"input": ["tok1 tok2"]})
+    np.testing.assert_allclose(r2["data"][0]["embedding"], v0, rtol=1e-5)
+
+
+def test_slot_save_restore(server, tmp_path):
+    ctx, url = server
+    p = "tok5 tok6 tok7 tok8"
+    _post(url, "/v1/completions", {"prompt": p, "max_tokens": 2, "temperature": 0})
+    # find the slot that served it
+    import json as _json
+    slots = _json.loads(_get(url, "/slots"))
+    sid = max(range(len(slots)), key=lambda i: slots[i]["n_past"])
+    n_before = slots[sid]["n_past"]
+    f = str(tmp_path / "slot.npz")
+    r = _post(url, f"/slots/{sid}?action=save", {"filename": f})
+    assert r["n_saved"] == n_before
+    _post(url, f"/slots/{sid}?action=erase", {})
+    assert ctx.memory.slots[sid].n_past == 0
+    r = _post(url, f"/slots/{sid}?action=restore", {"filename": f})
+    assert r["n_restored"] == n_before
+    assert ctx.memory.slots[sid].tokens[: len(p.split())]  # tokens back
+
+
 def test_generate_sync_api(server):
     ctx, url = server
     toks = ctx.tok.encode("tok3 tok4", add_special=True)

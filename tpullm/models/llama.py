@@ -178,6 +178,76 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     return out.reshape(B, T, H, -1).astype(q.dtype)
 
 
+def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
+    """Mixture-of-experts FFN (build_moe_ffn contract, src/llama-graph.h:831).
+
+    Router: logits = x @ gate_inp^T -> softmax|sigmoid gating (+ optional
+    probs bias), top-k, optional weight renorm and scaling. v1 computes all
+    experts densely and mask-sums (correct for every batch shape; a ragged
+    grouped-matmul kernel is the perf path for big MoEs — MUL_MAT_ID on TPU).
+    """
+    B, T, D = x.shape
+    E, used = cfg.n_expert, cfg.n_expert_used
+    router = _mm(x, qw["moe_gate_inp"], dtype, li)[..., :E].astype(jnp.float32)
+    if cfg.expert_gating == "sigmoid":
+        probs = jax.nn.sigmoid(router)
+    else:
+        probs = jax.nn.softmax(router, axis=-1)
+    if "moe_probs_b" in p:
+        sel_probs = probs + p["moe_probs_b"][None, None, :]
+    else:
+        sel_probs = probs
+    top_p, top_i = jax.lax.top_k(sel_probs, used)  # (B, T, used)
+    w = jnp.take_along_axis(probs, top_i, axis=-1)
+    if cfg.expert_weights_norm:
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
+    w = w * cfg.expert_weights_scale
+
+    # dense all-expert evaluation, mask-combined
+    gate_w = qw["moe_gate_exps"]
+    up_w = qw["moe_up_exps"]
+    down_w = qw["moe_down_exps"]
+
+    def one_expert(e):
+        ge = _expert_mm(x, gate_w, li, e, dtype)
+        ue = _expert_mm(x, up_w, li, e, dtype)
+        if cfg.act_fn == "swiglu_oai":
+            gf = jnp.clip(ge.astype(jnp.float32), None, 7.0)
+            uf = jnp.clip(ue.astype(jnp.float32), -7.0, 7.0)
+            h = (gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)).astype(dtype)
+        elif cfg.act_fn == "gelu":
+            h = jax.nn.gelu(ge.astype(jnp.float32), approximate=True).astype(dtype) * ue
+        else:
+            h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
+        de = _expert_mm(h, down_w, li, e, dtype)  # (B, T, D)
+        we = (w * (top_i == e)).sum(-1)  # (B, T)
+        return de * we[..., None].astype(dtype)
+
+    out = one_expert(0)
+    for e in range(1, E):
+        out = out + one_expert(e)
+
+    if "ffn_gate_shexp" in qw:  # DeepSeek-style always-on shared experts
+        g = _mm(x, qw["ffn_gate_shexp"], dtype, li)
+        u = _mm(x, qw["ffn_up_shexp"], dtype, li)
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
+        out = out + _mm(h, qw["ffn_down_shexp"], dtype, li)
+    return out
+
+
+def _expert_mm(x, qt: QTensor, li, e: int, dtype):
+    """x @ W_e^T for expert e of a stacked (L, E, n, k) planar QTensor."""
+    data = qt.data
+    if li is not None:
+        data = {k: v[li] for k, v in data.items()}
+    sub = QTensor(qt.qtype, qt.shape[-2:], {k: v[e] for k, v in data.items()})
+    w = sub.dequant(dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
 def ffn(x, qw, li, cfg: ModelConfig, dtype):
     if cfg.ffn_gate:
         if "ffn_gateup" in qw:  # fused gate+up: one kernel launch
@@ -224,6 +294,7 @@ def forward(
     dtype=jnp.bfloat16,
     slot0=None,  # int32 scalar: first cache batch row this ubatch occupies
     logits_idx=None,  # int32 scalar: only compute logits for this T position
+    return_hidden=False,  # also return final hidden states (embeddings API)
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
@@ -311,16 +382,28 @@ def forward(
             q_slots, kv_positions, positions, valid_from, cfg, is_swa,
         )
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
+        if use_block:
+            # one fused program: wo + residual + rmsnorm + gate/up + act +
+            # down + residual (ops/layer_kernel.py) — the decode hot path
+            from ..ops.layer_kernel import ffn_block
+
+            x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
+            return x, (k_cache, v_cache)
         att = _mm(att, qw["wo"], dtype, li)
         if cfg.post_norms and "post_attn_norm" in p:
             att = _norm(att, p["post_attn_norm"], None, cfg)
+        def _ffn(inp):
+            if cfg.n_expert > 0 and "moe_gate_inp" in qw:
+                return moe_ffn(inp, p, qw, li, cfg, dtype)
+            return ffn(inp, qw, li, cfg, dtype)
+
         if cfg.parallel_residual:
-            f = ffn(h, qw, li, cfg, dtype)
+            f = _ffn(h)
             x = x + att + f
         else:
             x = x + att
             h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
-            f = ffn(h2, qw, li, cfg, dtype)
+            f = _ffn(h2)
             if cfg.post_norms and "post_ffn_norm" in p:
                 f = _norm(f, p["post_ffn_norm"], None, cfg)
             x = x + f
@@ -329,9 +412,20 @@ def forward(
     groups = params["layers"].get("__groups__") or [params["layers"]]
     new_ks, new_vs = [], []
     off = 0
+    from ..ops.layer_kernel import supported as _block_supported
+    from ..ops.qmm import use_pallas as _use_pallas
+
     for gl in groups:
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
+        use_block = (
+            B * T <= 16
+            and _use_pallas()
+            and "ffn_norm" in gl
+            and "ffn_norm_b" not in gl
+            and not cfg.attn_bias
+            and _block_supported(cfg, qw)
+        )
         any_leaf = next(iter(gl.values()))
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
@@ -349,7 +443,10 @@ def forward(
         # real token's logits; skips the vocab matmul for the other T-1 rows)
         x = jax.lax.dynamic_slice_in_dim(x, jnp.asarray(logits_idx, jnp.int32), 1, axis=1)
     x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
+    hidden = x
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)
     if cfg.final_logit_softcap:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    if return_hidden:
+        return logits, KVCache(new_k, new_v), hidden
     return logits, KVCache(new_k, new_v)

@@ -11,15 +11,19 @@ them linearly. The TPU analogue, chosen for MXU/VPU geometry, is *transposed*
 stored as
 
     q : packed grid, (K/2, N) u8 two-nibble planes (kind "u4") or (K, N) i8
-        (kind "i8"); element k of column n lives in row k//2, nibble k%2
-        ("u4") or row k ("i8").
+        (kind "i8"); for "u4" the planes are HALF-SPLIT: element k of column
+        n lives in row k (lo nibble) for k < K/2, row k-K/2 (hi nibble)
+        otherwise. For "i8", row k directly.
     sc: (K/gs, N) f32 combined scale   (e.g. d*sub_scale for K-quants)
     bi: (K/gs, N) f32 combined bias    (e.g. -dmin*min; absent if zero)
 
 Why: the matmul contraction runs over K, so in-kernel scale expansion is a
-*sublane* repeat (cheap register broadcast), the nibble planes dot against
-x[:, 0::2] / x[:, 1::2] (order-invariant under a shared permutation), and N
-sits on the 128-lane axis. Integer offsets fold into the bias
+*sublane* repeat (cheap register broadcast), and N sits on the 128-lane
+axis. Half-split planes mean plane j of the activation is the contiguous
+slice x[:, j*K/2:(j+1)*K/2] (a free static slice even for activations
+produced inside a kernel), and plane j's scale groups are the contiguous
+rows sc[j*G/2:(j+1)*G/2] — both essential for chaining several matmuls in
+one Pallas program. Integer offsets fold into the bias
 (sc*(u-off) + b == sc*u + (b - sc*off)), so packed nibbles stay unsigned.
 
 Numerics match ggml dequantize_row_* (ggml/src/ggml-quants.c) with scales
@@ -207,7 +211,8 @@ def pack_kmajor(planar: dict, qtype: GGMLType, n_pad_to: int = 256) -> dict[str,
             bi = np.pad(bi, ((0, npad), (0, 0)))
     gt = np.ascontiguousarray(grid.T)  # (K, Npad)
     if spec.kind == "u4":
-        q = (gt[0::2] | (gt[1::2] << 4)).astype(np.uint8)
+        K = gt.shape[0]
+        q = (gt[: K // 2] | (gt[K // 2:] << 4)).astype(np.uint8)
     else:
         q = gt.astype(np.int8)
     out = {"q": q, "sc": np.ascontiguousarray(sc.T)}
@@ -222,11 +227,8 @@ def unpack_grid_jnp(q, kind: str):
 
     qi = q.astype(jnp.int32)
     if kind == "u4":
-        K2, N = q.shape
-        lo = qi & 0xF
-        hi = qi >> 4
-        # element 2r -> lo[r], 2r+1 -> hi[r]: interleave rows
-        return jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)
+        # half-split planes: rows [0, K/2) = lo nibbles, [K/2, K) = hi
+        return jnp.concatenate([qi & 0xF, qi >> 4], axis=0)
     return qi
 
 

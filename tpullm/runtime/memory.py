@@ -79,6 +79,45 @@ class SlotMemory:
         self.slots[dst].n_past = self.slots[src].n_past
         self.slots[dst].tokens = list(self.slots[src].tokens)
 
+    # -- state serialization (llama_state_seq_* analogue, llama.h:770-884) --
+
+    def save_slot(self, slot: int) -> dict:
+        """Snapshot a sequence: tokens + its KV rows (host numpy)."""
+        st = self.slots[slot]
+        n = st.n_past
+        return {
+            "version": 1,
+            "tokens": np.asarray(st.tokens[:n], np.int32),
+            # f32 on disk: npz cannot round-trip ml_dtypes bfloat16
+            "k": np.asarray(self.cache.k[:, slot, :n], np.float32),
+            "v": np.asarray(self.cache.v[:, slot, :n], np.float32),
+        }
+
+    def load_slot(self, slot: int, blob: dict) -> int:
+        """Restore a snapshot into a slot; returns n_past restored."""
+        assert int(blob.get("version", 1)) == 1
+        toks = [int(t) for t in blob["tokens"]]
+        n = len(toks)
+        if n > self.max_seq_len:
+            raise ValueError(f"snapshot {n} tokens > max_seq_len {self.max_seq_len}")
+        k = jnp.asarray(blob["k"], self.cache.k.dtype)
+        v = jnp.asarray(blob["v"], self.cache.v.dtype)
+        self.cache = KVCache(
+            self.cache.k.at[:, slot, :n].set(k),
+            self.cache.v.at[:, slot, :n].set(v),
+        )
+        st = self.slots[slot]
+        st.tokens = toks
+        st.n_past = n
+        return n
+
+    def save_slot_file(self, slot: int, path: str):
+        np.savez(path, **self.save_slot(slot))
+
+    def load_slot_file(self, slot: int, path: str) -> int:
+        z = np.load(path)
+        return self.load_slot(slot, {k: z[k] for k in z.files} | {"version": 1})
+
     def context_shift(self, slot: int, n_keep: int, n_discard: int):
         """Discard tokens [n_keep, n_keep+n_discard); roll the tail left and
         rope-shift cached K by -n_discard (on device)."""

@@ -191,6 +191,7 @@ class ServerContext:
         self._set_row = jax.jit(_set_row, donate_argnums=(0,))
         # per-slot next-token logits carried across decode chunks (device)
         self._logits_buf = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+        self._embed_fns: dict = {}
 
     # ------------------------------------------------------------------ api
 
@@ -364,6 +365,54 @@ class ServerContext:
             elif not pending:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+
+    # ----------------------------------------------------------- embeddings
+
+    def embed(self, token_lists: list[list[int]], pooling: str = "mean"):
+        """Embedding vectors for prompts (pooling: mean|last|none).
+
+        Runs outside the slot loop on a throwaway cache (embeddings are
+        stateless); one jit per (bucket, pooling) signature.
+        """
+        import functools as _ft
+
+        from ..models.llama import KVCache, forward
+
+        outs = []
+        for toks in token_lists:
+            Tc = len(toks)
+            Tb = _bucket(Tc)
+            fn = self._embed_fns.get(Tb)
+            if fn is None:
+                fwd = _ft.partial(forward, cfg=self.cfg, dtype=self.dtype)
+
+                def _f(params, tokens, positions, n_real):
+                    cache = KVCache.create(self.cfg, 1, tokens.shape[1], self.dtype)
+                    _, _, hidden = fwd(
+                        params, tokens=tokens, positions=positions, cache=cache,
+                        cache_pos=0, valid_from=jnp.zeros((1,), jnp.int32),
+                        return_hidden=True,
+                    )
+                    h = hidden[0].astype(jnp.float32)  # (Tb, D)
+                    mask = (jnp.arange(tokens.shape[1]) < n_real)[:, None]
+                    mean = (h * mask).sum(0) / jnp.maximum(n_real, 1)
+                    last = h[jnp.maximum(n_real - 1, 0)]
+                    return mean, last, h
+
+                fn = jax.jit(_f)
+                self._embed_fns[Tb] = fn
+            tok_arr = np.zeros((1, Tb), np.int32)
+            tok_arr[0, :Tc] = toks
+            pos = np.arange(Tb, dtype=np.int32)[None]
+            mean, last, h = fn(self.params, jnp.asarray(tok_arr),
+                               jnp.asarray(pos), jnp.int32(Tc))
+            if pooling == "mean":
+                outs.append(np.asarray(mean))
+            elif pooling == "last":
+                outs.append(np.asarray(last))
+            else:
+                outs.append(np.asarray(h)[:Tc])
+        return outs
 
     # ------------------------------------------------------------- sync api
 

@@ -151,6 +151,10 @@ class Handler(BaseHTTPRequestHandler):
             if path == "/apply-template":
                 prompt = apply_chat_template(ctx, body.get("messages", []))
                 return self._json(200, {"prompt": prompt})
+            if path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                return self._embeddings(body)
+            if path.startswith("/slots/"):
+                return self._slot_action(path, body)
             return self._error(404, f"unknown path {path}")
         except BrokenPipeError:
             pass
@@ -159,6 +163,58 @@ class Handler(BaseHTTPRequestHandler):
                 self._error(500, f"{type(e).__name__}: {e}")
             except Exception:
                 pass
+
+    def _embeddings(self, body: dict):
+        ctx = self.ctx
+        inp = body.get("input", body.get("content", ""))
+        if isinstance(inp, str):
+            inp = [inp]
+        token_lists = []
+        for item in inp:
+            if isinstance(item, list):
+                token_lists.append([int(t) for t in item])
+            else:
+                token_lists.append(ctx.tok.encode(str(item), add_special=True))
+        pooling = body.get("pooling", "mean")
+        vecs = ctx.embed(token_lists, pooling)
+        data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
+                for i, v in enumerate(vecs)]
+        n_tok = sum(len(t) for t in token_lists)
+        self._json(200, {"object": "list", "data": data,
+                         "model": ctx.model_name,
+                         "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}})
+
+    def _slot_action(self, path: str, body: dict):
+        """POST /slots/{id}?action=save|restore|erase (llama-server parity)."""
+        ctx = self.ctx
+        try:
+            slot_id = int(path.split("/")[2])
+        except (IndexError, ValueError):
+            return self._error(400, "bad slot id")
+        if not 0 <= slot_id < ctx.n_slots:
+            return self._error(400, f"slot {slot_id} out of range")
+        action = ""
+        if "?" in self.path:
+            for kv in self.path.split("?", 1)[1].split("&"):
+                if kv.startswith("action="):
+                    action = kv.split("=", 1)[1]
+        if ctx.rt[slot_id].task is not None:
+            return self._error(409, f"slot {slot_id} busy")
+        if action == "erase":
+            ctx.memory.clear_slot(slot_id)
+            return self._json(200, {"id_slot": slot_id, "erased": True})
+        fname = body.get("filename")
+        if not fname:
+            return self._error(400, "filename required")
+        if action == "save":
+            ctx.memory.save_slot_file(slot_id, fname)
+            st = ctx.memory.slots[slot_id]
+            return self._json(200, {"id_slot": slot_id,
+                                    "n_saved": st.n_past, "filename": fname})
+        if action == "restore":
+            n = ctx.memory.load_slot_file(slot_id, fname)
+            return self._json(200, {"id_slot": slot_id, "n_restored": n})
+        return self._error(400, f"unknown action '{action}'")
 
     # -------------------------------------------------------- completion
 

@@ -146,6 +146,8 @@ def build_llama_gguf(
     scale: float = 0.05,
     tie_embeddings: bool = False,
     with_vocab: bool = False,
+    n_expert: int = 0,
+    n_expert_used: int = 0,
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_head
@@ -163,6 +165,9 @@ def build_llama_gguf(
     w.add_float32(f"{arch}.rope.freq_base", rope_base)
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if n_expert:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count", n_expert_used or 2)
     if with_vocab:
         # Usable SPM-style toy vocab: single-char pieces make any ASCII text
         # tokenizable (and round-trippable); "▁tokN" word pieces exercise the
@@ -194,8 +199,14 @@ def build_llama_gguf(
         _add_quant_tensor(w, p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd), qtype)
         _add_quant_tensor(w, p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd), qtype)
         _add_quant_tensor(w, p + "attn_output.weight", rand(n_embd, n_head * head_dim), qtype)
-        _add_quant_tensor(w, p + "ffn_gate.weight", rand(n_ff, n_embd), qtype)
-        _add_quant_tensor(w, p + "ffn_up.weight", rand(n_ff, n_embd), qtype)
-        _add_quant_tensor(w, p + "ffn_down.weight", rand(n_embd, n_ff), qtype)
+        if n_expert:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            _add_quant_tensor(w, p + "ffn_gate_exps.weight", rand(n_expert, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_up_exps.weight", rand(n_expert, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff), qtype)
+        else:
+            _add_quant_tensor(w, p + "ffn_gate.weight", rand(n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_up.weight", rand(n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_down.weight", rand(n_embd, n_ff), qtype)
     w.write()
     return path
