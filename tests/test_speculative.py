@@ -1,0 +1,39 @@
+"""Speculative decoding: greedy spec output must equal plain greedy decode."""
+import numpy as np
+
+from tpullm.gguf.constants import GGMLType
+from tpullm.runtime.engine import InferenceEngine
+from tpullm.runtime.speculative import SpeculativeDecoder, ngram_draft
+from tpullm.utils.synth import synth_qparams
+
+import jax.numpy as jnp
+
+
+def test_ngram_draft_matches_history():
+    hist = jnp.asarray([7, 8, 9, 3, 4, 7, 8, 0, 0, 0, 0, 0], jnp.int32)
+    # last bigram of hist[:7] = (7, 8); earlier occurrence at 0 -> continue 9, 3, 4
+    draft, found = ngram_draft(hist, jnp.int32(7), 3)
+    assert bool(found)
+    assert np.asarray(draft).tolist() == [9, 3, 4]
+
+
+def test_ngram_draft_no_match():
+    hist = jnp.asarray([1, 2, 3, 4, 0, 0], jnp.int32)
+    draft, found = ngram_draft(hist, jnp.int32(4), 2)
+    assert not bool(found)
+    assert np.asarray(draft).tolist() == [4, 4]
+
+
+def test_spec_greedy_equals_plain():
+    cfg, params = synth_qparams(
+        vocab_size=128, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+        n_ff=256, qtype=GGMLType.Q8_0, seed=7,
+    )
+    eng = InferenceEngine(cfg, params, max_seq_len=512, decode_chunk=8)
+    prompt = [3, 5, 7, 9, 3, 5, 7, 9, 3, 5]  # repetitive -> drafts accept
+    plain = eng.generate([prompt], max_new_tokens=24).tokens[0]
+
+    spec = SpeculativeDecoder(eng, k=4, n_iters=4)
+    got, stats = spec.generate(prompt, max_new_tokens=24, greedy=True)
+    assert got[: len(plain)] == plain, (got, plain)
+    assert stats["n_drafted"] > 0

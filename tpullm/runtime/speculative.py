@@ -1,0 +1,193 @@
+"""Speculative decoding: on-device n-gram self-speculation + batched verify.
+
+Reference: common/speculative.cpp + the model-free NGRAM_* modes
+(common/common.h:158-165, common/ngram-map.cpp). Verification follows
+common_sampler_sample_and_accept_n (common/sampling.h:83): the target
+decodes [cur, draft...] in one ubatch and accepts the longest prefix whose
+target samples equal the draft.
+
+TPU-native inversion: drafting AND verification run inside one jitted
+lax.scan — the n-gram lookup is a vectorized match over the on-device token
+history, so a whole speculation chunk (many iterations) runs without any
+host round-trip. No KV rollback is needed: cache rows are position-masked,
+so rejected rows are simply overwritten by the next iteration (the slot
+layout makes the reference's KV checkpointing, server-context.cpp:363-380,
+unnecessary).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ngram_draft(hist, n_hist, k: int):
+    """Propose k continuation tokens by matching the last bigram of
+    hist[:n_hist] against earlier history (NGRAM_SIMPLE analogue).
+
+    hist: (S,) i32 token ring (valid prefix [0, n_hist)). Returns (k,) i32
+    draft (falls back to repeating the last token when no match).
+    """
+    S = hist.shape[0]
+    t0 = hist[jnp.maximum(n_hist - 2, 0)]
+    t1 = hist[jnp.maximum(n_hist - 1, 0)]
+    idx = jnp.arange(S - 1)
+    ok = (hist[:-1] == t0) & (hist[1:] == t1) & (idx + 2 < n_hist) & (n_hist >= 2)
+    # prefer the LAST match (recency, like the reference's ngram map updates)
+    score = jnp.where(ok, idx, -1)
+    pos = jnp.max(score)
+    found = pos >= 0
+    start = jnp.clip(pos + 2, 0, S - k)
+    draft = jax.lax.dynamic_slice(hist, (start,), (k,))
+    return jnp.where(found, draft, jnp.full((k,), t1, jnp.int32)), found
+
+
+def make_spec_step(fwd, sample_fn, k: int):
+    """One speculation iteration: draft k, verify in one forward.
+
+    fwd(tokens (1,T), positions (1,T), cache, cache_pos) -> (logits (1,T,V), cache)
+    Returns step(carry) with carry = (cur, pos, cache, hist, n_hist, key) and
+    per-step outputs (tokens (k+1,), n_emitted scalar).
+    """
+
+    def step(carry, _):
+        cur, pos, cache, hist, n_hist, key = carry
+        draft, found = ngram_draft(hist, n_hist, k)
+        toks_in = jnp.concatenate([cur[None], draft])  # (k+1,)
+        positions = pos + jnp.arange(k + 1, dtype=jnp.int32)
+        logits, cache = fwd(toks_in[None], positions[None], cache, pos)
+        key, sub = jax.random.split(key)
+        out = sample_fn(logits[0], sub)  # (k+1,) target samples
+        match = out[:k] == draft
+        n_acc = jax.lax.associative_scan(jnp.logical_and, match).sum()
+        # emitted tokens: draft[:n_acc] then out[n_acc]
+        emit = jnp.where(jnp.arange(k + 1) < n_acc,
+                         jnp.concatenate([draft, draft[-1:]]),
+                         0)
+        emit = emit.at[n_acc].set(out[n_acc])
+        n_emit = n_acc + 1
+        # history append: [cur] + draft[:n_acc] ... + out[n_acc]? The history
+        # must contain exactly the accepted sequence: positions pos..pos+n_acc
+        # hold [cur, draft[:n_acc]]; the new cur = out[n_acc] lands next step.
+        upd = jnp.concatenate([cur[None], draft])
+        write_mask = jnp.arange(k + 1) <= n_acc
+        old = jax.lax.dynamic_slice(hist, (jnp.minimum(pos, hist.shape[0] - k - 1),), (k + 1,))
+        hist = jax.lax.dynamic_update_slice(
+            hist, jnp.where(write_mask, upd, old),
+            (jnp.minimum(pos, hist.shape[0] - k - 1),))
+        cur = out[n_acc]
+        pos = pos + n_emit
+        n_hist = n_hist + n_emit
+        return (cur, pos, cache, hist, n_hist, key), (emit, n_emit)
+
+    return step
+
+
+class SpeculativeDecoder:
+    """Chunked on-device speculative decode loop for one sequence."""
+
+    def __init__(self, engine, k: int = 6, n_iters: int = 8):
+        from ..models.llama import forward
+
+        self.eng = engine
+        self.k = k
+        self.n_iters = n_iters
+        cfg = engine.cfg
+
+        def fwd(tokens, positions, cache, cache_pos):
+            logits, cache = forward(
+                engine.params, cfg, tokens, positions, cache,
+                cache_pos=cache_pos,
+                valid_from=jnp.zeros((1,), jnp.int32), dtype=engine.dtype,
+            )
+            return logits, cache
+
+        self._fwd = fwd
+
+        @jax.jit
+        def prefill_rp(tokens, positions, cache, last_idx):
+            logits, cache = forward(
+                engine.params, cfg, tokens, positions, cache, cache_pos=0,
+                valid_from=jnp.zeros((1,), jnp.int32), dtype=engine.dtype,
+                logits_idx=last_idx,
+            )
+            return logits, cache
+
+        self._prefill_rp = prefill_rp
+        self._chunk = None
+
+    def _build(self, sample_fn):
+        step = make_spec_step(self._fwd, sample_fn, self.k)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def chunk(cur, pos, cache, hist, n_hist, key):
+            (cur, pos, cache, hist, n_hist, key), (emits, n_emits) = jax.lax.scan(
+                step, (cur, pos, cache, hist, n_hist, key), None,
+                length=self.n_iters)
+            return cur, pos, cache, hist, n_hist, emits, n_emits
+
+        return chunk
+
+    def generate(self, prompt: list[int], max_new_tokens: int = 64,
+                 greedy: bool = True, seed: int = 0):
+        """Returns (tokens, stats). Greedy verification is exact (identical
+        to plain greedy decode); sampled mode verifies with per-position
+        independent samples."""
+        eng = self.eng
+        from ..ops.sampling import GREEDY, make_sample_fn
+
+        sample_scalar = make_sample_fn(GREEDY) if greedy else eng_default_sampler(eng)
+
+        def sample_fn(logits2d, key):  # (T, V) -> (T,)
+            return sample_scalar(logits2d, key)
+
+        if self._chunk is None:
+            self._chunk = self._build(sample_fn)
+
+        # right-padded prefill: slot index == token position (the spec loop
+        # tracks one counter for both)
+        n0 = len(prompt)
+        Tb = 16
+        while Tb < n0:
+            Tb *= 2
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :n0] = prompt
+        pos_in = jnp.arange(Tb, dtype=jnp.int32)[None]
+        cache = eng.new_cache(1)
+        logits, cache = self._prefill_rp(
+            jnp.asarray(toks), pos_in, cache, jnp.int32(n0 - 1))
+        cur = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+        S = eng.max_seq_len
+        hist = jnp.zeros((S,), jnp.int32)
+        hist = hist.at[:n0].set(jnp.asarray(prompt, jnp.int32))
+        n_hist = jnp.int32(n0)
+        pos = jnp.int32(n0)
+        key = jax.random.PRNGKey(seed)
+
+        out: list[int] = [int(cur)]
+        n_drafted = n_accepted = 0
+        while len(out) < max_new_tokens and int(pos) + self.n_iters * (self.k + 1) < S:
+            cur, pos, cache, hist, n_hist, emits, n_emits = self._chunk(
+                cur, pos, cache, hist, n_hist, key)
+            key = jax.random.fold_in(key, len(out))
+            emits = np.asarray(emits)  # (n_iters, k+1)
+            n_emits = np.asarray(n_emits)
+            for it in range(self.n_iters):
+                n = int(n_emits[it])
+                out.extend(int(t) for t in emits[it, :n])
+                n_drafted += self.k
+                n_accepted += n - 1
+        stats = {
+            "n_drafted": n_drafted,
+            "n_accepted": n_accepted,
+            "accept_rate": round(n_accepted / max(n_drafted, 1), 3),
+        }
+        return out[:max_new_tokens], stats
+
+
+def eng_default_sampler(eng):
+    from ..ops.sampling import SamplerConfig, make_sample_fn
+
+    return make_sample_fn(SamplerConfig(temperature=1.0, top_k=40))
