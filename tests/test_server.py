@@ -187,6 +187,16 @@ def test_slot_save_restore(server, tmp_path):
     assert ctx.memory.slots[sid].tokens[: len(p.split())]  # tokens back
 
 
+def test_grammar_constrained_completion(server):
+    ctx, url = server
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1", "max_tokens": 8, "temperature": 0,
+        "grammar": 'root ::= [a-m]+'})
+    text = r["choices"][0]["text"]
+    assert text, r
+    assert all("a" <= c <= "m" for c in text), text
+
+
 def test_generate_sync_api(server):
     ctx, url = server
     toks = ctx.tok.encode("tok3 tok4", add_special=True)

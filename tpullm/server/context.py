@@ -52,6 +52,8 @@ class GenParams:
     ignore_eos: bool = False
     stream: bool = False
     n_probs: int = 0
+    grammar: str | None = None  # GBNF; constrains sampling (host-side)
+    json_schema: dict | None = None  # converted to GBNF
 
     def sampler_config(self) -> SamplerConfig:
         greedy = self.temperature <= 0
@@ -94,6 +96,8 @@ class _SlotRt:
     reused: int = 0
     started_at: float = 0.0
     prefill_done_at: float = 0.0
+    constraint: object = None  # GrammarConstraint for constrained slots
+    rng: object = None  # per-task numpy RNG (host-side grammar sampling)
 
 
 def _bucket(n: int, minimum: int = 32) -> int:
@@ -157,16 +161,20 @@ class ServerContext:
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
 
-        def _decode(params, logits0, pos0, active, cache, sparams, pen, key):
+        def _decode(params, logits0, pos0, active, cache, sparams, pen, key,
+                    forced, use_forced, n_steps):
             """Sample-then-forward: each step samples from the carried logits
             (first step: the prefill's next-token logits), writes the sampled
-            token's K/V at pos, and computes logits for the next step."""
+            token's K/V at pos, and computes logits for the next step.
+            ``forced`` overrides the first step's sample per row (grammar-
+            constrained slots sample on the host)."""
             S = cache.max_len
 
-            def body(carry, _):
+            def body(carry, step):
                 logits, pos, cache, pen, key = carry
                 key, sub = jax.random.split(key)
                 nxt = sample_batch(logits, sparams, sub, pen.counts)
+                nxt = jnp.where(use_forced & (step == 0), forced, nxt)
                 pen = pen.push(nxt)
                 pos_eff = jnp.where(active, pos, S - 1).astype(jnp.int32)
                 logits, cache = fwd(
@@ -179,11 +187,13 @@ class ServerContext:
                 return (logits, pos, cache, pen, key), nxt
 
             (logits, pos, cache, pen, key), toks = jax.lax.scan(
-                body, (logits0, pos0, cache, pen, key), None, length=decode_chunk,
+                body, (logits0, pos0, cache, pen, key),
+                jnp.arange(n_steps), length=n_steps,
             )
             return toks, logits, pos, cache, pen
 
-        self._decode = jax.jit(_decode, donate_argnums=(1, 4))
+        self._decode = jax.jit(_decode, donate_argnums=(1, 4),
+                               static_argnames=("n_steps",))
 
         def _set_row(buf, i, row):
             return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=0)
@@ -242,8 +252,24 @@ class ServerContext:
             cfg = task.params.sampler_config()
             self.sparams = self.sparams.with_row(i, cfg)
             self.penalties = self.penalties.clear_row(i)
+            r.constraint = None
+            gbnf = task.params.grammar
+            if task.params.json_schema and not gbnf:
+                from ..grammar import json_schema_to_gbnf
+
+                gbnf = json_schema_to_gbnf(task.params.json_schema)
+            if gbnf:
+                try:
+                    from ..grammar import GrammarConstraint
+
+                    r.constraint = GrammarConstraint(gbnf, self.tok.vocab)
+                except Exception as e:
+                    task.out.put(("error", f"bad grammar: {e}"))
+                    r.task = None
+                    continue
             seed = task.params.seed if task.params.seed >= 0 else int(time.time_ns() % (2**31))
             self._key = jax.random.fold_in(self._key, seed)
+            r.rng = np.random.default_rng(seed)
 
     def _prefill_step(self, i: int):
         """Run one bucketed prompt chunk for slot i; on the last chunk stash
@@ -333,15 +359,50 @@ class ServerContext:
                 self.memory.slots[i].tokens[: r.n_prompt + len(r.gen)])
             self._finish(i, finished)
 
+    def _grammar_sample(self, i: int) -> int:
+        """Host-side constrained sample for slot i from its carried logits
+        (llama_sampler_grammar semantics: mask candidates, renormalize)."""
+        r = self.rt[i]
+        logits = np.asarray(self._logits_buf[i])
+        p = r.task.params
+        k = 128
+        cand = np.argpartition(-logits, k)[:k]
+        cand = cand[np.argsort(-logits[cand])]
+        mask = r.constraint.filter_candidates(cand)
+        allowed = cand[mask.astype(bool)]
+        if len(allowed) == 0:  # dead end: force EOG
+            v = self.tok.vocab
+            return int(v.eos_id if v.eos_id is not None else 0)
+        lg = logits[allowed].astype(np.float64)
+        if p.temperature <= 0:
+            return int(allowed[int(np.argmax(lg))])
+        if p.top_k > 0:
+            allowed, lg = allowed[: p.top_k], lg[: p.top_k]
+        lg = lg / max(p.temperature, 1e-6)
+        q = np.exp(lg - lg.max())
+        q /= q.sum()
+        return int(r.rng.choice(allowed, p=q))
+
     def _decode_step(self):
         act = jnp.asarray(self._active)
+        gslots = [i for i in range(self.n_slots)
+                  if self._active[i] and self.rt[i].constraint is not None]
+        forced = np.zeros(self.n_slots, np.int32)
+        use_forced = np.zeros(self.n_slots, bool)
+        n_steps = self.decode_chunk
+        if gslots:
+            n_steps = 1  # grammar slots need per-token host filtering
+            for i in gslots:
+                forced[i] = self._grammar_sample(i)
+                use_forced[i] = True
         t0 = time.time()
         self._key, sub = jax.random.split(self._key)
         toks, self._logits_buf, pos, self.memory.cache, self.penalties = self._decode(
             self.params, self._logits_buf, jnp.asarray(self._pos.astype(np.int32)),
             act, self.memory.cache, self.sparams, self.penalties, sub,
+            jnp.asarray(forced), jnp.asarray(use_forced), n_steps=n_steps,
         )
-        toks_np = np.asarray(toks)  # (chunk, n_slots)
+        toks_np = np.asarray(toks)  # (n_steps, n_slots)
         self.metrics["decode_seconds_total"] += time.time() - t0
         for i in range(self.n_slots):
             if not self._active[i]:
@@ -350,6 +411,12 @@ class ServerContext:
             self._pos[i] += n
             self.memory.slots[i].n_past = int(self._pos[i])
             self.metrics["generated_tokens_total"] += n
+            if self.rt[i].constraint is not None:
+                for t in toks_np[:, i]:
+                    try:
+                        self.rt[i].constraint.accept_token(int(t))
+                    except ValueError:
+                        pass
             self._emit(i, toks_np[:, i].tolist())
 
     def _loop(self):

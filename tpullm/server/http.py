@@ -41,6 +41,17 @@ def _gen_params(body: dict) -> GenParams:
         p.stop = [stop]
     elif isinstance(stop, list):
         p.stop = [str(s) for s in stop]
+    if body.get("grammar"):
+        p.grammar = str(body["grammar"])
+    if body.get("json_schema"):
+        p.json_schema = body["json_schema"]
+    rf = body.get("response_format")
+    if isinstance(rf, dict):  # OpenAI structured output
+        if rf.get("type") == "json_schema":
+            js = rf.get("json_schema", {})
+            p.json_schema = js.get("schema", js)
+        elif rf.get("type") == "json_object":
+            p.json_schema = {}
     return p
 
 
