@@ -187,6 +187,39 @@ def test_slot_save_restore(server, tmp_path):
     assert ctx.memory.slots[sid].tokens[: len(p.split())]  # tokens back
 
 
+def test_anthropic_messages(server):
+    ctx, url = server
+    r = _post(url, "/v1/messages", {
+        "model": "tiny", "max_tokens": 4,
+        "system": "be brief",
+        "messages": [{"role": "user", "content": "hi"}],
+        "temperature": 0})
+    assert r["type"] == "message" and r["role"] == "assistant"
+    assert r["content"][0]["type"] == "text"
+    assert r["usage"]["output_tokens"] <= 4
+    ct = _post(url, "/v1/messages/count_tokens", {
+        "messages": [{"role": "user", "content": "hi"}]})
+    assert ct["input_tokens"] > 0
+
+
+def test_openai_responses(server):
+    ctx, url = server
+    r = _post(url, "/v1/responses", {
+        "input": "hello", "max_output_tokens": 4, "temperature": 0})
+    assert r["object"] == "response" and r["status"] == "completed"
+    assert r["output"][0]["content"][0]["type"] == "output_text"
+
+
+def test_context_shift_long_generation(server):
+    ctx, url = server
+    # ctx is 256; force generation beyond it -> context shift keeps going
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2", "max_tokens": 300, "temperature": 0.9,
+        "ignore_eos": True, "seed": 7})
+    assert r["usage"]["completion_tokens"] >= 250
+    assert ctx.metrics.get("context_shifts_total", 0) >= 1
+
+
 def test_grammar_constrained_completion(server):
     ctx, url = server
     r = _post(url, "/v1/completions", {

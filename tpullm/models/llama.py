@@ -248,7 +248,22 @@ def _expert_mm(x, qt: QTensor, li, e: int, dtype):
     ).astype(dtype)
 
 
-def ffn(x, qw, li, cfg: ModelConfig, dtype):
+def _lora_add(y, x_in, p: dict, key: str, dtype):
+    """y += scale*(x @ A^T) @ B^T when adapter arrays are present
+    (build_lora_mm, src/llama-graph.h:785; scale folded into A at load)."""
+    a = p.get(f"lora_{key}_a")
+    if a is None:
+        return y
+    b = p[f"lora_{key}_b"]
+    d = jax.lax.dot_general(
+        x_in.astype(jnp.float32), a.astype(jnp.float32),
+        (((x_in.ndim - 1,), (1,)), ((), ())))
+    d = jax.lax.dot_general(d, b.astype(jnp.float32), (((d.ndim - 1,), (1,)), ((), ())))
+    return y + d.astype(y.dtype)
+
+
+def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None):
+    p = p or {}
     if cfg.ffn_gate:
         if "ffn_gateup" in qw:  # fused gate+up: one kernel launch
             from ..ops.fuse import pad256
@@ -259,6 +274,8 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype):
         else:
             g = _mm(x, qw["ffn_gate"], dtype, li)
             u = _mm(x, qw["ffn_up"], dtype, li)
+        g = _lora_add(g, x, p, "ffn_gate", dtype)
+        u = _lora_add(u, x, p, "ffn_up", dtype)
         if cfg.act_fn == "silu":
             h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
         elif cfg.act_fn == "gelu":
@@ -272,9 +289,10 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype):
             raise ValueError(cfg.act_fn)
     else:
         u = _mm(x, qw["ffn_up"], dtype, li)
+        u = _lora_add(u, x, p, "ffn_up", dtype)
         uf = u.astype(jnp.float32)
         h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
-    return _mm(h, qw["ffn_down"], dtype, li)
+    return _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
 
 
 def _norm(x, w, b, cfg: ModelConfig):
@@ -347,6 +365,9 @@ def forward(
             q = _mm(h, qw["wq"], dtype, li)
             k = _mm(h, qw["wk"], dtype, li)
             v = _mm(h, qw["wv"], dtype, li)
+        q = _lora_add(q, h, p, "wq", dtype)
+        k = _lora_add(k, h, p, "wk", dtype)
+        v = _lora_add(v, h, p, "wv", dtype)
         if cfg.attn_bias and "bq" in p:
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
@@ -389,13 +410,15 @@ def forward(
 
             x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
             return x, (k_cache, v_cache)
+        att_in = att
         att = _mm(att, qw["wo"], dtype, li)
+        att = _lora_add(att, att_in, p, "wo", dtype)
         if cfg.post_norms and "post_attn_norm" in p:
             att = _norm(att, p["post_attn_norm"], None, cfg)
         def _ffn(inp):
             if cfg.n_expert > 0 and "moe_gate_inp" in qw:
                 return moe_ffn(inp, p, qw, li, cfg, dtype)
-            return ffn(inp, qw, li, cfg, dtype)
+            return ffn(inp, qw, li, cfg, dtype, p)
 
         if cfg.parallel_residual:
             f = _ffn(h)
@@ -424,6 +447,7 @@ def forward(
             and "ffn_norm" in gl
             and "ffn_norm_b" not in gl
             and not cfg.attn_bias
+            and not any(k.startswith("lora_") for k in gl)
             and _block_supported(cfg, qw)
         )
         any_leaf = next(iter(gl.values()))

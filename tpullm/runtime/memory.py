@@ -50,6 +50,8 @@ class SlotMemory:
         self.max_seq_len = max_seq_len
         self.cache = KVCache.create(cfg, n_slots, max_seq_len, kv_dtype)
         self.slots = [SlotState() for _ in range(n_slots)]
+        self._shift_fn = jax.jit(
+            functools.partial(_context_shift, cfg=cfg), donate_argnums=(0,))
 
     # -- host-side sequence bookkeeping ------------------------------------
 
@@ -124,9 +126,9 @@ class SlotMemory:
         st = self.slots[slot]
         n_past = st.n_past
         assert n_keep + n_discard <= n_past
-        self.cache = _context_shift(
+        self.cache = self._shift_fn(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
-            jnp.int32(n_discard), jnp.int32(n_past), cfg=self.cfg,
+            jnp.int32(n_discard), jnp.int32(n_past),
         )
         st.tokens = st.tokens[:n_keep] + st.tokens[n_keep + n_discard:]
         st.n_past = n_past - n_discard
@@ -142,7 +144,6 @@ def _copy_slot(cache: KVCache, src, dst):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
     """Roll rows [n_keep+nd, n_past) to [n_keep, n_past-nd) for one slot and
     apply the RoPE delta rotation theta(-nd) to the moved K rows."""

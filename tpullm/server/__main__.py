@@ -16,6 +16,8 @@ def main(argv=None):
     ap.add_argument("--decode-chunk", type=int, default=8)
     ap.add_argument("--prefill-chunk", type=int, default=512)
     ap.add_argument("--alias", default=None, help="model name in the API")
+    ap.add_argument("--lora", default=None, help="LoRA adapter GGUF")
+    ap.add_argument("--lora-scale", type=float, default=1.0)
     args = ap.parse_args(argv)
 
     from ..runtime.loader import load_model
@@ -25,6 +27,12 @@ def main(argv=None):
 
     print(f"loading {args.model} ...", file=sys.stderr)
     cfg, params, g = load_model(args.model)
+    if args.lora:
+        from ..runtime.lora import apply_lora_to_params, load_lora
+
+        lora, meta = load_lora(args.lora, cfg.n_layer, args.lora_scale)
+        params = apply_lora_to_params(params, lora, meta)
+        print(f"applied LoRA {args.lora} (rank {meta['rank']})", file=sys.stderr)
     tok = Tokenizer.from_gguf(g)
     ctx = ServerContext(
         cfg, params, tok, n_slots=args.parallel, max_seq_len=args.ctx_size,

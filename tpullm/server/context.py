@@ -36,6 +36,7 @@ from ..runtime.memory import SlotMemory
 @dataclass
 class GenParams:
     max_tokens: int = 128
+    n_keep: int = 0  # tokens kept at context-shift (0 = prompt-derived)
     temperature: float = 1.0
     top_k: int = 40
     top_p: float = 0.95
@@ -383,7 +384,26 @@ class ServerContext:
         q /= q.sum()
         return int(r.rng.choice(allowed, p=q))
 
+    def _context_shift_overdue(self, n_steps: int):
+        """Shift slots that would overflow the cache this chunk
+        (update_slots' context-shift, tools/server/server-context.cpp:2168)."""
+        S = self.max_seq_len
+        for i in range(self.n_slots):
+            if not self._active[i]:
+                continue
+            if self._pos[i] + n_steps + 1 < S:
+                continue
+            r = self.rt[i]
+            st = self.memory.slots[i]
+            keep = r.task.params.n_keep or min(r.n_prompt, S // 4)
+            nd = max((st.n_past - keep) // 2, n_steps + 1)
+            self.memory.context_shift(i, keep, nd)
+            self._pos[i] = st.n_past
+            self.metrics["context_shifts_total"] = (
+                self.metrics.get("context_shifts_total", 0) + 1)
+
     def _decode_step(self):
+        self._context_shift_overdue(self.decode_chunk)
         act = jnp.asarray(self._active)
         gslots = [i for i in range(self.n_slots)
                   if self._active[i] and self.rt[i].constraint is not None]
@@ -421,17 +441,29 @@ class ServerContext:
 
     def _loop(self):
         while not self._stop.is_set():
-            self._admit()
-            self.metrics["queue_depth"] = self.queue.qsize()
-            self.metrics["slots_busy"] = sum(r.task is not None for r in self.rt)
-            pending = [i for i, r in enumerate(self.rt) if r.task and r.pending]
-            for i in pending:
-                self._prefill_step(i)
-            if self._active.any():
-                self._decode_step()
-            elif not pending:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            try:
+                self._admit()
+                self.metrics["queue_depth"] = self.queue.qsize()
+                self.metrics["slots_busy"] = sum(r.task is not None for r in self.rt)
+                pending = [i for i, r in enumerate(self.rt) if r.task and r.pending]
+                for i in pending:
+                    self._prefill_step(i)
+                if self._active.any():
+                    self._decode_step()
+                elif not pending:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+            except Exception as e:  # keep serving; fail affected tasks
+                import traceback
+
+                traceback.print_exc()
+                for i, r in enumerate(self.rt):
+                    if r.task is not None:
+                        r.task.out.put(("error", f"{type(e).__name__}: {e}"))
+                        r.task = None
+                        r.pending = []
+                        self._active[i] = False
+                        self.memory.clear_slot(i)
 
     # ----------------------------------------------------------- embeddings
 

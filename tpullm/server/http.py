@@ -152,6 +152,15 @@ class Handler(BaseHTTPRequestHandler):
                 return self._completion(body, chat=False)
             if path == "/v1/chat/completions":
                 return self._completion(body, chat=True)
+            if path == "/v1/messages":
+                return self._anthropic_messages(body)
+            if path == "/v1/messages/count_tokens":
+                msgs = body.get("messages", [])
+                prompt = apply_chat_template(ctx, _anth_to_openai(body, msgs))
+                n = len(ctx.tok.encode(prompt, add_special=True, parse_special=True))
+                return self._json(200, {"input_tokens": n})
+            if path == "/v1/responses":
+                return self._openai_responses(body)
             if path == "/tokenize":
                 toks = ctx.tok.encode(body.get("content", ""),
                                       add_special=bool(body.get("add_special", False)))
@@ -227,6 +236,81 @@ class Handler(BaseHTTPRequestHandler):
             return self._json(200, {"id_slot": slot_id, "n_restored": n})
         return self._error(400, f"unknown action '{action}'")
 
+    # ------------------------------------------- anthropic / responses api
+
+    def _anthropic_messages(self, body: dict):
+        """Anthropic Messages API subset (reference: server.cpp /v1/messages)."""
+        ctx = self.ctx
+        msgs = _anth_to_openai(body, body.get("messages", []))
+        params = _gen_params(body)
+        params.max_tokens = int(body.get("max_tokens", 128))
+        if body.get("stop_sequences"):
+            params.stop = [str(s) for s in body["stop_sequences"]]
+        prompt = apply_chat_template(ctx, msgs)
+        tokens = ctx.tok.encode(prompt, add_special=True, parse_special=True)
+        task = Task(tokens=tokens, params=params)
+        ctx.submit(task)
+        result = None
+        for kind, payload in task.events():
+            if kind == "error":
+                return self._error(400, str(payload))
+            if kind == "done":
+                result = payload
+        stats = result["stats"]
+        stop_reason = {"stop": "end_turn", "length": "max_tokens"}.get(
+            result["reason"], "end_turn")
+        self._json(200, {
+            "id": "msg_" + uuid.uuid4().hex[:16],
+            "type": "message",
+            "role": "assistant",
+            "model": body.get("model") or ctx.model_name,
+            "content": [{"type": "text", "text": result["text"]}],
+            "stop_reason": stop_reason,
+            "stop_sequence": None,
+            "usage": {"input_tokens": stats["prompt_tokens"],
+                      "output_tokens": stats["completion_tokens"]},
+        })
+
+    def _openai_responses(self, body: dict):
+        """OpenAI Responses API subset."""
+        ctx = self.ctx
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            msgs = [{"role": "user", "content": inp}]
+        else:
+            msgs = [{"role": m.get("role", "user"), "content": m.get("content", "")}
+                    for m in inp]
+        if body.get("instructions"):
+            msgs.insert(0, {"role": "system", "content": body["instructions"]})
+        params = _gen_params(body)
+        if body.get("max_output_tokens"):
+            params.max_tokens = int(body["max_output_tokens"])
+        prompt = apply_chat_template(ctx, msgs)
+        tokens = ctx.tok.encode(prompt, add_special=True, parse_special=True)
+        task = Task(tokens=tokens, params=params)
+        ctx.submit(task)
+        result = None
+        for kind, payload in task.events():
+            if kind == "error":
+                return self._error(400, str(payload))
+            if kind == "done":
+                result = payload
+        stats = result["stats"]
+        self._json(200, {
+            "id": "resp_" + uuid.uuid4().hex[:16],
+            "object": "response",
+            "status": "completed",
+            "model": body.get("model") or ctx.model_name,
+            "output": [{
+                "type": "message", "role": "assistant",
+                "content": [{"type": "output_text", "text": result["text"]}],
+            }],
+            "output_text": result["text"],
+            "usage": {"input_tokens": stats["prompt_tokens"],
+                      "output_tokens": stats["completion_tokens"],
+                      "total_tokens": stats["prompt_tokens"] + stats["completion_tokens"]},
+        })
+
     # -------------------------------------------------------- completion
 
     def _completion(self, body: dict, chat: bool):
@@ -292,6 +376,23 @@ class Handler(BaseHTTPRequestHandler):
                 "choices": [{"index": 0, "finish_reason": result["reason"],
                              "text": result["text"], "logprobs": None}],
             })
+
+
+def _anth_to_openai(body: dict, msgs: list) -> list:
+    """Anthropic messages (+top-level system) -> chat-template messages."""
+    out = []
+    if body.get("system"):
+        sys_c = body["system"]
+        if isinstance(sys_c, list):
+            sys_c = "".join(p.get("text", "") for p in sys_c if isinstance(p, dict))
+        out.append({"role": "system", "content": sys_c})
+    for m in msgs:
+        c = m.get("content", "")
+        if isinstance(c, list):
+            c = "".join(p.get("text", "") for p in c
+                        if isinstance(p, dict) and p.get("type") == "text")
+        out.append({"role": m.get("role", "user"), "content": c})
+    return out
 
 
 def _chunk(rid, created, model, text, finish, chat, stats=None):
