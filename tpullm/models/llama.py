@@ -262,7 +262,7 @@ def _lora_add(y, x_in, p: dict, key: str, dtype):
     return y + d.astype(y.dtype)
 
 
-def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None):
+def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
     p = p or {}
     if cfg.ffn_gate:
         if "ffn_gateup" in qw:  # fused gate+up: one kernel launch
@@ -292,7 +292,8 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None):
         u = _lora_add(u, x, p, "ffn_up", dtype)
         uf = u.astype(jnp.float32)
         h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
-    return _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
+    out = _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
+    return (out, h) if want_mid else out
 
 
 def _norm(x, w, b, cfg: ModelConfig):
@@ -313,6 +314,7 @@ def forward(
     slot0=None,  # int32 scalar: first cache batch row this ubatch occupies
     logits_idx=None,  # int32 scalar: only compute logits for this T position
     return_hidden=False,  # also return final hidden states (embeddings API)
+    collect_stats=False,  # also return per-layer matmul-input sum(x^2) stats
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
@@ -417,23 +419,32 @@ def forward(
             att = _norm(att, p["post_attn_norm"], None, cfg)
         def _ffn(inp):
             if cfg.n_expert > 0 and "moe_gate_inp" in qw:
-                return moe_ffn(inp, p, qw, li, cfg, dtype)
-            return ffn(inp, qw, li, cfg, dtype, p)
+                return moe_ffn(inp, p, qw, li, cfg, dtype), None
+            return ffn(inp, qw, li, cfg, dtype, p, want_mid=True)
 
         if cfg.parallel_residual:
-            f = _ffn(h)
+            f, hmid = _ffn(h)
+            h2 = h
             x = x + att + f
         else:
             x = x + att
             h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
-            f = _ffn(h2)
+            f, hmid = _ffn(h2)
             if cfg.post_norms and "post_ffn_norm" in p:
                 f = _norm(f, p["post_ffn_norm"], None, cfg)
             x = x + f
+        if collect_stats:
+            # per-column sum(x^2) of each matmul's input over the ubatch
+            # (the imatrix activation hook, tools/imatrix/imatrix.cpp:229)
+            if hmid is None:
+                hmid = jnp.zeros((B, T, cfg.n_ff), dtype)
+            sf = lambda a: (a.astype(jnp.float32) ** 2).sum(axis=(0, 1))
+            stats = (sf(h), sf(att_in), sf(h2), sf(hmid))
+            return x, (k_cache, v_cache, stats)
         return x, (k_cache, v_cache)
 
     groups = params["layers"].get("__groups__") or [params["layers"]]
-    new_ks, new_vs = [], []
+    new_ks, new_vs, all_stats = [], [], []
     off = 0
     from ..ops.layer_kernel import supported as _block_supported
     from ..ops.qmm import use_pallas as _use_pallas
@@ -443,6 +454,7 @@ def forward(
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         use_block = (
             B * T <= 16
+            and not collect_stats
             and _use_pallas()
             and "ffn_norm" in gl
             and "ffn_norm_b" not in gl
@@ -454,11 +466,13 @@ def forward(
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
         ids = jnp.arange(L_g)
-        x, (nk, nv) = jax.lax.scan(
+        x, ys = jax.lax.scan(
             layer, x, (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids)
         )
-        new_ks.append(nk)
-        new_vs.append(nv)
+        new_ks.append(ys[0])
+        new_vs.append(ys[1])
+        if collect_stats:
+            all_stats.append(ys[2])
         off += L_g
     new_k = jnp.concatenate(new_ks, axis=0) if len(new_ks) > 1 else new_ks[0]
     new_v = jnp.concatenate(new_vs, axis=0) if len(new_vs) > 1 else new_vs[0]
@@ -471,6 +485,15 @@ def forward(
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)
     if cfg.final_logit_softcap:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    if collect_stats:
+        stats = {
+            "attn_in": jnp.concatenate([s[0] for s in all_stats], axis=0),
+            "wo_in": jnp.concatenate([s[1] for s in all_stats], axis=0),
+            "ffn_in": jnp.concatenate([s[2] for s in all_stats], axis=0),
+            "ffn_down_in": jnp.concatenate([s[3] for s in all_stats], axis=0),
+            "output_in": (hidden.astype(jnp.float32) ** 2).sum(axis=(0, 1)),
+        }
+        return logits, KVCache(new_k, new_v), stats
     if return_hidden:
         return logits, KVCache(new_k, new_v), hidden
     return logits, KVCache(new_k, new_v)

@@ -601,12 +601,19 @@ def _make_qkx2_quants(
     return scale.astype(np.float32), the_min.astype(np.float32), L
 
 
-def _q_q4_K(x):
+def _q_q4_K(x, qw=None):
     x = x.reshape(-1, 256).astype(np.float32)
     N = x.shape[0]
     xb = x.reshape(N * 8, 32)
-    av = np.sqrt((xb * xb).mean(axis=-1))
-    w = av[:, None] + np.abs(xb)
+    if qw is not None:
+        # imatrix weighting (quantize_row_qK_impl with quant_weights):
+        # w = qw * sqrt(sigma2 + x^2), sigma2 = 2*sum(x^2)/QK_K per superblock
+        sigma2 = 2.0 * (x * x).sum(axis=-1, keepdims=True) / 256.0
+        w = (np.broadcast_to(qw[None, :], x.shape)
+             * np.sqrt(sigma2 + x * x)).reshape(N * 8, 32)
+    else:
+        av = np.sqrt((xb * xb).mean(axis=-1))
+        w = av[:, None] + np.abs(xb)
     scales, mins, L = _make_qkx2_quants(xb, w, 15, -1.0, 0.1, 20, False)
     scales = scales.reshape(N, 8)
     mins = mins.reshape(N, 8)
@@ -648,12 +655,19 @@ def _pack_k4_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
     return scb
 
 
-def _q_q5_K(x):
+def _q_q5_K(x, qw=None):
     x = x.reshape(-1, 256).astype(np.float32)
     N = x.shape[0]
     xb = x.reshape(N * 8, 32)
-    av = np.sqrt((xb * xb).mean(axis=-1))
-    w = av[:, None] + np.abs(xb)
+    if qw is not None:
+        # imatrix weighting (quantize_row_qK_impl with quant_weights):
+        # w = qw * sqrt(sigma2 + x^2), sigma2 = 2*sum(x^2)/QK_K per superblock
+        sigma2 = 2.0 * (x * x).sum(axis=-1, keepdims=True) / 256.0
+        w = (np.broadcast_to(qw[None, :], x.shape)
+             * np.sqrt(sigma2 + x * x)).reshape(N * 8, 32)
+    else:
+        av = np.sqrt((xb * xb).mean(axis=-1))
+        w = av[:, None] + np.abs(xb)
     scales, mins, L = _make_qkx2_quants(xb, w, 31, -0.5, 0.1, 15, False)
     scales = scales.reshape(N, 8)
     mins = mins.reshape(N, 8)
@@ -689,11 +703,16 @@ def _q_q5_K(x):
     return out
 
 
-def _q_q6_K(x):
+def _q_q6_K(x, qw=None):
     x = x.reshape(-1, 256).astype(np.float32)
     N = x.shape[0]
     xb = x.reshape(N * 16, 16)
-    scales, _L = _make_qx_quants(xb, 32)
+    qwb = None
+    if qw is not None:
+        sigma2 = 2.0 * (x * x).sum(axis=-1, keepdims=True) / 256.0
+        qwb = (np.broadcast_to(qw[None, :], x.shape)
+               * np.sqrt(sigma2 + x * x)).reshape(N * 16, 16)
+    scales, _L = _make_qx_quants(xb, 32, qw=qwb)
     scales = scales.reshape(N, 16)
     aidx = np.abs(scales).argmax(axis=-1)
     max_scale = np.take_along_axis(scales, aidx[:, None], axis=-1)[:, 0]
@@ -865,8 +884,16 @@ def quant_supported() -> set[GGMLType]:
     return set(_QUANT) | {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
 
 
-def quantize(x: np.ndarray, qtype: GGMLType) -> np.ndarray:
-    """(..., n) float -> (..., row_bytes) uint8."""
+_QUANT_WEIGHTED = None  # set below
+
+
+def quantize(x: np.ndarray, qtype: GGMLType, imatrix=None) -> np.ndarray:
+    """(..., n) float -> (..., row_bytes) uint8.
+
+    imatrix: optional (n,) mean-x^2 activation weights (the importance
+    matrix); supported by the K-quant scale searches (Q4_K/Q5_K/Q6_K),
+    ignored for other types (matching the reference's per-type support).
+    """
     qtype = GGMLType(qtype)
     x = np.asarray(x, np.float32)
     if qtype == GGMLType.F32:
@@ -878,5 +905,14 @@ def quantize(x: np.ndarray, qtype: GGMLType) -> np.ndarray:
     blk, bs = GGML_QUANT_SIZES[qtype]
     n = x.shape[-1]
     assert n % blk == 0, f"row length {n} not a multiple of block {blk}"
-    out = _QUANT[qtype](x.reshape(-1, n))
+    fn = _QUANT[qtype]
+    if imatrix is not None and qtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+        im = np.asarray(imatrix, np.float32)
+        assert im.shape == (n,), (im.shape, n)
+        xr = x.reshape(-1, n)
+        # per-256-block slice of the row-wide importance vector
+        outs = [fn(xr[:, j:j + 256], qw=im[j:j + 256]) for j in range(0, n, 256)]
+        out = np.concatenate(outs, axis=-1)
+        return out.reshape(*x.shape[:-1], n // blk * bs)
+    out = fn(x.reshape(-1, n))
     return out.reshape(*x.shape[:-1], n // blk * bs)

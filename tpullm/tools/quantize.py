@@ -76,7 +76,7 @@ def tensor_target_type(name: str, shape, policy: dict, n_layer: int) -> GGMLType
     return default
 
 
-def _requant_one(g: GGUFFile, name: str, target: GGMLType):
+def _requant_one(g: GGUFFile, name: str, target: GGMLType, imat=None):
     ti = g.tensors[name]
     src_t = ti.ggml_type
     raw = g.tensor_data(name)
@@ -91,13 +91,20 @@ def _requant_one(g: GGUFFile, name: str, target: GGMLType):
     if n_in % max(blk, 1) != 0 or target not in quant_supported():
         # fall back: keep f16 when the row length doesn't fit the block
         return f32.astype(np.float16).tobytes(), GGMLType.F16, raw.nbytes
-    out = quantize(f32, target)
+    if imat is not None and imat.shape != (n_in,):
+        imat = None  # shape mismatch: ignore (reference warns + skips)
+    out = quantize(f32, target, imatrix=imat)
     return out.tobytes(), target, raw.nbytes
 
 
 def quantize_gguf(src: str, dst: str, ftype: str, nthread: int = 8,
-                  progress=None) -> dict:
+                  progress=None, imatrix_path: str | None = None) -> dict:
     policy = FTYPES[ftype.upper()]
+    imat = {}
+    if imatrix_path:
+        from .imatrix import read_imatrix
+
+        imat = read_imatrix(imatrix_path)
     g = GGUFFile(src)
     arch = g.architecture
     n_layer = int(g.get(f"{arch}.block_count", 0))
@@ -117,7 +124,7 @@ def quantize_gguf(src: str, dst: str, ftype: str, nthread: int = 8,
         tgt = tensor_target_type(name, ti.shape, policy, n_layer)
         if ti.ggml_type in (GGMLType.F32,) and len(ti.shape) == 1:
             tgt = GGMLType.F32
-        return (name,) + _requant_one(g, name, tgt)
+        return (name,) + _requant_one(g, name, tgt, imat.get(name))
 
     with cf.ThreadPoolExecutor(max_workers=nthread) as ex:
         for name, data, actual, in_bytes in ex.map(job, names):
@@ -149,9 +156,11 @@ def main(argv=None):
     ap.add_argument("dst")
     ap.add_argument("ftype", help="|".join(FTYPES))
     ap.add_argument("-t", "--threads", type=int, default=8)
+    ap.add_argument("--imatrix", default=None, help="imatrix GGUF file")
     args = ap.parse_args(argv)
     stats = quantize_gguf(
         args.src, args.dst, args.ftype, args.threads,
+        imatrix_path=args.imatrix,
         progress=lambda n, t: print(f"  {n} -> {t.name}", file=sys.stderr),
     )
     print(stats)
