@@ -53,6 +53,49 @@ def test_ffn_block_matches_unfused(qtype):
     assert nmse < 5e-4, nmse
 
 
+def test_ffn_block_qkv_fold():
+    """Folded variant: same x_out as ffn_block, and the emitted qkv equals
+    rmsnorm(x_out, attn_norm[l+1]) @ wqkv[l+1]."""
+    from tpullm.ops.layer_kernel import ffn_block_qkv
+    from tpullm.ops.qmm import qmm
+
+    cfg, params = synth_qparams(
+        vocab_size=128, n_embd=512, n_layer=3, n_head=4, n_head_kv=2,
+        n_ff=512, qtype=GGMLType.Q4_K, seed=11,
+    )
+    layers = fuse_layer_weights(params["layers"])
+    qw = {k: v for k, v in layers.items() if isinstance(v, QTensor)}
+    anrm = layers["attn_norm"]
+
+    rng = np.random.default_rng(2)
+    B, T, D = 1, 1, cfg.n_embd
+    Hd = cfg.n_head * cfg.head_dim_v
+    att = jnp.asarray(rng.standard_normal((B, T, Hd)) * 0.1, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.1, jnp.bfloat16)
+
+    li = jnp.int32(1)
+    from tpullm.ops.layer_kernel import ffn_block
+
+    x_plain = np.asarray(
+        ffn_block(att, x, layers["ffn_norm"][1], qw, li, cfg, interpret=True),
+        np.float32)
+    x_fold, qkv = ffn_block_qkv(att, x, layers["ffn_norm"][1], anrm, qw, li,
+                                cfg, interpret=True)
+    x_fold = np.asarray(x_fold, np.float32)
+    np.testing.assert_allclose(x_fold, x_plain, rtol=2e-2, atol=2e-3)
+
+    # expected next-layer qkv (layer 2) from the fold output
+    from tpullm.models.llama import rms_norm
+
+    h = rms_norm(jnp.asarray(x_fold, jnp.bfloat16), anrm[2], cfg.rms_eps)
+    want = np.asarray(qmm(h, qw["wqkv"], jnp.bfloat16,
+                          layer=jnp.int32(2), interpret=True), np.float32)
+    got = np.asarray(qkv, np.float32)
+    denom = max(float((want**2).mean()), 1e-9)
+    nmse = float(((got - want) ** 2).mean() / denom)
+    assert nmse < 5e-3, nmse
+
+
 def test_ffn_block_batch_rows():
     cfg, params = synth_qparams(
         vocab_size=128, n_embd=512, n_layer=1, n_head=4, n_head_kv=2,

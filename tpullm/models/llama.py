@@ -315,6 +315,7 @@ def forward(
     logits_idx=None,  # int32 scalar: only compute logits for this T position
     return_hidden=False,  # also return final hidden states (embeddings API)
     collect_stats=False,  # also return per-layer matmul-input sum(x^2) stats
+    tp_axis=None,  # shard_map tensor-parallel axis name: psum after row-split
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
@@ -348,32 +349,18 @@ def forward(
     # is a free variable rebound per group before each scan trace.
     qw: dict = {}
 
-    def layer(carry, inp):
-        x = carry
-        p, k_cache, v_cache, li = inp
-        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
-        if "wqkv" in qw:  # fused QKV: one kernel launch
-            from ..ops.fuse import pad256
+    def _split_qkv(y):
+        """Fused qkv row (B, T, Npad) -> q, k, v (padded-offset parts)."""
+        from ..ops.fuse import pad256
 
-            nq = cfg.n_head * cfg.head_dim
-            nk = cfg.n_head_kv * cfg.head_dim
-            nv = cfg.n_head_kv * cfg.head_dim_v
-            y = _mm(h, qw["wqkv"], dtype, li)
-            ok, ov = pad256(nq), pad256(nq) + pad256(nk)
-            q = y[..., :nq]
-            k = y[..., ok: ok + nk]
-            v = y[..., ov: ov + nv]
-        else:
-            q = _mm(h, qw["wq"], dtype, li)
-            k = _mm(h, qw["wk"], dtype, li)
-            v = _mm(h, qw["wv"], dtype, li)
-        q = _lora_add(q, h, p, "wq", dtype)
-        k = _lora_add(k, h, p, "wk", dtype)
-        v = _lora_add(v, h, p, "wv", dtype)
-        if cfg.attn_bias and "bq" in p:
-            q = q + p["bq"].astype(dtype)
-            k = k + p["bk"].astype(dtype)
-            v = v + p["bv"].astype(dtype)
+        nq = cfg.n_head * cfg.head_dim
+        nk = cfg.n_head_kv * cfg.head_dim
+        nv = cfg.n_head_kv * cfg.head_dim_v
+        ok, ov = pad256(nq), pad256(nq) + pad256(nk)
+        return y[..., :nq], y[..., ok: ok + nk], y[..., ov: ov + nv]
+
+    def _attend(q, k, v, p, k_cache, v_cache):
+        """Flat q/k/v rows -> attention output rows (+ updated caches)."""
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
@@ -404,7 +391,41 @@ def forward(
             q, k_view.astype(dtype), v_view.astype(dtype),
             q_slots, kv_positions, positions, valid_from, cfg, is_swa,
         )
-        att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
+        return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), k_cache, v_cache
+
+    def layer_fold(carry, inp):
+        """One-program-per-layer path: the megakernel emitted this layer's
+        fused qkv already; attention runs in XLA; the kernel then does
+        wo+ffn AND the next layer's norm+qkv (ops/layer_kernel.ffn_block_qkv)."""
+        x, y = carry
+        p, k_cache, v_cache, li = inp
+        from ..ops.layer_kernel import ffn_block_qkv
+
+        q, k, v = _split_qkv(y.astype(dtype))
+        att, k_cache, v_cache = _attend(q, k, v, p, k_cache, v_cache)
+        x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
+                                  qw, li, cfg)
+        return (x, y_next), (k_cache, v_cache)
+
+    def layer(carry, inp):
+        x = carry
+        p, k_cache, v_cache, li = inp
+        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
+        if "wqkv" in qw:  # fused QKV: one kernel launch
+            y = _mm(h, qw["wqkv"], dtype, li)
+            q, k, v = _split_qkv(y)
+        else:
+            q = _mm(h, qw["wq"], dtype, li)
+            k = _mm(h, qw["wk"], dtype, li)
+            v = _mm(h, qw["wv"], dtype, li)
+        q = _lora_add(q, h, p, "wq", dtype)
+        k = _lora_add(k, h, p, "wk", dtype)
+        v = _lora_add(v, h, p, "wv", dtype)
+        if cfg.attn_bias and "bq" in p:
+            q = q + p["bq"].astype(dtype)
+            k = k + p["bk"].astype(dtype)
+            v = v + p["bv"].astype(dtype)
+        att, k_cache, v_cache = _attend(q, k, v, p, k_cache, v_cache)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path
@@ -415,6 +436,8 @@ def forward(
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
+        if tp_axis:  # Megatron row-parallel wo: partial sums -> all-reduce
+            att = jax.lax.psum(att.astype(jnp.float32), tp_axis).astype(dtype)
         if cfg.post_norms and "post_attn_norm" in p:
             att = _norm(att, p["post_attn_norm"], None, cfg)
         def _ffn(inp):
@@ -425,11 +448,15 @@ def forward(
         if cfg.parallel_residual:
             f, hmid = _ffn(h)
             h2 = h
+            if tp_axis:
+                f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
             x = x + att + f
         else:
             x = x + att
             h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
             f, hmid = _ffn(h2)
+            if tp_axis:  # row-parallel ffn_down partials
+                f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
             if cfg.post_norms and "post_ffn_norm" in p:
                 f = _norm(f, p["post_ffn_norm"], None, cfg)
             x = x + f
@@ -455,6 +482,7 @@ def forward(
         use_block = (
             B * T <= 16
             and not collect_stats
+            and tp_axis is None
             and _use_pallas()
             and "ffn_norm" in gl
             and "ffn_norm_b" not in gl
@@ -466,9 +494,26 @@ def forward(
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
         ids = jnp.arange(L_g)
-        x, ys = jax.lax.scan(
-            layer, x, (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids)
+        use_fold = (
+            use_block
+            and "wqkv" in qw
+            and len(groups) == 1
+            and "attn_norm" in gl
         )
+        if use_fold:
+            # prime the carry: layer 0's norm + fused qkv; thereafter each
+            # megakernel invocation emits the next layer's qkv
+            anrm_stacked = gl["attn_norm"]
+            h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
+            y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
+            (x, _), ys = jax.lax.scan(
+                layer_fold, (x, y0),
+                (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids),
+            )
+        else:
+            x, ys = jax.lax.scan(
+                layer, x, (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids)
+            )
         new_ks.append(ys[0])
         new_vs.append(ys[1])
         if collect_stats:

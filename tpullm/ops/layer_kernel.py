@@ -57,10 +57,16 @@ class _Pool:
         ls = jnp.clip(s, self.start, self.end - 1) - self.start
         return ls // self.nK, ls % self.nK  # (i, k)
 
-    def in_specs(self):
-        """[q, sc*P, (bi*P)] block specs, layer-stacked, phase-clamped."""
+    def in_specs(self, loff: int = 0, lmax: int = 1 << 30):
+        """[q, sc*P, (bi*P)] block specs, layer-stacked, phase-clamped.
+
+        loff: layer-index offset (the folded next-layer QKV pool uses +1,
+        clamped to the last layer)."""
+        def lidx(lr):
+            return jnp.minimum(lr[0] + loff, lmax - 1) if loff else lr[0]
+
         def blk(shape, imap):
-            return pl.BlockSpec((1,) + shape, lambda s, lr: (lr[0],) + imap(s),
+            return pl.BlockSpec((1,) + shape, lambda s, lr: (lidx(lr),) + imap(s),
                                 memory_space=pltpu.VMEM)
 
         specs = [blk((self.kq, self.tn), lambda s: _swap(self.local(s)))]
@@ -123,21 +129,32 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
            wo_t: GGMLType, wo_bias: bool, wo_np: int,
            gu_t: GGMLType, gu_bias: bool, gu_np: int,
            dn_t: GGMLType, dn_bias: bool, dn_np: int,
-           act_fn: str, rms_eps: float, interpret: bool):
-    tn = 512 if all(n % 512 == 0 for n in (wo_np, gu_np, dn_np)) else 256
+           act_fn: str, rms_eps: float, interpret: bool,
+           qk: tuple | None = None, n_layer: int = 0):
+    """qk = (qtype, has_bias, Npad) folds the NEXT layer's fused QKV matmul
+    (+ its attn rmsnorm) as a 4th phase, making the whole decode layer ONE
+    resident program (the attention between layers runs in XLA on the
+    carried qkv output)."""
+    fold = qk is not None
+    npads = [wo_np, gu_np, dn_np] + ([qk[2]] if fold else [])
+    tn = 512 if all(n % 512 == 0 for n in npads) else 256
     pools = []
     start = 0
-    for name, qtype, K, Npad, hb in (
+    defs = [
         ("wo", wo_t, Hd, wo_np, wo_bias),
         ("gu", gu_t, D, gu_np, gu_bias),
         ("dn", dn_t, n_ff, dn_np, dn_bias),
-    ):
+    ]
+    if fold:
+        defs.append(("qk", qk[0], D, qk[2], qk[1]))
+    for name, qtype, K, Npad, hb in defs:
         tk = _pick_tile(K, (DEF_TK, 1024, 512, 256, 128))
         assert tk >= min_tile_k(qtype), (name, K, qtype)
         p = _Pool(name, qtype, K, Npad, hb, start, tn, tk)
         pools.append(p)
         start = p.end
-    wo, gu, dn = pools
+    wo, gu, dn = pools[:3]
+    qkp = pools[3] if fold else None
     total = start
     nffp = _pad256(n_ff)
 
@@ -149,7 +166,11 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
             prefs.append(refs[o: o + p.n_refs()])
             o += p.n_refs()
         # pallas arg order: inputs, outputs, scratch
-        o_ref, x2_ref, h2_ref, gu_acc, hmid_ref, d_acc = refs[o: o + 6]
+        if fold:
+            (anrm_ref, o_ref, qkv_o, x2_ref, h2_ref, gu_acc, hmid_ref,
+             d_acc, hq_ref, qk_acc) = refs[o: o + 10]
+        else:
+            o_ref, x2_ref, h2_ref, gu_acc, hmid_ref, d_acc = refs[o: o + 6]
         s = pl.program_id(0)
 
         @pl.when(s == 0)
@@ -198,7 +219,7 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
                                            preferred_element_type=jnp.float32)
             gu_acc[:, pl.ds(i * tn, tn)] += acc
 
-        @pl.when(s >= dn.start)
+        @pl.when((s >= dn.start) & (s < dn.end))
         def _():
             i, k = dn.local(s)
             acc = jnp.zeros((M_pad, tn), jnp.float32)
@@ -210,30 +231,78 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
                                            preferred_element_type=jnp.float32)
             d_acc[:, pl.ds(i * tn, tn)] += acc
 
-        @pl.when(s == total - 1)
-        def _():
-            o_ref[...] = (x2_ref[...] + d_acc[:, :D]).astype(o_ref.dtype)
+        if not fold:
+            @pl.when(s == total - 1)
+            def _():
+                o_ref[...] = (x2_ref[...] + d_acc[:, :D]).astype(o_ref.dtype)
+        else:
+            @pl.when(s == dn.end)
+            def _():
+                x_out = x2_ref[...] + d_acc[:, :D]
+                o_ref[...] = x_out.astype(o_ref.dtype)
+                var = jnp.mean(x_out * x_out, axis=1, keepdims=True)
+                nxt = jnp.minimum(lr[0] + 1, n_layer - 1)
+                hq = (x_out * jax.lax.rsqrt(var + rms_eps)
+                      * anrm_ref[nxt][None, :].astype(jnp.float32))
+                hq_ref[...] = hq.astype(jnp.bfloat16)
+                qk_acc[...] = jnp.zeros_like(qk_acc)
+
+            @pl.when(s >= qkp.start)
+            def _():
+                i, k = qkp.local(s)
+                acc = jnp.zeros((M_pad, tn), jnp.float32)
+                for j in range(qkp.P):
+                    w = qkp.tile(prefs[3], j)
+                    off = j * (D // qkp.P) + k * qkp.kq
+                    xj = hq_ref[:, pl.ds(off, qkp.kq)]
+                    acc += jax.lax.dot_general(
+                        xj, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                qk_acc[:, pl.ds(i * tn, tn)] += acc
+
+            @pl.when(s == total - 1)
+            def _():
+                qkv_o[...] = qk_acc[...].astype(qkv_o.dtype)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # att planes (2, M_pad, Hd/2)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # resid (M_pad, D)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ffn_norm weight (D,)
     ]
-    for p in pools:
-        in_specs.extend(p.in_specs())
+    for i, p in enumerate(pools):
+        in_specs.extend(p.in_specs(loff=1 if (fold and i == 3) else 0,
+                                   lmax=n_layer or (1 << 30)))
+    if fold:  # next layer's attn_norm (stacked (L, D)): whole array in
+        # VMEM, row-indexed inside the kernel (a (1, D) block would violate
+        # Mosaic's sublane-divisibility rule)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    scratch = [
+        pltpu.VMEM((M_pad, D), jnp.float32),      # x2
+        pltpu.VMEM((M_pad, D), jnp.bfloat16),     # h2
+        pltpu.VMEM((M_pad, 2 * nffp), jnp.float32),  # gu acc
+        pltpu.VMEM((M_pad, n_ff), jnp.bfloat16),  # hmid
+        pltpu.VMEM((M_pad, wo_np), jnp.float32),  # d acc (wo/down out)
+    ]
+    if fold:
+        scratch += [
+            pltpu.VMEM((M_pad, D), jnp.bfloat16),     # hq (next attn input)
+            pltpu.VMEM((M_pad, qk[2]), jnp.float32),  # qkv acc
+        ]
+        out_shape = (jax.ShapeDtypeStruct((M_pad, D), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((M_pad, qk[2]), jnp.bfloat16))
+        out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM))
+    else:
+        out_shape = jax.ShapeDtypeStruct((M_pad, D), jnp.bfloat16)
+        out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(total,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((M_pad, D), jnp.float32),      # x2
-            pltpu.VMEM((M_pad, D), jnp.bfloat16),     # h2
-            pltpu.VMEM((M_pad, 2 * nffp), jnp.float32),  # gu acc
-            pltpu.VMEM((M_pad, n_ff), jnp.bfloat16),  # hmid
-            pltpu.VMEM((M_pad, wo_np), jnp.float32),  # d acc (wo/down out)
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     bytes_acc = sum(
         p.Npad * p.K // (2 if p.spec.kind == "u4" else 1)
@@ -242,11 +311,11 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M_pad, D), jnp.bfloat16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M_pad * (wo_np * D + gu_np * D + dn_np * n_ff),
+            flops=2 * M_pad * sum(p.Npad * p.K for p in pools),
             bytes_accessed=int(bytes_acc), transcendentals=M_pad * n_ff),
         interpret=interpret,
     )
@@ -312,3 +381,48 @@ def ffn_block(att, resid, ffn_norm, qw, layer, cfg, interpret: bool = False):
     lid = jnp.asarray(layer, jnp.int32).reshape(1)
     y = fn(lid, attp, res2, ffn_norm, *args)
     return y[:M, :D].reshape(B, T, D)
+
+
+def ffn_block_qkv(att, resid, ffn_norm, attn_norm, qw, layer, cfg,
+                  interpret: bool = False):
+    """Folded variant: returns (layer output (B,T,D), NEXT layer's fused
+    qkv (B,T,Nqkv_pad)). One resident program covers wo+ffn+norm+qkv, so a
+    full decode layer costs a single executable swap."""
+    B, T, D = resid.shape
+    M = B * T
+    M_pad = 16
+    wo, gu, dn, qk = (qw["wo"], qw["ffn_gateup"], qw["ffn_down"], qw["wqkv"])
+    n_ff = cfg.n_ff
+    Hd = att.shape[-1]
+    L = wo.data["q"].shape[0]
+
+    att2 = att.reshape(M, Hd).astype(jnp.bfloat16)
+    if KM_SPECS[wo.qtype].kind == "u4":
+        attp = jnp.stack([att2[:, : Hd // 2], att2[:, Hd // 2:]])
+    else:
+        attp = att2[None]
+    res2 = resid.reshape(M, D).astype(jnp.bfloat16)
+    if M < M_pad:
+        attp = jnp.pad(attp, ((0, 0), (0, M_pad - M), (0, 0)))
+        res2 = jnp.pad(res2, ((0, M_pad - M), (0, 0)))
+
+    qk_np = qk.data["q"].shape[-1]
+    fn = _build(
+        M_pad, D, Hd, n_ff,
+        wo.qtype, "bi" in wo.data, wo.data["q"].shape[-1],
+        gu.qtype, "bi" in gu.data, gu.data["q"].shape[-1],
+        dn.qtype, "bi" in dn.data, dn.data["q"].shape[-1],
+        cfg.act_fn, cfg.rms_eps, interpret,
+        qk=(qk.qtype, "bi" in qk.data, qk_np), n_layer=L,
+    )
+    args = []
+    for qt in (wo, gu, dn, qk):
+        P = 2 if KM_SPECS[qt.qtype].kind == "u4" else 1
+        args.append(qt.data["q"])
+        args.extend([qt.data["sc"]] * P)
+        if "bi" in qt.data:
+            args.extend([qt.data["bi"]] * P)
+    lid = jnp.asarray(layer, jnp.int32).reshape(1)
+    x_out, qkv = fn(lid, attp, res2, ffn_norm, *args, attn_norm)
+    return (x_out[:M, :D].reshape(B, T, D),
+            qkv[:M].reshape(B, T, qk_np))

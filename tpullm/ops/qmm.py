@@ -343,6 +343,7 @@ def qmm(x, qt, out_dtype=jnp.bfloat16, layer=None, interpret: bool = False):
         qt.is_quantized
         and qt.layout == "kmajor"
         and (wdim == 2 if layer is None else wdim == 3)
+        and _pick_tile(data["q"].shape[-1], (512, DEF_TILE_N, 128))
         and (interpret or use_pallas())
     ):
         return qmm_kmajor(x, data, qt.qtype, qt.n_out, out_dtype, interpret, layer)
