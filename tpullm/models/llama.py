@@ -156,6 +156,14 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     B, T, H, Dk = q.shape
     S, Hkv = k_all.shape[1], k_all.shape[2]
     G = H // Hkv
+    from ..ops.flash_attention import flash_attention, flash_supported
+    from ..ops.qmm import use_pallas
+
+    if use_pallas() and flash_supported(T, S, Dk, v_all.shape[-1]):
+        # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
+        # score materialization); decode/small-T keeps the XLA einsum path
+        return flash_attention(q, k_all, v_all, q_slots, kv_positions,
+                               positions, valid_from, cfg, layer_is_swa)
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
     qf = q.reshape(B, T, Hkv, G, Dk)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all,
