@@ -102,6 +102,21 @@ def apply_chat_template(ctx, messages: list[dict]) -> str:
         tmpl_src = ctx.tok.chat_template
     if tmpl_src is None:
         tmpl_src = ctx.cfg.raw_kv.get("tokenizer.chat_template")
+    if tmpl_src:
+        # execute the model's own template with the bundled Jinja subset
+        # (common/jinja analogue); fall back to fingerprints on failure
+        try:
+            from .jinja import render_chat_template
+
+            v = getattr(ctx.tok, "vocab", None)
+            bos = (v.tokens[v.bos_id] if v is not None and v.bos_id is not None
+                   else "")
+            eos = (v.tokens[v.eos_id] if v is not None and v.eos_id is not None
+                   else "")
+            return render_chat_template(tmpl_src, msgs, bos_token=bos,
+                                        eos_token=eos)
+        except Exception:
+            pass
     fn = pick_template(tmpl_src, ctx.cfg.arch)
     return fn(msgs)
 
