@@ -24,13 +24,11 @@ def _load_lib():
     with _LIB_LOCK:
         if _LIB is not None:
             return _LIB
-        src = os.path.abspath(os.path.join(_NATIVE_DIR, "grammar.cpp"))
-        so = os.path.abspath(os.path.join(_NATIVE_DIR, "libtpullm_grammar.so"))
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", so, src], check=True)
-        lib = ctypes.CDLL(so)
+        from ..utils.native import load_native
+
+        lib = load_native("grammar")
+        if lib is None:
+            raise RuntimeError("failed to build native/grammar.cpp (g++)")
         lib.tpg_init.restype = ctypes.c_void_p
         lib.tpg_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32]

@@ -209,16 +209,61 @@ def pack_kmajor(planar: dict, qtype: GGMLType, n_pad_to: int = 256) -> dict[str,
         sc = np.pad(sc, ((0, npad), (0, 0)))
         if bi is not None:
             bi = np.pad(bi, ((0, npad), (0, 0)))
-    gt = np.ascontiguousarray(grid.T)  # (K, Npad)
-    if spec.kind == "u4":
-        K = gt.shape[0]
-        q = (gt[: K // 2] | (gt[K // 2:] << 4)).astype(np.uint8)
-    else:
-        q = gt.astype(np.int8)
-    out = {"q": q, "sc": np.ascontiguousarray(sc.T)}
+    q = _pack_transposed(grid, spec.kind)
+    out = {"q": q, "sc": _t_f32(sc)}
     if bi is not None:
-        out["bi"] = np.ascontiguousarray(bi.T)
+        out["bi"] = _t_f32(bi)
     return out
+
+
+def _native_repack():
+    from ..utils.native import load_native
+
+    return load_native("repack", ("-fopenmp",))
+
+
+def _pack_transposed(grid: np.ndarray, kind: str) -> np.ndarray:
+    """(Npad, K) int grid -> packed (K/2, Npad) u8 or (K, Npad) i8.
+
+    Uses the native fused transpose+pack (native/repack.cpp) when available
+    — the numpy strided transpose costs seconds per large tensor."""
+    import ctypes
+
+    N, K = grid.shape
+    lib = _native_repack()
+    if lib is not None:
+        if kind == "u4":
+            g8 = np.ascontiguousarray(grid.astype(np.uint8))
+            out = np.empty((K // 2, N), np.uint8)
+            lib.tpr_pack_u4(g8.ctypes.data_as(ctypes.c_void_p),
+                            ctypes.c_int64(N), ctypes.c_int64(K),
+                            out.ctypes.data_as(ctypes.c_void_p))
+            return out
+        g8 = np.ascontiguousarray(grid.astype(np.int8))
+        out = np.empty((K, N), np.int8)
+        lib.tpr_pack_i8(g8.ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_int64(N), ctypes.c_int64(K),
+                        out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    gt = np.ascontiguousarray(grid.T)
+    if kind == "u4":
+        return (gt[: K // 2] | (gt[K // 2:] << 4)).astype(np.uint8)
+    return gt.astype(np.int8)
+
+
+def _t_f32(a: np.ndarray) -> np.ndarray:
+    import ctypes
+
+    a = np.ascontiguousarray(a, np.float32)
+    N, G = a.shape
+    lib = _native_repack()
+    if lib is not None:
+        out = np.empty((G, N), np.float32)
+        lib.tpr_transpose_f32(a.ctypes.data_as(ctypes.c_void_p),
+                              ctypes.c_int64(N), ctypes.c_int64(G),
+                              out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    return np.ascontiguousarray(a.T)
 
 
 def unpack_grid_jnp(q, kind: str):
