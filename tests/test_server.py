@@ -220,6 +220,29 @@ def test_context_shift_long_generation(server):
     assert ctx.metrics.get("context_shifts_total", 0) >= 1
 
 
+def test_logprobs(server):
+    ctx, url = server
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2", "max_tokens": 4, "temperature": 0, "n_probs": 4})
+    lp = r["choices"][0]["logprobs"]
+    assert lp is not None
+    assert len(lp["token_logprobs"]) == r["usage"]["completion_tokens"]
+    assert all(v <= 0 for v in lp["token_logprobs"])
+    assert len(lp["top_logprobs"][0]) == 4
+    # greedy: sampled token must be the top-1
+    top0 = max(lp["top_logprobs"][0].items(), key=lambda kv: kv[1])
+    assert abs(top0[1] - lp["token_logprobs"][0]) < 1e-3
+
+
+def test_mirostat(server):
+    ctx, url = server
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2", "max_tokens": 8, "mirostat": 2,
+        "mirostat_tau": 4.0, "seed": 3})
+    assert r["usage"]["completion_tokens"] >= 1
+    assert r["choices"][0]["finish_reason"] in ("length", "stop")
+
+
 def test_grammar_constrained_completion(server):
     ctx, url = server
     r = _post(url, "/v1/completions", {

@@ -273,12 +273,17 @@ def _lora_add(y, x_in, p: dict, key: str, dtype):
 def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
     p = p or {}
     if cfg.ffn_gate:
-        if "ffn_gateup" in qw:  # fused gate+up: one kernel launch
+        if "ffn_gateup" in qw:  # load-time fused gate+up (padded offsets)
             from ..ops.fuse import pad256
 
             y = _mm(x, qw["ffn_gateup"], dtype, li)
             g = y[..., : cfg.n_ff]
             u = y[..., pad256(cfg.n_ff): pad256(cfg.n_ff) + cfg.n_ff]
+        elif "ffn_gate" not in qw and qw["ffn_up"].n_out == 2 * cfg.n_ff:
+            # GGUF-combined [gate; up] in one tensor (phi-3 style)
+            y = _mm(x, qw["ffn_up"], dtype, li)
+            g = y[..., : cfg.n_ff]
+            u = y[..., cfg.n_ff: 2 * cfg.n_ff]
         else:
             g = _mm(x, qw["ffn_gate"], dtype, li)
             u = _mm(x, qw["ffn_up"], dtype, li)
@@ -419,9 +424,18 @@ def forward(
         x = carry
         p, k_cache, v_cache, li = inp
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
-        if "wqkv" in qw:  # fused QKV: one kernel launch
+        nq = cfg.n_head * cfg.head_dim
+        nk = cfg.n_head_kv * cfg.head_dim
+        if "wqkv" in qw:  # load-time fused QKV (padded offsets)
             y = _mm(h, qw["wqkv"], dtype, li)
             q, k, v = _split_qkv(y)
+        elif "wqkv_cat" in qw:  # GGUF-fused [q;k;v] (phi/gptneox style)
+            y = _mm(h, qw["wqkv_cat"], dtype, li)
+            if "bqkv_cat" in p:
+                y = y + p["bqkv_cat"].astype(dtype)
+            q = y[..., :nq]
+            k = y[..., nq: nq + nk]
+            v = y[..., nq + nk: nq + nk + cfg.n_head_kv * cfg.head_dim_v]
         else:
             q = _mm(h, qw["wq"], dtype, li)
             k = _mm(h, qw["wk"], dtype, li)

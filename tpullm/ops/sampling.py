@@ -36,6 +36,8 @@ class SamplerConfig:
     penalty_repeat: float = 1.0
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
+    mirostat_tau: float = 0.0  # >0 enables mirostat v2
+    mirostat_eta: float = 0.1
     greedy: bool = False
 
     @property
@@ -195,11 +197,13 @@ class BatchSamplerParams:
     penalty_repeat: jnp.ndarray  # (B,) f32
     penalty_freq: jnp.ndarray  # (B,) f32
     penalty_present: jnp.ndarray  # (B,) f32
+    mirostat_tau: jnp.ndarray  # (B,) f32; >0 enables mirostat v2
+    mirostat_eta: jnp.ndarray  # (B,) f32
 
     _FIELDS = (
         "temperature", "top_k", "top_p", "min_p", "typical_p", "top_n_sigma",
         "xtc_probability", "xtc_threshold", "penalty_repeat", "penalty_freq",
-        "penalty_present",
+        "penalty_present", "mirostat_tau", "mirostat_eta",
     )
 
     def tree_flatten(self):
@@ -217,6 +221,7 @@ class BatchSamplerParams:
             min_p=f(0.0), typical_p=f(1.0), top_n_sigma=f(0.0),
             xtc_probability=f(0.0), xtc_threshold=f(0.1), penalty_repeat=f(1.0),
             penalty_freq=f(0.0), penalty_present=f(0.0),
+            mirostat_tau=f(0.0), mirostat_eta=f(0.1),
         )
 
     def with_row(self, i: int, cfg: SamplerConfig) -> "BatchSamplerParams":
@@ -228,6 +233,8 @@ class BatchSamplerParams:
             xtc_probability=cfg.xtc_probability, xtc_threshold=cfg.xtc_threshold,
             penalty_repeat=cfg.penalty_repeat, penalty_freq=cfg.penalty_freq,
             penalty_present=cfg.penalty_present,
+            mirostat_tau=getattr(cfg, "mirostat_tau", 0.0),
+            mirostat_eta=getattr(cfg, "mirostat_eta", 0.1),
         )
         new = {f: getattr(self, f).at[i].set(vals[f]) for f in self._FIELDS}
         return BatchSamplerParams(**new)
@@ -237,12 +244,16 @@ def _col(x):
     return x[:, None]
 
 
-def sample_batch(logits, p: BatchSamplerParams, key, counts=None):
-    """(B, V) f32 logits + per-row params -> (B,) i32 tokens. Chain order
-    follows common/common.h:244-254 (penalties -> top_n_sigma -> top_k ->
-    typical -> top_p -> min_p -> xtc -> temperature -> dist)."""
+def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None):
+    """(B, V) f32 logits + per-row params -> (B,) i32 tokens (or
+    (tokens, new_mu) when ``mu`` is given). Chain order follows
+    common/common.h:244-254 (penalties -> top_n_sigma -> top_k -> typical ->
+    top_p -> min_p -> xtc -> temperature -> dist); rows with
+    mirostat_tau > 0 run mirostat v2 instead of the truncation stack
+    (llama_sampler_mirostat_v2)."""
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
+    raw = logits
 
     if counts is not None:
         used = counts > 0
@@ -308,12 +319,31 @@ def sample_batch(logits, p: BatchSamplerParams, key, counts=None):
     roll = jax.random.uniform(sub, (B, 1))
     logits = jnp.where((roll < _col(p.xtc_probability)) & drop, NEG_INF, logits)
 
+    # mirostat v2 rows bypass the truncation stack: filter by surprise > mu
+    if mu is not None:
+        miro = _col(p.mirostat_tau) > 0
+        logp_raw = jax.nn.log_softmax(raw, axis=-1)
+        surprise = -logp_raw / jnp.log(2.0)
+        miro_logits = jnp.where(surprise > _col(mu), NEG_INF, raw)
+        # always keep the argmax so the row can't go empty
+        mx_keep = raw >= raw.max(-1, keepdims=True)
+        miro_logits = jnp.where(mx_keep, raw, miro_logits)
+        logits = jnp.where(miro, miro_logits, logits)
+
     # temperature / greedy
     greedy_mask = jnp.where(logits < logits.max(-1, keepdims=True), NEG_INF, logits)
     t = _col(p.temperature)
     logits = jnp.where(t > 0, logits / jnp.where(t > 0, t, 1.0), greedy_mask)
 
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    toks = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    if mu is None:
+        return toks
+    # mu update from the OBSERVED surprise of the sampled token
+    logp_raw = jax.nn.log_softmax(raw, axis=-1)
+    obs = -jnp.take_along_axis(logp_raw, toks[:, None], axis=-1)[:, 0] / jnp.log(2.0)
+    new_mu = mu - p.mirostat_eta * (obs - p.mirostat_tau)
+    new_mu = jnp.where(p.mirostat_tau > 0, new_mu, mu)
+    return toks, new_mu
 
 
 @jax.tree_util.register_pytree_node_class

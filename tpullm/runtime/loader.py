@@ -26,6 +26,8 @@ LAYER_TENSORS = {
     "attn_q.weight": "wq",
     "attn_k.weight": "wk",
     "attn_v.weight": "wv",
+    "attn_qkv.weight": "wqkv_cat",  # GGUF-fused [q;k;v] (phi/gptneox style)
+    "attn_qkv.bias": "bqkv_cat",
     "attn_output.weight": "wo",
     "attn_q.bias": "bq",
     "attn_k.bias": "bk",

@@ -48,6 +48,9 @@ class GenParams:
     penalty_repeat: float = 1.0
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
+    mirostat: int = 0  # 0=off, 2=mirostat v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     seed: int = -1  # -1 -> time-based
     stop: list[str] = field(default_factory=list)
     ignore_eos: bool = False
@@ -64,6 +67,8 @@ class GenParams:
             top_n_sigma=self.top_n_sigma, xtc_probability=self.xtc_probability,
             xtc_threshold=self.xtc_threshold, penalty_repeat=self.penalty_repeat,
             penalty_freq=self.penalty_freq, penalty_present=self.penalty_present,
+            mirostat_tau=self.mirostat_tau if self.mirostat == 2 else 0.0,
+            mirostat_eta=self.mirostat_eta,
             greedy=greedy,
         )
 
@@ -92,6 +97,7 @@ class _SlotRt:
     task: Task | None = None
     pending: list = field(default_factory=list)  # prompt tokens not yet prefilled
     gen: list = field(default_factory=list)  # generated token ids
+    gen_probs: list = field(default_factory=list)  # per-token logprob entries
     sent_text: str = ""
     n_prompt: int = 0
     reused: int = 0
@@ -162,21 +168,25 @@ class ServerContext:
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
 
-        def _decode(params, logits0, pos0, active, cache, sparams, pen, key,
-                    forced, use_forced, n_steps):
+        def _decode(params, logits0, pos0, active, cache, sparams, pen, mu,
+                    key, forced, use_forced, n_steps):
             """Sample-then-forward: each step samples from the carried logits
             (first step: the prefill's next-token logits), writes the sampled
             token's K/V at pos, and computes logits for the next step.
             ``forced`` overrides the first step's sample per row (grammar-
-            constrained slots sample on the host)."""
+            constrained slots sample on the host). Besides the token each
+            step emits the top-8 raw logprobs (the n_probs/logprobs API)."""
             S = cache.max_len
 
             def body(carry, step):
-                logits, pos, cache, pen, key = carry
+                logits, pos, cache, pen, mu, key = carry
                 key, sub = jax.random.split(key)
-                nxt = sample_batch(logits, sparams, sub, pen.counts)
+                nxt, mu = sample_batch(logits, sparams, sub, pen.counts, mu)
                 nxt = jnp.where(use_forced & (step == 0), forced, nxt)
                 pen = pen.push(nxt)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                topv, topi = jax.lax.top_k(lp, 8)
+                tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
                 pos_eff = jnp.where(active, pos, S - 1).astype(jnp.int32)
                 logits, cache = fwd(
                     params, tokens=nxt[:, None], positions=pos_eff[:, None],
@@ -185,16 +195,17 @@ class ServerContext:
                 )
                 logits = logits[:, -1, :]
                 pos = pos + jnp.where(active, 1, 0)
-                return (logits, pos, cache, pen, key), nxt
+                return (logits, pos, cache, pen, mu, key), (nxt, tok_lp, topv, topi)
 
-            (logits, pos, cache, pen, key), toks = jax.lax.scan(
-                body, (logits0, pos0, cache, pen, key),
+            (logits, pos, cache, pen, mu, key), ys = jax.lax.scan(
+                body, (logits0, pos0, cache, pen, mu, key),
                 jnp.arange(n_steps), length=n_steps,
             )
-            return toks, logits, pos, cache, pen
+            return ys, logits, pos, cache, pen, mu
 
         self._decode = jax.jit(_decode, donate_argnums=(1, 4),
                                static_argnames=("n_steps",))
+        self._mu = jnp.zeros((n_slots,), jnp.float32)
 
         def _set_row(buf, i, row):
             return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=0)
@@ -242,6 +253,7 @@ class ServerContext:
             r = self.rt[i]
             r.task = task
             r.gen = []
+            r.gen_probs = []
             r.sent_text = ""
             r.n_prompt = len(toks)
             r.started_at = time.time()
@@ -271,6 +283,7 @@ class ServerContext:
             seed = task.params.seed if task.params.seed >= 0 else int(time.time_ns() % (2**31))
             self._key = jax.random.fold_in(self._key, seed)
             r.rng = np.random.default_rng(seed)
+            self._mu = self._mu.at[i].set(2.0 * task.params.mirostat_tau)
 
     def _prefill_step(self, i: int):
         """Run one bucketed prompt chunk for slot i; on the last chunk stash
@@ -313,24 +326,29 @@ class ServerContext:
                 "prefill_s": round(max(r.prefill_done_at - r.started_at, 0), 4),
                 "decode_s": round(max(now - (r.prefill_done_at or now), 0), 4),
             }
-            task.out.put(("done", {"reason": reason, "stats": stats,
-                                   "text": r.sent_text, "tokens": list(r.gen)}))
+            done = {"reason": reason, "stats": stats,
+                    "text": r.sent_text, "tokens": list(r.gen)}
+            if r.gen_probs:
+                done["logprobs"] = list(r.gen_probs)
+            task.out.put(("done", done))
         r.task = None
         r.pending = []
 
-    def _emit(self, i: int, new_tokens: list[int]):
+    def _emit(self, i: int, new_tokens: list[int], probs=None):
         """Detokenize incrementally, check stops, stream deltas."""
         r = self.rt[i]
         task = r.task
         p = task.params
         vocab = self.tok.vocab if self.tok else None
         finished = None
-        for t in new_tokens:
+        for step, t in enumerate(new_tokens):
             t = int(t)
             if not p.ignore_eos and vocab is not None and vocab.is_eog(t):
                 finished = "stop"
                 break
             r.gen.append(t)
+            if probs is not None and step < len(probs):
+                r.gen_probs.append({"token": t, **probs[step]})
             self.memory.slots[i].tokens.append(t)
             if len(r.gen) >= p.max_tokens:
                 finished = "length"
@@ -417,13 +435,22 @@ class ServerContext:
                 use_forced[i] = True
         t0 = time.time()
         self._key, sub = jax.random.split(self._key)
-        toks, self._logits_buf, pos, self.memory.cache, self.penalties = self._decode(
-            self.params, self._logits_buf, jnp.asarray(self._pos.astype(np.int32)),
-            act, self.memory.cache, self.sparams, self.penalties, sub,
-            jnp.asarray(forced), jnp.asarray(use_forced), n_steps=n_steps,
-        )
+        ys, self._logits_buf, pos, self.memory.cache, self.penalties, self._mu = \
+            self._decode(
+                self.params, self._logits_buf,
+                jnp.asarray(self._pos.astype(np.int32)),
+                act, self.memory.cache, self.sparams, self.penalties,
+                self._mu, sub,
+                jnp.asarray(forced), jnp.asarray(use_forced), n_steps=n_steps,
+            )
+        toks, tok_lp, topv, topi = ys
         toks_np = np.asarray(toks)  # (n_steps, n_slots)
         self.metrics["decode_seconds_total"] += time.time() - t0
+        want_probs = any(self._active[i] and self.rt[i].task
+                         and self.rt[i].task.params.n_probs > 0
+                         for i in range(self.n_slots))
+        lp_np = (np.asarray(tok_lp), np.asarray(topv), np.asarray(topi)) \
+            if want_probs else None
         for i in range(self.n_slots):
             if not self._active[i]:
                 continue
@@ -437,7 +464,16 @@ class ServerContext:
                         self.rt[i].constraint.accept_token(int(t))
                     except ValueError:
                         pass
-            self._emit(i, toks_np[:, i].tolist())
+            probs = None
+            if lp_np is not None and self.rt[i].task.params.n_probs > 0:
+                k = min(self.rt[i].task.params.n_probs, 8)
+                probs = [
+                    {"logprob": float(lp_np[0][s, i]),
+                     "top": [(int(lp_np[2][s, i, j]), float(lp_np[1][s, i, j]))
+                             for j in range(k)]}
+                    for s in range(n)
+                ]
+            self._emit(i, toks_np[:, i].tolist(), probs)
 
     def _loop(self):
         while not self._stop.is_set():

@@ -32,10 +32,15 @@ def _gen_params(body: dict) -> GenParams:
         "repeat_penalty": "penalty_repeat", "frequency_penalty": "penalty_freq",
         "presence_penalty": "penalty_present", "seed": "seed",
         "ignore_eos": "ignore_eos", "stream": "stream", "n_probs": "n_probs",
+        "mirostat": "mirostat", "mirostat_tau": "mirostat_tau",
+        "mirostat_eta": "mirostat_eta", "n_keep": "n_keep",
+        "top_logprobs": "n_probs",
     }
     for k, attr in m.items():
         if k in body and body[k] is not None:
             setattr(p, attr, type(getattr(p, attr))(body[k]))
+    if body.get("logprobs") is True and p.n_probs == 0:
+        p.n_probs = 1
     stop = body.get("stop")
     if isinstance(stop, str):
         p.stop = [stop]
@@ -370,11 +375,22 @@ class Handler(BaseHTTPRequestHandler):
                              "message": {"role": "assistant", "content": result["text"]}}],
             })
         else:
+            lp = None
+            if result.get("logprobs"):
+                tokp = result["logprobs"]
+                lp = {
+                    "tokens": [self.ctx.tok.decode([e["token"]])
+                               for e in tokp] if self.ctx.tok else None,
+                    "token_logprobs": [e["logprob"] for e in tokp],
+                    "top_logprobs": [
+                        {(self.ctx.tok.decode([t]) if self.ctx.tok else str(t)): v
+                         for t, v in e["top"]} for e in tokp],
+                }
             self._json(200, {
                 "id": rid, "object": "text_completion", "created": created,
                 "model": model, "usage": usage, "timings": stats,
                 "choices": [{"index": 0, "finish_reason": result["reason"],
-                             "text": result["text"], "logprobs": None}],
+                             "text": result["text"], "logprobs": lp}],
             })
 
 

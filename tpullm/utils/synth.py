@@ -148,6 +148,9 @@ def build_llama_gguf(
     with_vocab: bool = False,
     n_expert: int = 0,
     n_expert_used: int = 0,
+    fused_qkv: bool = False,  # write attn_qkv.weight (phi/gptneox style)
+    combined_gateup: bool = False,  # write [gate;up] as one ffn_up.weight
+    weight_cb=None,  # hook(name, array) to capture the exact float weights
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_head
@@ -187,6 +190,11 @@ def build_llama_gguf(
     def rand(*shape):
         return (rng.normal(0, scale, size=shape)).astype(np.float32)
 
+    def addq(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        _add_quant_tensor(w, name, arr, qtype)
+
     _add_quant_tensor(w, "token_embd.weight", rand(vocab_size, n_embd), qtype)
     if not tie_embeddings:
         _add_quant_tensor(w, "output.weight", rand(vocab_size, n_embd), qtype)
@@ -195,18 +203,25 @@ def build_llama_gguf(
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
         w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
-        _add_quant_tensor(w, p + "attn_q.weight", rand(n_head * head_dim, n_embd), qtype)
-        _add_quant_tensor(w, p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd), qtype)
-        _add_quant_tensor(w, p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd), qtype)
-        _add_quant_tensor(w, p + "attn_output.weight", rand(n_embd, n_head * head_dim), qtype)
+        if fused_qkv:
+            addq(p + "attn_qkv.weight",
+                 rand((n_head + 2 * n_head_kv) * head_dim, n_embd))
+        else:
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
         if n_expert:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             _add_quant_tensor(w, p + "ffn_gate_exps.weight", rand(n_expert, n_ff, n_embd), qtype)
             _add_quant_tensor(w, p + "ffn_up_exps.weight", rand(n_expert, n_ff, n_embd), qtype)
             _add_quant_tensor(w, p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff), qtype)
+        elif combined_gateup:
+            addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
         else:
-            _add_quant_tensor(w, p + "ffn_gate.weight", rand(n_ff, n_embd), qtype)
-            _add_quant_tensor(w, p + "ffn_up.weight", rand(n_ff, n_embd), qtype)
-            _add_quant_tensor(w, p + "ffn_down.weight", rand(n_embd, n_ff), qtype)
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
