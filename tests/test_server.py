@@ -220,6 +220,14 @@ def test_context_shift_long_generation(server):
     assert ctx.metrics.get("context_shifts_total", 0) >= 1
 
 
+def test_infill(server):
+    ctx, url = server
+    r = _post(url, "/infill", {
+        "input_prefix": "tok1 ", "input_suffix": " tok9",
+        "max_tokens": 4, "temperature": 0})
+    assert "content" in r and r["tokens_predicted"] <= 4
+
+
 def test_logprobs(server):
     ctx, url = server
     r = _post(url, "/v1/completions", {

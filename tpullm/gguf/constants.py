@@ -197,6 +197,12 @@ class Keys:
         ADD_SPACE_PREFIX = "tokenizer.ggml.add_space_prefix"
         REMOVE_EXTRA_WS = "tokenizer.ggml.remove_extra_whitespaces"
         CHAT_TEMPLATE = "tokenizer.chat_template"
+        FIM_PRE_ID = "tokenizer.ggml.fim_pre_token_id"
+        FIM_SUF_ID = "tokenizer.ggml.fim_suf_token_id"
+        FIM_MID_ID = "tokenizer.ggml.fim_mid_token_id"
+        FIM_PAD_ID = "tokenizer.ggml.fim_pad_token_id"
+        FIM_REP_ID = "tokenizer.ggml.fim_rep_token_id"
+        FIM_SEP_ID = "tokenizer.ggml.fim_sep_token_id"
 
 
 SPLIT_FILENAME_FORMAT = "{name}-{no:05d}-of-{count:05d}.gguf"

@@ -178,6 +178,8 @@ class Handler(BaseHTTPRequestHandler):
                 return self._json(200, {"prompt": prompt})
             if path in ("/embedding", "/embeddings", "/v1/embeddings"):
                 return self._embeddings(body)
+            if path == "/infill":
+                return self._infill(body)
             if path.startswith("/slots/"):
                 return self._slot_action(path, body)
             return self._error(404, f"unknown path {path}")
@@ -240,6 +242,35 @@ class Handler(BaseHTTPRequestHandler):
             n = ctx.memory.load_slot_file(slot_id, fname)
             return self._json(200, {"id_slot": slot_id, "n_restored": n})
         return self._error(400, f"unknown action '{action}'")
+
+    def _infill(self, body: dict):
+        """Fill-in-the-middle completion: <FIM_PRE>prefix<FIM_SUF>suffix
+        <FIM_MID> -> generate the middle (llama-server /infill)."""
+        ctx = self.ctx
+        v = ctx.tok.vocab
+        if v.fim_pre_id is None or v.fim_suf_id is None or v.fim_mid_id is None:
+            return self._error(400, "model has no FIM tokens")
+        pre = ctx.tok.encode(str(body.get("input_prefix", "")), add_special=False)
+        suf = ctx.tok.encode(str(body.get("input_suffix", "")), add_special=False)
+        tokens = []
+        if v.add_bos and v.bos_id is not None:
+            tokens.append(v.bos_id)
+        tokens += [v.fim_pre_id] + pre + [v.fim_suf_id] + suf + [v.fim_mid_id]
+        params = _gen_params(body)
+        task = Task(tokens=tokens, params=params)
+        ctx.submit(task)
+        result = None
+        for kind, payload in task.events():
+            if kind == "error":
+                return self._error(400, str(payload))
+            if kind == "done":
+                result = payload
+        self._json(200, {
+            "content": result["text"],
+            "stop_type": result["reason"],
+            "tokens_predicted": result["stats"]["completion_tokens"],
+            "timings": result["stats"],
+        })
 
     # ------------------------------------------- anthropic / responses api
 

@@ -55,6 +55,9 @@ class Vocab:
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
+    fim_pre_id: int | None = None
+    fim_suf_id: int | None = None
+    fim_mid_id: int | None = None
     remove_extra_whitespaces: bool = False
     # caches
     token_to_id: dict[str, int] = field(default_factory=dict, repr=False)
@@ -92,6 +95,9 @@ class Vocab:
         v.unk_id = _id(K.UNK_ID, 0 if v.model == "llama" else None)
         v.sep_id = _id(K.SEP_ID)
         v.pad_id = _id(K.PAD_ID)
+        v.fim_pre_id = _id(getattr(K, "FIM_PRE_ID", "tokenizer.ggml.fim_pre_token_id"))
+        v.fim_suf_id = _id(getattr(K, "FIM_SUF_ID", "tokenizer.ggml.fim_suf_token_id"))
+        v.fim_mid_id = _id(getattr(K, "FIM_MID_ID", "tokenizer.ggml.fim_mid_token_id"))
         v.add_bos = bool(g.get(K.ADD_BOS, v.model == "llama"))
         v.add_eos = bool(g.get(K.ADD_EOS, False))
         default_prefix = v.model == "llama"  # SPM defaults true, BPE false

@@ -186,6 +186,10 @@ def build_llama_gguf(
         w.add_array("tokenizer.ggml.tokens", toks)
         w.add_array("tokenizer.ggml.scores", scores)
         w.add_array("tokenizer.ggml.token_type", np.ones(vocab_size, np.int32))
+        if vocab_size >= 8:  # FIM markers on the filler tail (infill tests)
+            w.add_uint32("tokenizer.ggml.fim_pre_token_id", vocab_size - 3)
+            w.add_uint32("tokenizer.ggml.fim_suf_token_id", vocab_size - 2)
+            w.add_uint32("tokenizer.ggml.fim_mid_token_id", vocab_size - 1)
 
     def rand(*shape):
         return (rng.normal(0, scale, size=shape)).astype(np.float32)
