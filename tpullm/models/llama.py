@@ -27,13 +27,19 @@ from .config import ModelConfig
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    """Per-model KV cache: k/v shaped (L, B, S_max, H_kv, D)."""
+    """Per-model KV cache: k/v shaped (L, B, S_max, H_kv, D).
+
+    Quantized mode (type_k/type_v q8 analogue, llama.h:357): k/v are int8
+    with per-(pos, head) f32 row scales ks/vs — ~2x cache capacity; rows are
+    quantized on write and dequantized at attention time."""
 
     k: Any
     v: Any
+    ks: Any = None  # (L, B, S, H_kv) f32 row scales when quantized
+    vs: Any = None
 
     def tree_flatten(self):
-        return (self.k, self.v), None
+        return (self.k, self.v, self.ks, self.vs), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -43,11 +49,30 @@ class KVCache:
     def create(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         shape_k = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim)
         shape_v = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim_v)
+        if dtype in ("q8", "int8"):
+            return KVCache(
+                jnp.zeros(shape_k, jnp.int8), jnp.zeros(shape_v, jnp.int8),
+                jnp.zeros(shape_k[:-1], jnp.float32),
+                jnp.zeros(shape_v[:-1], jnp.float32),
+            )
         return KVCache(jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+
+def _kv_quant(x):
+    """(B, T, H, D) -> (int8 values, (B, T, H) f32 scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 def rms_norm(x, w, eps):
@@ -372,8 +397,22 @@ def forward(
         ok, ov = pad256(nq), pad256(nq) + pad256(nk)
         return y[..., :nq], y[..., ok: ok + nk], y[..., ov: ov + nv]
 
-    def _attend(q, k, v, p, k_cache, v_cache):
-        """Flat q/k/v rows -> attention output rows (+ updated caches)."""
+    kv_quant = cache.quantized
+
+    def _store(buf, val, bi=None, si=None):
+        if uniform:
+            return jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype),
+                (0, cache_pos[0]) + (0,) * (buf.ndim - 2))
+        return buf.at[(bi, si)].set(val.astype(buf.dtype))
+
+    def _view(buf):
+        if uniform:
+            return buf
+        return jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
+
+    def _attend(q, k, v, p, kv):
+        """Flat q/k/v rows -> attention output rows (+ updated cache parts)."""
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
@@ -386,43 +425,52 @@ def forward(
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
-        if uniform:  # contiguous fast path (SET_ROWS analogue)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_pos[0], 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_pos[0], 0, 0))
-            k_view, v_view = k_cache, v_cache
-        else:  # per-row scatter at (slot0+b, cache_pos[b]+t)
-            bi = slot0 + rows[:, None]
-            si = q_slots
-            k_cache = k_cache.at[bi, si].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[bi, si].set(v.astype(v_cache.dtype))
-            k_view = jax.lax.dynamic_slice_in_dim(k_cache, slot0, B, axis=0)
-            v_view = jax.lax.dynamic_slice_in_dim(v_cache, slot0, B, axis=0)
+        bi = slot0 + rows[:, None]
+        si = q_slots
+        if kv_quant:
+            k_cache, v_cache, ks_c, vs_c = kv
+            kq, k_sc = _kv_quant(k)
+            vq, v_sc = _kv_quant(v)
+            k_cache = _store(k_cache, kq, bi, si)
+            v_cache = _store(v_cache, vq, bi, si)
+            ks_c = _store(ks_c, k_sc, bi, si)
+            vs_c = _store(vs_c, v_sc, bi, si)
+            k_view = (_view(k_cache).astype(jnp.float32)
+                      * _view(ks_c)[..., None]).astype(dtype)
+            v_view = (_view(v_cache).astype(jnp.float32)
+                      * _view(vs_c)[..., None]).astype(dtype)
+            kv = (k_cache, v_cache, ks_c, vs_c)
+        else:
+            k_cache, v_cache = kv
+            k_cache = _store(k_cache, k, bi, si)
+            v_cache = _store(v_cache, v, bi, si)
+            k_view = _view(k_cache).astype(dtype)
+            v_view = _view(v_cache).astype(dtype)
+            kv = (k_cache, v_cache)
         is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
         att = attention(
-            q, k_view.astype(dtype), v_view.astype(dtype),
+            q, k_view, v_view,
             q_slots, kv_positions, positions, valid_from, cfg, is_swa,
         )
-        return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), k_cache, v_cache
+        return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
     def layer_fold(carry, inp):
         """One-program-per-layer path: the megakernel emitted this layer's
         fused qkv already; attention runs in XLA; the kernel then does
         wo+ffn AND the next layer's norm+qkv (ops/layer_kernel.ffn_block_qkv)."""
         x, y = carry
-        p, k_cache, v_cache, li = inp
+        p, kv, li = inp
         from ..ops.layer_kernel import ffn_block_qkv
 
         q, k, v = _split_qkv(y.astype(dtype))
-        att, k_cache, v_cache = _attend(q, k, v, p, k_cache, v_cache)
+        att, kv = _attend(q, k, v, p, kv)
         x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
                                   qw, li, cfg)
-        return (x, y_next), (k_cache, v_cache)
+        return (x, y_next), kv
 
     def layer(carry, inp):
         x = carry
-        p, k_cache, v_cache, li = inp
+        p, kv, li = inp
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
         nq = cfg.n_head * cfg.head_dim
         nk = cfg.n_head_kv * cfg.head_dim
@@ -447,14 +495,14 @@ def forward(
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
-        att, k_cache, v_cache = _attend(q, k, v, p, k_cache, v_cache)
+        att, kv = _attend(q, k, v, p, kv)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path
             from ..ops.layer_kernel import ffn_block
 
             x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
-            return x, (k_cache, v_cache)
+            return x, kv
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
@@ -489,12 +537,18 @@ def forward(
                 hmid = jnp.zeros((B, T, cfg.n_ff), dtype)
             sf = lambda a: (a.astype(jnp.float32) ** 2).sum(axis=(0, 1))
             stats = (sf(h), sf(att_in), sf(h2), sf(hmid))
-            return x, (k_cache, v_cache, stats)
-        return x, (k_cache, v_cache)
+            return x, kv + (stats,)
+        return x, kv
 
     groups = params["layers"].get("__groups__") or [params["layers"]]
-    new_ks, new_vs, all_stats = [], [], []
+    new_kv, all_stats = [], []
     off = 0
+
+    def _kv_slices(lo, hi):
+        parts = (cache.k[lo:hi], cache.v[lo:hi])
+        if kv_quant:
+            parts += (cache.ks[lo:hi], cache.vs[lo:hi])
+        return parts
     from ..ops.layer_kernel import supported as _block_supported
     from ..ops.qmm import use_pallas as _use_pallas
 
@@ -530,19 +584,22 @@ def forward(
             y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
             (x, _), ys = jax.lax.scan(
                 layer_fold, (x, y0),
-                (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids),
+                (fl, _kv_slices(off, off + L_g), ids),
             )
         else:
             x, ys = jax.lax.scan(
-                layer, x, (fl, cache.k[off:off + L_g], cache.v[off:off + L_g], ids)
+                layer, x, (fl, _kv_slices(off, off + L_g), ids)
             )
-        new_ks.append(ys[0])
-        new_vs.append(ys[1])
+        nparts = 4 if kv_quant else 2
+        new_kv.append(ys[:nparts])
         if collect_stats:
-            all_stats.append(ys[2])
+            all_stats.append(ys[nparts])
         off += L_g
-    new_k = jnp.concatenate(new_ks, axis=0) if len(new_ks) > 1 else new_ks[0]
-    new_v = jnp.concatenate(new_vs, axis=0) if len(new_vs) > 1 else new_vs[0]
+    def _cat(parts):
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    new_cache = KVCache(*(_cat([g[i] for g in new_kv])
+                          for i in range(len(new_kv[0]))))
     if logits_idx is not None:
         # lm_head over one position only (prefill chunks need just the last
         # real token's logits; skips the vocab matmul for the other T-1 rows)
@@ -560,7 +617,7 @@ def forward(
             "ffn_down_in": jnp.concatenate([s[3] for s in all_stats], axis=0),
             "output_in": (hidden.astype(jnp.float32) ** 2).sum(axis=(0, 1)),
         }
-        return logits, KVCache(new_k, new_v), stats
+        return logits, new_cache, stats
     if return_hidden:
-        return logits, KVCache(new_k, new_v), hidden
-    return logits, KVCache(new_k, new_v)
+        return logits, new_cache, hidden
+    return logits, new_cache

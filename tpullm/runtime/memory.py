@@ -87,13 +87,17 @@ class SlotMemory:
         """Snapshot a sequence: tokens + its KV rows (host numpy)."""
         st = self.slots[slot]
         n = st.n_past
-        return {
+        blob = {
             "version": 1,
             "tokens": np.asarray(st.tokens[:n], np.int32),
             # f32 on disk: npz cannot round-trip ml_dtypes bfloat16
             "k": np.asarray(self.cache.k[:, slot, :n], np.float32),
             "v": np.asarray(self.cache.v[:, slot, :n], np.float32),
         }
+        if self.cache.quantized:  # store dequantized rows (portable)
+            blob["k"] = blob["k"] * np.asarray(self.cache.ks[:, slot, :n])[..., None]
+            blob["v"] = blob["v"] * np.asarray(self.cache.vs[:, slot, :n])[..., None]
+        return blob
 
     def load_slot(self, slot: int, blob: dict) -> int:
         """Restore a snapshot into a slot; returns n_past restored."""
@@ -102,12 +106,24 @@ class SlotMemory:
         n = len(toks)
         if n > self.max_seq_len:
             raise ValueError(f"snapshot {n} tokens > max_seq_len {self.max_seq_len}")
-        k = jnp.asarray(blob["k"], self.cache.k.dtype)
-        v = jnp.asarray(blob["v"], self.cache.v.dtype)
-        self.cache = KVCache(
-            self.cache.k.at[:, slot, :n].set(k),
-            self.cache.v.at[:, slot, :n].set(v),
-        )
+        if self.cache.quantized:
+            from ..models.llama import _kv_quant
+
+            kq, ksc = _kv_quant(jnp.asarray(blob["k"], jnp.float32))
+            vq, vsc = _kv_quant(jnp.asarray(blob["v"], jnp.float32))
+            self.cache = KVCache(
+                self.cache.k.at[:, slot, :n].set(kq),
+                self.cache.v.at[:, slot, :n].set(vq),
+                self.cache.ks.at[:, slot, :n].set(ksc),
+                self.cache.vs.at[:, slot, :n].set(vsc),
+            )
+        else:
+            k = jnp.asarray(blob["k"], self.cache.k.dtype)
+            v = jnp.asarray(blob["v"], self.cache.v.dtype)
+            self.cache = KVCache(
+                self.cache.k.at[:, slot, :n].set(k),
+                self.cache.v.at[:, slot, :n].set(v),
+            )
         st = self.slots[slot]
         st.tokens = toks
         st.n_past = n
@@ -136,12 +152,13 @@ class SlotMemory:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_slot(cache: KVCache, src, dst):
-    k = jax.lax.dynamic_slice_in_dim(cache.k, src, 1, axis=1)
-    v = jax.lax.dynamic_slice_in_dim(cache.v, src, 1, axis=1)
-    return KVCache(
-        jax.lax.dynamic_update_slice_in_dim(cache.k, k, dst, axis=1),
-        jax.lax.dynamic_update_slice_in_dim(cache.v, v, dst, axis=1),
-    )
+    def cp(buf):
+        if buf is None:
+            return None
+        row = jax.lax.dynamic_slice_in_dim(buf, src, 1, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(buf, row, dst, axis=1)
+
+    return KVCache(cp(cache.k), cp(cache.v), cp(cache.ks), cp(cache.vs))
 
 
 def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
@@ -154,8 +171,18 @@ def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
 
     k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)  # (L,1,S,H,D)
     v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    if cache.quantized:  # dequantize this slot, shift in float, requantize
+        ks = jnp.take(jax.lax.dynamic_slice_in_dim(cache.ks, slot, 1, axis=1),
+                      src, axis=2)
+        vs = jnp.take(jax.lax.dynamic_slice_in_dim(cache.vs, slot, 1, axis=1),
+                      src, axis=2)
+        k_slot = (k_slot.astype(jnp.float32))
+        v_slot = (v_slot.astype(jnp.float32))
     k_rolled = jnp.take(k_slot, src, axis=2)
     v_rolled = jnp.take(v_slot, src, axis=2)
+    if cache.quantized:
+        k_rolled = k_rolled * ks[..., None]
+        v_rolled = v_rolled * vs[..., None]
 
     # RoPE delta: rotating a post-rope K from position p to p-nd multiplies
     # by the rotation at angle (-nd) — constant across rows.
@@ -169,6 +196,18 @@ def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
     def rot_layer(k_l):
         return apply_rope(k_l[None], cosS, sinS, cfg.rope_type, cfg.rope_dim)[0]
 
+    if cache.quantized:
+        from ..models.llama import _kv_quant
+
+        k_shifted = jax.vmap(rot_layer)(kr).astype(jnp.float32)
+        k_new = jnp.where(moved[None, :, None, None], k_shifted,
+                          k_rolled.reshape(L, S, H, D))
+        kq, ksc = _kv_quant(k_new)
+        vq, vsc = _kv_quant(v_rolled.reshape(L, S, H, -1))
+        upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
+            buf, val[:, None], slot, axis=1)
+        return KVCache(upd(cache.k, kq), upd(cache.v, vq),
+                       upd(cache.ks, ksc), upd(cache.vs, vsc))
     k_shifted = jax.vmap(rot_layer)(kr).astype(cache.k.dtype)
     k_new = jnp.where(moved[None, :, None, None], k_shifted, k_rolled.reshape(L, S, H, D))
     return KVCache(
