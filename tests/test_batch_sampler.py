@@ -75,6 +75,30 @@ def test_penalty_state_ring():
     assert np.asarray(st.counts)[1].sum() == 0
 
 
+def test_dry_penalty():
+    from tpullm.ops.sampling import BatchSamplerParams, apply_dry
+
+    # context ends with pattern "5 6"; an earlier "5 6" is followed by 7 ->
+    # token 7 must be penalized (match length 2 >= allowed 2)
+    ordered = jnp.asarray([[-1, -1, 3, 5, 6, 7, 9, 5, 6]], jnp.int32)
+    V = 12
+    logits = jnp.zeros((1, V), jnp.float32)
+    p = BatchSamplerParams.neutral(1)
+    p = BatchSamplerParams(**{
+        **{f: getattr(p, f) for f in p._FIELDS},
+        "dry_multiplier": jnp.asarray([1.0], jnp.float32),
+        "dry_base": jnp.asarray([2.0], jnp.float32),
+        "dry_allowed": jnp.asarray([2], jnp.int32),
+    })
+    out = np.asarray(apply_dry(logits, ordered, p))
+    assert out[0, 7] < -0.5, out[0]  # extender penalized
+    assert out[0, 9] == 0.0  # match len 1 ("6"->9? no: after "6" once) ...
+    assert out[0, 3] == 0.0
+    # no context -> no penalty
+    out2 = np.asarray(apply_dry(logits, jnp.full((1, 9), -1, jnp.int32), p))
+    assert (out2 == 0).all()
+
+
 def test_greedy_batch():
     logits = jnp.asarray([[1.0, 5.0, 2.0], [3.0, 0.0, 7.0]])
     p = BatchSamplerParams.neutral(2)

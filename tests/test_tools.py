@@ -72,6 +72,30 @@ def test_perplexity_runner(tiny_gguf):
     assert math.isfinite(r["ppl"]) and r["ppl"] > 1.0
 
 
+def test_kl_divergence_self_is_zero(tiny_gguf, tmp_path):
+    from tpullm.tools.perplexity import compute_kl, save_logits
+
+    text = " ".join(f"tok{i % 20}" for i in range(900))
+    base = str(tmp_path / "base.npz")
+    save_logits(tiny_gguf, text, base, n_ctx=64, max_chunks=2)
+    r = compute_kl(tiny_gguf, base, progress=False)
+    assert r["tokens"] > 0
+    assert r["mean_kl"] < 1e-3, r  # self-KL ~ f16 rounding only
+    assert r["top1_agreement"] > 0.99
+
+
+def test_hellaswag_runner(tiny_gguf):
+    from tpullm.tools.perplexity import hellaswag
+
+    tasks = [
+        {"ctx": "tok1 tok2", "endings": ["tok3", "tok4 tok5"], "label": 0},
+        {"ctx": "tok6", "endings": ["tok7", "tok8"], "label": 1},
+    ]
+    r = hellaswag(tiny_gguf, tasks, progress=False)
+    assert r["tasks"] == 2
+    assert 0.0 <= r["accuracy"] <= 1.0
+
+
 def test_tokenize_cli(tiny_gguf, capsys):
     from tpullm.tools.tokenize import main
 

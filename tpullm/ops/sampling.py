@@ -38,6 +38,9 @@ class SamplerConfig:
     penalty_present: float = 0.0
     mirostat_tau: float = 0.0  # >0 enables mirostat v2
     mirostat_eta: float = 0.1
+    dry_multiplier: float = 0.0  # >0 enables DRY
+    dry_base: float = 1.75
+    dry_allowed: int = 2
     greedy: bool = False
 
     @property
@@ -199,11 +202,15 @@ class BatchSamplerParams:
     penalty_present: jnp.ndarray  # (B,) f32
     mirostat_tau: jnp.ndarray  # (B,) f32; >0 enables mirostat v2
     mirostat_eta: jnp.ndarray  # (B,) f32
+    dry_multiplier: jnp.ndarray  # (B,) f32; >0 enables DRY
+    dry_base: jnp.ndarray  # (B,) f32
+    dry_allowed: jnp.ndarray  # (B,) i32 allowed repeat length
 
     _FIELDS = (
         "temperature", "top_k", "top_p", "min_p", "typical_p", "top_n_sigma",
         "xtc_probability", "xtc_threshold", "penalty_repeat", "penalty_freq",
         "penalty_present", "mirostat_tau", "mirostat_eta",
+        "dry_multiplier", "dry_base", "dry_allowed",
     )
 
     def tree_flatten(self):
@@ -222,6 +229,8 @@ class BatchSamplerParams:
             xtc_probability=f(0.0), xtc_threshold=f(0.1), penalty_repeat=f(1.0),
             penalty_freq=f(0.0), penalty_present=f(0.0),
             mirostat_tau=f(0.0), mirostat_eta=f(0.1),
+            dry_multiplier=f(0.0), dry_base=f(1.75),
+            dry_allowed=jnp.full((B,), 2, jnp.int32),
         )
 
     def with_row(self, i: int, cfg: SamplerConfig) -> "BatchSamplerParams":
@@ -235,6 +244,9 @@ class BatchSamplerParams:
             penalty_present=cfg.penalty_present,
             mirostat_tau=getattr(cfg, "mirostat_tau", 0.0),
             mirostat_eta=getattr(cfg, "mirostat_eta", 0.1),
+            dry_multiplier=getattr(cfg, "dry_multiplier", 0.0),
+            dry_base=getattr(cfg, "dry_base", 1.75),
+            dry_allowed=getattr(cfg, "dry_allowed", 2),
         )
         new = {f: getattr(self, f).at[i].set(vals[f]) for f in self._FIELDS}
         return BatchSamplerParams(**new)
@@ -244,7 +256,40 @@ def _col(x):
     return x[:, None]
 
 
-def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None):
+def apply_dry(logits, ordered, p: BatchSamplerParams, max_match: int = 16):
+    """DRY repetition penalty (llama_sampler_dry, vectorized on device).
+
+    ordered: (B, N) recent tokens oldest->newest (-1 = empty). For every
+    position i, the match length m_i is the longest suffix of the context
+    that equals the tokens ending just before i; the token ordered[i] (which
+    would EXTEND that repeat) is penalized by multiplier * base^(m-allowed)
+    for m >= allowed, taking the max match per candidate token.
+    """
+    B, N = ordered.shape
+    V = logits.shape[-1]
+    # eq[b, i, j]: ordered[i-1-j] == ordered[N-1-j] (suffix alignment)
+    js = jnp.arange(max_match)
+    idx_ctx = jnp.arange(N)[:, None] - 1 - js[None, :]  # (N, J)
+    valid = idx_ctx >= 0
+    ctx = ordered[:, jnp.maximum(idx_ctx, 0)]  # (B, N, J)
+    tail = ordered[:, None, N - 1 - js]  # (B, 1, J)
+    eq = (ctx == tail) & valid[None] & (ctx >= 0)
+    m = jnp.cumprod(eq.astype(jnp.int32), axis=-1).sum(axis=-1)  # (B, N)
+    cand = ordered  # token that would extend the match ending at i-1
+    pen_exp = m - p.dry_allowed[:, None] + 1
+    pen = jnp.where(
+        (pen_exp > 0) & (cand >= 0),
+        _col(p.dry_multiplier) * _col(p.dry_base) ** (pen_exp - 1).astype(jnp.float32),
+        0.0,
+    )
+    # scatter-max per token id
+    out = jnp.zeros((B, V), logits.dtype)
+    out = out.at[jnp.arange(B)[:, None], jnp.maximum(cand, 0)].max(pen)
+    return logits - out
+
+
+def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None,
+                 dry_ctx=None):
     """(B, V) f32 logits + per-row params -> (B,) i32 tokens (or
     (tokens, new_mu) when ``mu`` is given). Chain order follows
     common/common.h:244-254 (penalties -> top_n_sigma -> top_k -> typical ->
@@ -263,6 +308,9 @@ def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None):
         logits = jnp.where(used, rep, logits)
         logits = logits - counts * _col(p.penalty_freq) \
             - used.astype(jnp.float32) * _col(p.penalty_present)
+
+    if dry_ctx is not None:
+        logits = apply_dry(logits, dry_ctx, p)
 
     # top_n_sigma
     mx = logits.max(axis=-1, keepdims=True)
@@ -386,3 +434,9 @@ class PenaltyState:
         return PenaltyState(
             self.counts.at[i].set(0), self.ring.at[i].set(-1), self.pos.at[i].set(0)
         )
+
+    def ordered(self):
+        """Ring -> (B, N) tokens oldest->newest (-1 where empty)."""
+        B, N = self.ring.shape
+        idx = (jnp.arange(N)[None, :] + self.pos[:, None]) % N
+        return jnp.take_along_axis(self.ring, idx, axis=1)

@@ -51,6 +51,9 @@ class GenParams:
     mirostat: int = 0  # 0=off, 2=mirostat v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
     seed: int = -1  # -1 -> time-based
     stop: list[str] = field(default_factory=list)
     ignore_eos: bool = False
@@ -69,6 +72,8 @@ class GenParams:
             penalty_freq=self.penalty_freq, penalty_present=self.penalty_present,
             mirostat_tau=self.mirostat_tau if self.mirostat == 2 else 0.0,
             mirostat_eta=self.mirostat_eta,
+            dry_multiplier=self.dry_multiplier, dry_base=self.dry_base,
+            dry_allowed=self.dry_allowed_length,
             greedy=greedy,
         )
 
@@ -181,7 +186,8 @@ class ServerContext:
             def body(carry, step):
                 logits, pos, cache, pen, mu, key = carry
                 key, sub = jax.random.split(key)
-                nxt, mu = sample_batch(logits, sparams, sub, pen.counts, mu)
+                nxt, mu = sample_batch(logits, sparams, sub, pen.counts, mu,
+                                       dry_ctx=pen.ordered())
                 nxt = jnp.where(use_forced & (step == 0), forced, nxt)
                 pen = pen.push(nxt)
                 lp = jax.nn.log_softmax(logits, axis=-1)

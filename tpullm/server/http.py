@@ -35,6 +35,8 @@ def _gen_params(body: dict) -> GenParams:
         "mirostat": "mirostat", "mirostat_tau": "mirostat_tau",
         "mirostat_eta": "mirostat_eta", "n_keep": "n_keep",
         "top_logprobs": "n_probs",
+        "dry_multiplier": "dry_multiplier", "dry_base": "dry_base",
+        "dry_allowed_length": "dry_allowed_length",
     }
     for k, attr in m.items():
         if k in body and body[k] is not None:
