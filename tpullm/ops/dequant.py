@@ -167,6 +167,13 @@ def jax_bitcast_f32(u32):
     return lax.bitcast_convert_type(u32, jnp.float32)
 
 
+def _dq_tq2_0(p):
+    q = p["qs"].reshape(*p["qs"].shape[:-1], 2, 32).astype(jnp.int32)
+    parts = [((q >> s) & 3) - 1 for s in (0, 2, 4, 6)]
+    grid = jnp.stack(parts, axis=-2).reshape(*p["qs"].shape[:-1], 256)
+    return _f32(p["d"])[..., None] * grid.astype(jnp.float32)
+
+
 _DEQUANT_JAX = {
     GGMLType.Q4_0: _dq_q4_0,
     GGMLType.Q4_1: _dq_q4_1,
@@ -182,6 +189,7 @@ _DEQUANT_JAX = {
     GGMLType.IQ4_NL: _dq_iq4_nl,
     GGMLType.IQ4_XS: _dq_iq4_xs,
     GGMLType.MXFP4: _dq_mxfp4,
+    GGMLType.TQ2_0: _dq_tq2_0,
 }
 
 

@@ -65,6 +65,7 @@ KM_SPECS: dict[GGMLType, KmSpec] = {
     GGMLType.IQ4_NL: KmSpec("u4", 32, False, LUT_IQ4NL),
     GGMLType.IQ4_XS: KmSpec("u4", 32, False, LUT_IQ4NL),
     GGMLType.MXFP4: KmSpec("u4", 32, False, LUT_MXFP4),
+    GGMLType.TQ2_0: KmSpec("i8", 256, False),
 }
 
 KMAJOR_TYPES = frozenset(KM_SPECS)
@@ -157,6 +158,11 @@ def _grid_scale_bias(planar: dict, qtype: GGMLType):
             *planar["qs"].shape[:-1], 256)
         sc = _f32(planar["d"])[..., None] * planar["sc"].astype(np.float32)
         return _fl(grid), _fl2(sc), None
+    if t == GGMLType.TQ2_0:
+        q = planar["qs"].reshape(*planar["qs"].shape[:-1], 2, 32).astype(np.int16)
+        parts = [((q >> s) & 3) - 1 for s in (0, 2, 4, 6)]
+        grid = np.stack(parts, axis=-2).reshape(*planar["qs"].shape[:-1], 256)
+        return _fl(grid), _fl2(_f32(planar["d"])), None
     if t == GGMLType.MXFP4:
         lo, hi = _nib(planar["qs"])
         grid = np.concatenate([lo, hi], axis=-1)

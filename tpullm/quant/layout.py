@@ -130,6 +130,8 @@ def decode_planar(data: np.ndarray, qtype: GGMLType) -> dict[str, np.ndarray]:
         return {"qs": b[..., 8:136], "sc": ls, "d": _f16_field(b, 0)}
     if qtype == GGMLType.MXFP4:
         return {"qs": b[..., 1:17], "e": b[..., 0]}
+    if qtype == GGMLType.TQ2_0:
+        return {"qs": b[..., 0:64], "d": _f16_field(b, 64)}
     raise NotImplementedError(f"planar layout for {qtype.name}")
 
 
@@ -149,5 +151,6 @@ PLANAR_TYPES = frozenset(
         GGMLType.IQ4_NL,
         GGMLType.IQ4_XS,
         GGMLType.MXFP4,
+        GGMLType.TQ2_0,
     }
 )

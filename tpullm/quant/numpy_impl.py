@@ -312,6 +312,33 @@ def _dq_tq2_0(blk):
     return d * q
 
 
+
+def _dq_tq2_0(blk):
+    """TQ2_0 ternary: 64B of 2-bit trits (value-1 offset) + f16 d per 256
+    (ggml-common.h block_tq2_0; dequantize_row_tq2_0 order: per 32-byte
+    chunk, shift planes 0,2,4,6)."""
+    qs = blk[..., 0:64]
+    d = _f16_at(blk, 64)
+    q = qs.reshape(*qs.shape[:-1], 2, 32)
+    parts = [((q >> s) & 3).astype(np.int32) - 1 for s in (0, 2, 4, 6)]
+    grid = np.stack(parts, axis=-2).reshape(*qs.shape[:-1], 256)
+    return d[..., None] * grid.astype(np.float32)
+
+
+def _q_tq2_0(x):
+    x = x.reshape(-1, 256).astype(np.float32)
+    d = np.abs(x).max(axis=-1)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)
+    q = np.clip(_rint(x * inv[:, None]) + 1, 0, 2).astype(np.uint8)
+    qg = q.reshape(-1, 2, 4, 32)
+    packed = (qg[:, :, 0] | (qg[:, :, 1] << 2) | (qg[:, :, 2] << 4)
+              | (qg[:, :, 3] << 6)).reshape(-1, 64)
+    out = np.zeros((x.shape[0], 66), np.uint8)
+    out[:, 0:64] = packed
+    _store_f16(out, 64, d)
+    return out
+
+
 _DEQUANT = {
     GGMLType.Q4_0: _dq_q4_0,
     GGMLType.Q4_1: _dq_q4_1,
@@ -328,6 +355,7 @@ _DEQUANT = {
     GGMLType.IQ4_NL: _dq_iq4_nl,
     GGMLType.IQ4_XS: _dq_iq4_xs,
     GGMLType.MXFP4: _dq_mxfp4,
+    GGMLType.TQ2_0: _dq_tq2_0,
     GGMLType.TQ2_0: _dq_tq2_0,
 }
 
@@ -877,6 +905,7 @@ _QUANT = {
     GGMLType.Q5_K: _q_q5_K,
     GGMLType.Q6_K: _q_q6_K,
     GGMLType.MXFP4: _q_mxfp4,
+    GGMLType.TQ2_0: _q_tq2_0,
 }
 
 
