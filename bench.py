@@ -136,8 +136,9 @@ def main():
     )
     qbytes = n_params * 144 / 256  # Q4_K: 144B per 256 elems
 
-    eng = InferenceEngine(cfg, params, max_seq_len=1024, compute_dtype=jnp.bfloat16)
-    B, T_PP, N_TG = 1, 512, 64
+    eng = InferenceEngine(cfg, params, max_seq_len=1024,
+                          compute_dtype=jnp.bfloat16, decode_chunk=64)
+    B, T_PP, N_TG = 1, 512, 128
     prompt = [list(range(2, T_PP + 2))]
 
     # warmup (compile)

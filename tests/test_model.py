@@ -93,3 +93,34 @@ def test_tied_embeddings(tmp_path):
     eng = InferenceEngine(cfg, params, max_seq_len=64, compute_dtype=jnp.float32)
     r = eng.generate([[1, 2, 3]], max_new_tokens=3)
     assert len(r.tokens[0]) == 3
+
+
+def test_swa_pattern_per_layer():
+    """Interleaved local/global attention (gemma2/3 style): pattern=2 must
+    differ from all-SWA and from no-SWA, and stay finite."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpullm.gguf.constants import GGMLType
+    from tpullm.models.llama import KVCache, forward
+    from tpullm.utils.synth import synth_qparams
+
+    cfg, params = synth_qparams(
+        vocab_size=64, n_embd=128, n_layer=2, n_head=2, n_head_kv=2,
+        n_ff=128, qtype=GGMLType.Q8_0, seed=12)
+    tokens = jnp.asarray([[1, 3, 5, 7, 9, 11, 13, 15]], jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    vf = jnp.zeros((1,), jnp.int32)
+
+    def run(c):
+        logits, _ = forward(params, c, tokens, pos, KVCache.create(c, 1, 8), 0, vf)
+        return np.asarray(logits)
+
+    base = run(cfg)
+    all_swa = run(dataclasses.replace(cfg, sliding_window=3, swa_pattern=1))
+    pat2 = run(dataclasses.replace(cfg, sliding_window=3, swa_pattern=2))
+    assert np.isfinite(pat2).all()
+    assert not np.allclose(pat2, base, atol=1e-3)
+    assert not np.allclose(pat2, all_swa, atol=1e-3)

@@ -169,7 +169,8 @@ def _mm(x, qt: QTensor, dtype, layer=None):
     return qmm(x, qt, dtype, layer=layer)
 
 
-def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg: ModelConfig, layer_is_swa=False):
+def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
+              cfg: ModelConfig, layer_is_swa=False, window=None):
     """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
 
     Masking is slot-based: kv slot s is attendable by the query at slot
@@ -184,7 +185,8 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     from ..ops.flash_attention import flash_attention, flash_supported
     from ..ops.qmm import use_pallas
 
-    if use_pallas() and flash_supported(T, S, Dk, v_all.shape[-1]):
+    if (window is None and use_pallas()
+            and flash_supported(T, S, Dk, v_all.shape[-1])):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
         # score materialization); decode/small-T keeps the XLA einsum path
         return flash_attention(q, k_all, v_all, q_slots, kv_positions,
@@ -199,10 +201,11 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from, cfg
     kv_slot = jnp.arange(S)[None, None, None, None, :]  # (1,1,1,1,S)
     q_slot = q_slots[:, None, None, :, None]  # (B,1,1,T,1)
     mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None, None])
-    if layer_is_swa and cfg.sliding_window:
+    if layer_is_swa and (cfg.sliding_window or window is not None):
+        win = window if window is not None else cfg.sliding_window
         kv_pos = kv_positions[:, None, None, None, :]  # (B,1,1,1,S) real positions
         q_pos = positions[:, None, None, :, None]
-        mask = mask & (kv_pos > q_pos - cfg.sliding_window)
+        mask = mask & (kv_pos > q_pos - win)
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
@@ -411,8 +414,8 @@ def forward(
             return buf
         return jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
 
-    def _attend(q, k, v, p, kv):
-        """Flat q/k/v rows -> attention output rows (+ updated cache parts)."""
+    def _attend_qkv(q, k, v, p, kv):
+        """Flat q/k/v rows -> (q heads, kv views, updated cache parts)."""
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
@@ -447,11 +450,24 @@ def forward(
             k_view = _view(k_cache).astype(dtype)
             v_view = _view(v_cache).astype(dtype)
             kv = (k_cache, v_cache)
-        is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
-        att = attention(
-            q, k_view, v_view,
-            q_slots, kv_positions, positions, valid_from, cfg, is_swa,
-        )
+        return q, k_view, v_view, kv
+
+    def _attend(q, k, v, p, kv, li=None):
+        q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv)
+        if cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
+            # interleaved local/global layers (gemma2/3, cohere2 style:
+            # every swa_pattern-th layer is full attention,
+            # src/llama-hparams.h:132 set_swa_pattern) — the window is a
+            # traced per-layer value so one compiled graph covers both
+            is_swa_l = ((li + 1) % cfg.swa_pattern) != 0
+            window = jnp.where(is_swa_l, cfg.sliding_window, 1 << 30)
+            att = attention(q, k_view, v_view, q_slots, kv_positions,
+                            positions, valid_from, cfg, True,
+                            window=window)
+        else:
+            is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
+            att = attention(q, k_view, v_view, q_slots, kv_positions,
+                            positions, valid_from, cfg, is_swa)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
     def layer_fold(carry, inp):
@@ -463,7 +479,7 @@ def forward(
         from ..ops.layer_kernel import ffn_block_qkv
 
         q, k, v = _split_qkv(y.astype(dtype))
-        att, kv = _attend(q, k, v, p, kv)
+        att, kv = _attend(q, k, v, p, kv, li)
         x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
                                   qw, li, cfg)
         return (x, y_next), kv
@@ -495,7 +511,7 @@ def forward(
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
-        att, kv = _attend(q, k, v, p, kv)
+        att, kv = _attend(q, k, v, p, kv, li)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path

@@ -21,8 +21,8 @@ ARCH_REGISTRY: dict[str, dict] = {
     "qwen3moe": dict(rope_type="neox", attn_qk_norm=True),
     "qwen2moe": dict(rope_type="neox", attn_bias=True),
     "gemma": dict(rope_type="neox", act_fn="gelu", embedding_scale=-1.0),
-    "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True, embedding_scale=-1.0),
-    "gemma3": dict(rope_type="neox", act_fn="gelu", post_norms=True, attn_qk_norm=True, embedding_scale=-1.0),
+    "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True, embedding_scale=-1.0, swa_pattern=2),
+    "gemma3": dict(rope_type="neox", act_fn="gelu", post_norms=True, attn_qk_norm=True, embedding_scale=-1.0, swa_pattern=6),
     "phi2": dict(rope_type="neox", parallel_residual=True, norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
     "phi3": dict(rope_type="neox"),
     "mixtral": dict(rope_type="norm"),
@@ -39,7 +39,7 @@ ARCH_REGISTRY: dict[str, dict] = {
     "exaone": dict(rope_type="norm"),
     "exaone4": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
     "minicpm": dict(rope_type="norm"),
-    "cohere2": dict(rope_type="norm", norm_type="layernorm"),
+    "cohere2": dict(rope_type="norm", norm_type="layernorm", swa_pattern=4),
     "command-r": dict(rope_type="norm", norm_type="layernorm", parallel_residual=True),
 }
 
