@@ -111,3 +111,29 @@ def test_gguf_dump_cli(tiny_gguf, capsys):
     main([tiny_gguf, "--json", "--no-tensors"])
     out = json.loads(capsys.readouterr().out)
     assert out["metadata"]["general.architecture"] == "llama"
+
+
+def test_gguf_endian_roundtrip(tiny_gguf, tmp_path):
+    """LE -> BE -> read back: dequantized weights identical."""
+    from tpullm.gguf.reader import GGUFFile
+    from tpullm.quant.numpy_impl import dequantize
+    from tpullm.tools.gguf_convert_endian import convert
+    from tpullm.tools.quantize import quantize_gguf
+
+    q = str(tmp_path / "q.gguf")
+    quantize_gguf(tiny_gguf, q, "Q4_K_M", nthread=2)
+    be = str(tmp_path / "be.gguf")
+    n = convert(q, be, "big")
+    assert n > 0
+    g0, g1 = GGUFFile(q), GGUFFile(be)
+    assert g1.byteorder == ">"
+    assert g1.get("llama.embedding_length") == g0.get("llama.embedding_length")
+    for name in ("blk.0.attn_q.weight", "blk.0.ffn_down.weight", "output_norm.weight"):
+        ti0, ti1 = g0.tensors[name], g1.tensors[name]
+        assert ti0.ggml_type == ti1.ggml_type
+        n_in = ti0.shape[0]
+        rows = ti0.n_elements // n_in
+        w0 = dequantize(g0.tensor_data(name).reshape(rows, -1), ti0.ggml_type)
+        # reading a BE file on a LE host: reader must un-swap
+        w1 = dequantize(g1.tensor_data(name).reshape(rows, -1), ti1.ggml_type)
+        np.testing.assert_array_equal(w0, w1)

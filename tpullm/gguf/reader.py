@@ -211,11 +211,22 @@ class GGUFFile:
         return list(self.tensors.keys())
 
     def tensor_data(self, name: str) -> np.ndarray:
-        """Raw payload bytes as uint8 view (zero-copy from mmap)."""
+        """Payload bytes as uint8 in HOST byte order (zero-copy from mmap
+        when the file matches the host; a swapped copy otherwise — the
+        quantized-block field swap of gguf_convert_endian in reverse)."""
         ti = self.tensors[name]
         mm = self._mmaps[ti.file_index]
         base = self._data_offsets[ti.file_index] + ti.offset
-        return np.frombuffer(mm, dtype=np.uint8, count=ti.n_bytes, offset=base)
+        raw = np.frombuffer(mm, dtype=np.uint8, count=ti.n_bytes, offset=base)
+        host = "<" if _host_le() else ">"
+        if self.byteorder != host:
+            from .endian import swap_block_fields
+
+            try:
+                return swap_block_fields(raw, ti.ggml_type)
+            except NotImplementedError:
+                pass  # integer types etc: handled by tensor_array views
+        return raw
 
     def tensor_array(self, name: str) -> np.ndarray:
         """Typed view for non-quantized tensors; uint8 block view for quantized.
@@ -236,18 +247,19 @@ class GGUFFile:
             GGMLType.I32: np.int32,
             GGMLType.I64: np.int64,
         }
+        host = "<" if _host_le() else ">"
+        already_host = self.byteorder == host or t in (
+            GGMLType.F32, GGMLType.F16, GGMLType.BF16)  # tensor_data swapped
         if t in np_map:
-            dt = np.dtype(np_map[t]).newbyteorder(self.byteorder)
+            dt = np.dtype(np_map[t])
+            if not already_host:
+                dt = dt.newbyteorder(self.byteorder)
             arr = raw.view(dt).reshape(ti.np_shape)
             if dt != np.dtype(np_map[t]):
                 arr = arr.astype(np_map[t])  # byteswap copy to host order
             return arr
         if t == GGMLType.BF16:
-            dt = np.dtype(np.uint16).newbyteorder(self.byteorder)
-            arr = raw.view(dt).reshape(ti.np_shape)
-            if dt != np.dtype(np.uint16):
-                arr = arr.astype(np.uint16)
-            return arr
+            return raw.view(np.uint16).reshape(ti.np_shape)
         blk, bs = type_block_size(t), type_size_bytes(t)
         outer = ti.np_shape[:-1]
         return raw.reshape(*outer, ti.shape[0] // blk, bs)
