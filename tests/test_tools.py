@@ -137,3 +137,22 @@ def test_gguf_endian_roundtrip(tiny_gguf, tmp_path):
         # reading a BE file on a LE host: reader must un-swap
         w1 = dequantize(g1.tensor_data(name).reshape(rows, -1), ti1.ggml_type)
         np.testing.assert_array_equal(w0, w1)
+
+
+def test_fit_tool(tiny_gguf):
+    from tpullm.tools.fit import fit
+
+    r = fit(tiny_gguf, hbm_gb=16.0, n_slots=2)
+    assert r["fits"] is True
+    assert r["weight_gb"] > 0
+    assert r["suggested_n_ctx"] >= 256
+    tight = fit(tiny_gguf, hbm_gb=0.001, n_slots=2)
+    assert tight["fits"] is False or tight["suggested_n_ctx"] < 512
+
+
+def test_override_kv(tiny_gguf):
+    from tpullm.runtime.loader import load_model
+
+    cfg, _, _ = load_model(tiny_gguf, device_put=False,
+                           override_kv={"llama.rope.freq_base": 123456.0})
+    assert cfg.rope_base == 123456.0

@@ -93,12 +93,17 @@ def _stack_qtensors(items: list[QTensor], device_put: bool = True) -> QTensor:
     return QTensor(t0.qtype, (len(items),) + t0.shape, data)
 
 
-def load_model(path: str, device_put: bool = True, fuse: bool = True):
+def load_model(path: str, device_put: bool = True, fuse: bool = True,
+               override_kv: dict | None = None):
     """Returns (config, params dict, GGUFFile).
 
     fuse: concatenate QKV / gate-up into single kmajor weights (one fused
-    kernel launch per block pair; tpullm.ops.fuse)."""
+    kernel launch per block pair; tpullm.ops.fuse).
+    override_kv: metadata overrides applied before hparam parsing
+    (--override-kv, llama.h:268-279)."""
     g = GGUFFile(path)
+    if override_kv:
+        g.metadata.update(override_kv)
     cfg = config_from_gguf(g)
     params: dict[str, Any] = {}
 

@@ -18,6 +18,11 @@ def main(argv=None):
     ap.add_argument("--alias", default=None, help="model name in the API")
     ap.add_argument("--lora", default=None, help="LoRA adapter GGUF")
     ap.add_argument("--lora-scale", type=float, default=1.0)
+    ap.add_argument("--kv-type", default="bf16", choices=("bf16", "f32", "q8"),
+                    help="KV cache storage type")
+    ap.add_argument("--override-kv", action="append", default=[],
+                    metavar="KEY=TYPE:VALUE",
+                    help="metadata override, e.g. llama.rope.freq_base=float:1e6")
     args = ap.parse_args(argv)
 
     from ..runtime.loader import load_model
@@ -25,8 +30,16 @@ def main(argv=None):
     from .context import ServerContext
     from .http import serve
 
+    overrides = {}
+    for spec in args.override_kv:
+        key, _, tv = spec.partition("=")
+        typ, _, val = tv.partition(":")
+        cast = {"int": int, "float": float, "bool": lambda s: s.lower() == "true",
+                "str": str}.get(typ, str)
+        overrides[key] = cast(val if val else typ)
+
     print(f"loading {args.model} ...", file=sys.stderr)
-    cfg, params, g = load_model(args.model)
+    cfg, params, g = load_model(args.model, override_kv=overrides or None)
     if args.lora:
         from ..runtime.lora import apply_lora_to_params, load_lora
 
@@ -34,10 +47,14 @@ def main(argv=None):
         params = apply_lora_to_params(params, lora, meta)
         print(f"applied LoRA {args.lora} (rank {meta['rank']})", file=sys.stderr)
     tok = Tokenizer.from_gguf(g)
+    import jax.numpy as jnp
+
+    kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32, "q8": "q8"}[args.kv_type]
     ctx = ServerContext(
         cfg, params, tok, n_slots=args.parallel, max_seq_len=args.ctx_size,
         decode_chunk=args.decode_chunk, prefill_chunk=args.prefill_chunk,
         model_name=args.alias or args.model.rsplit("/", 1)[-1],
+        kv_dtype=kv_dtype,
     )
     print(f"serving {cfg.arch} on http://{args.host}:{args.port} "
           f"({args.parallel} slots, ctx {args.ctx_size})", file=sys.stderr)
