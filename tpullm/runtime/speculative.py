@@ -191,3 +191,123 @@ def eng_default_sampler(eng):
     from ..ops.sampling import SamplerConfig, make_sample_fn
 
     return make_sample_fn(SamplerConfig(temperature=1.0, top_k=40))
+
+
+class DraftModelSpeculativeDecoder:
+    """Two-model speculative decoding (SPEC_TYPE_DRAFT,
+    common/speculative.cpp): a small draft model proposes k tokens
+    greedily, the target verifies them in one ubatch and accepts the
+    longest matching prefix. Both models run inside one jitted chunk, so
+    the whole draft+verify loop stays on device.
+    """
+
+    def __init__(self, target_engine, draft_cfg, draft_params,
+                 k: int = 6, n_iters: int = 8):
+        from ..models.llama import forward
+
+        self.eng = target_engine
+        self.k = k
+        self.n_iters = n_iters
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+        tcfg = target_engine.cfg
+
+        def fwd_t(tokens, positions, cache, cache_pos):
+            return forward(target_engine.params, tcfg, tokens, positions,
+                           cache, cache_pos=cache_pos,
+                           valid_from=jnp.zeros((1,), jnp.int32),
+                           dtype=target_engine.dtype)
+
+        def fwd_d(tokens, positions, cache, cache_pos):
+            return forward(draft_params, draft_cfg, tokens, positions,
+                           cache, cache_pos=cache_pos,
+                           valid_from=jnp.zeros((1,), jnp.int32),
+                           dtype=target_engine.dtype)
+
+        k_ = k
+
+        def step(carry, _):
+            cur, pos, tc, dc = carry
+
+            # draft: consume cur, then propose k tokens greedily
+            def dstep(dcarry, i):
+                tok, dpos, dc = dcarry
+                logits, dc = fwd_d(tok[None, None], dpos[None, None], dc, dpos)
+                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                return (nxt, dpos + 1, dc), nxt
+
+            (last, _, dc), drafts = jax.lax.scan(
+                dstep, (cur, pos, dc), jnp.arange(k_))
+
+            toks_in = jnp.concatenate([cur[None], drafts])  # (k+1,)
+            positions = pos + jnp.arange(k_ + 1, dtype=jnp.int32)
+            logits, tc = fwd_t(toks_in[None], positions[None], tc, pos)
+            out = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (k+1,)
+            match = out[:k_] == drafts
+            n_acc = jax.lax.associative_scan(jnp.logical_and, match).sum()
+            emit = jnp.where(jnp.arange(k_ + 1) < n_acc,
+                             jnp.concatenate([drafts, drafts[-1:]]), 0)
+            emit = emit.at[n_acc].set(out[n_acc])
+            cur = out[n_acc]
+            pos = pos + n_acc + 1
+            return (cur, pos, tc, dc), (emit, n_acc + 1)
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def chunk(cur, pos, tc, dc):
+            (cur, pos, tc, dc), (emits, n_emits) = jax.lax.scan(
+                step, (cur, pos, tc, dc), None, length=n_iters)
+            return cur, pos, tc, dc, emits, n_emits
+
+        self._chunk = chunk
+
+        from ..models.llama import forward as _fwd
+
+        def mk_prefill(params, cfg):
+            @jax.jit
+            def _p(tokens, positions, cache, last_idx):
+                logits, cache = _fwd(params, cfg, tokens, positions, cache,
+                                     cache_pos=0,
+                                     valid_from=jnp.zeros((1,), jnp.int32),
+                                     dtype=target_engine.dtype,
+                                     logits_idx=last_idx)
+                return logits, cache
+            return _p
+
+        self._prefill_t = mk_prefill(target_engine.params, tcfg)
+        self._prefill_d = mk_prefill(draft_params, draft_cfg)
+
+    def generate(self, prompt: list[int], max_new_tokens: int = 64):
+        from ..models.llama import KVCache
+
+        eng = self.eng
+        n0 = len(prompt)
+        Tb = 16
+        while Tb < n0:
+            Tb *= 2
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :n0] = prompt
+        pos_in = jnp.arange(Tb, dtype=jnp.int32)[None]
+        tc = eng.new_cache(1)
+        dc = KVCache.create(self.draft_cfg, 1, eng.max_seq_len, eng.dtype)
+        logits, tc = self._prefill_t(jnp.asarray(toks), pos_in, tc,
+                                     jnp.int32(n0 - 1))
+        _, dc = self._prefill_d(jnp.asarray(toks), pos_in, dc,
+                                jnp.int32(n0 - 1))
+        cur = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+        pos = jnp.int32(n0)
+
+        out = [int(cur)]
+        n_drafted = n_accepted = 0
+        budget = self.n_iters * (self.k + 1)
+        while len(out) < max_new_tokens and int(pos) + budget < eng.max_seq_len:
+            cur, pos, tc, dc, emits, n_emits = self._chunk(cur, pos, tc, dc)
+            emits = np.asarray(emits)
+            n_emits = np.asarray(n_emits)
+            for it in range(self.n_iters):
+                n = int(n_emits[it])
+                out.extend(int(t) for t in emits[it, :n])
+                n_drafted += self.k
+                n_accepted += n - 1
+        stats = {"n_drafted": n_drafted, "n_accepted": n_accepted,
+                 "accept_rate": round(n_accepted / max(n_drafted, 1), 3)}
+        return out[:max_new_tokens], stats
