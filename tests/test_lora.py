@@ -72,3 +72,45 @@ def test_lora_apply_equals_folding(tmp_path):
     np.testing.assert_allclose(with_lora, folded_out, rtol=0.1, atol=0.15)
     err = np.abs(with_lora - folded_out).mean()
     assert err < 0.02, err
+
+
+def test_control_vector(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpullm.gguf.writer import GGUFWriter
+    from tpullm.runtime.lora import apply_control_vector, load_control_vector
+    from tpullm.utils.synth import build_llama_gguf
+
+    base = str(tmp_path / "b.gguf")
+    build_llama_gguf(base, vocab_size=128, n_embd=128, n_layer=2, n_head=4,
+                     n_head_kv=2, n_ff=128, qtype=GGMLType.Q8_0)
+    cfg, params, _ = load_model(base)
+
+    cv = str(tmp_path / "cv.gguf")
+    w = GGUFWriter(cv, arch="controlvector")
+    rng = np.random.default_rng(0)
+    dirs_ref = rng.standard_normal((2, 128)).astype(np.float32) * 0.2
+    for l in range(2):
+        w.add_tensor(f"direction.{l + 1}", dirs_ref[l])
+    w.write()
+
+    dirs = load_control_vector(cv, cfg.n_layer)
+    np.testing.assert_allclose(dirs, dirs_ref, rtol=1e-6)
+    cp = apply_control_vector(params, dirs)
+
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    pos = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vf = jnp.zeros((1,), jnp.int32)
+
+    def run(p):
+        cache = KVCache.create(cfg, 1, 8)
+        logits, _ = forward(p, cfg, tokens, pos, cache, 0, vf)
+        return np.asarray(logits)
+
+    out_cv = run(cp)
+    out_base = run(params)
+    assert not np.allclose(out_cv, out_base, atol=1e-3)
+    # zero vector is a no-op
+    zero = apply_control_vector(params, np.zeros_like(dirs_ref))
+    np.testing.assert_allclose(run(zero), out_base, rtol=1e-4, atol=1e-4)

@@ -156,3 +156,12 @@ def test_override_kv(tiny_gguf):
     cfg, _, _ = load_model(tiny_gguf, device_put=False,
                            override_kv={"llama.rope.freq_base": 123456.0})
     assert cfg.rope_base == 123456.0
+
+
+def test_eval_callback_tool(tiny_gguf):
+    from tpullm.tools.eval_callback import run as ecrun
+
+    rows, out_rms, logits = ecrun(tiny_gguf, "tok1 tok2 tok3")
+    assert len(rows) == 3  # n_layer
+    assert all(r["attn_in"] > 0 for r in rows)
+    assert out_rms > 0

@@ -482,6 +482,8 @@ def forward(
         att, kv = _attend(q, k, v, p, kv, li)
         x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
                                   qw, li, cfg)
+        if "cvec" in p:  # control vector on the layer output
+            x = x + p["cvec"].astype(dtype)
         return (x, y_next), kv
 
     def layer(carry, inp):
@@ -518,6 +520,8 @@ def forward(
             from ..ops.layer_kernel import ffn_block
 
             x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
+            if "cvec" in p:
+                x = x + p["cvec"].astype(dtype)
             return x, kv
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
@@ -553,7 +557,11 @@ def forward(
                 hmid = jnp.zeros((B, T, cfg.n_ff), dtype)
             sf = lambda a: (a.astype(jnp.float32) ** 2).sum(axis=(0, 1))
             stats = (sf(h), sf(att_in), sf(h2), sf(hmid))
+            if "cvec" in p:
+                x = x + p["cvec"].astype(dtype)
             return x, kv + (stats,)
+        if "cvec" in p:  # control vector (llama_adapter_cvec apply)
+            x = x + p["cvec"].astype(dtype)
         return x, kv
 
     groups = params["layers"].get("__groups__") or [params["layers"]]

@@ -76,6 +76,49 @@ def load_lora(path: str, n_layer: int, scale: float = 1.0):
     return out, {"alpha": alpha, "rank": rank, "scale": eff_scale}
 
 
+def load_control_vector(path: str, n_layer: int, scale: float = 1.0):
+    """Control-vector GGUF (direction.{i} tensors, llama_adapter_cvec,
+    src/llama-adapter.cpp): per-layer bias added to the residual stream."""
+    g = GGUFFile(path)
+    dirs = None
+    for name, ti in g.tensors.items():
+        if not name.startswith("direction."):
+            continue
+        layer = int(name.split(".")[1])
+        arr = g.tensor_array(name)
+        if arr.dtype == np.uint16:  # bf16 view
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        arr = np.asarray(arr, np.float32).reshape(-1)
+        if dirs is None:
+            dirs = np.zeros((n_layer, arr.shape[0]), np.float32)
+        if 0 <= layer - 1 < n_layer:  # direction indices are 1-based
+            dirs[layer - 1] = arr
+    if dirs is None:
+        raise ValueError(f"{path}: no direction.* tensors")
+    return dirs * np.float32(scale)
+
+
+def apply_control_vector(params: dict, dirs, scale: float = 1.0) -> dict:
+    """Install per-layer residual biases (key `cvec` in the float leaves)."""
+    import jax.numpy as jnp
+
+    dirs = np.asarray(dirs, np.float32) * np.float32(scale)
+    layers = params["layers"]
+    groups = layers.get("__groups__") or [layers]
+    off = 0
+    new_groups = []
+    for gl in groups:
+        L_g = next(iter(gl.values())).shape[0]
+        gl = dict(gl)
+        gl["cvec"] = jnp.asarray(dirs[off:off + L_g])
+        new_groups.append(gl)
+        off += L_g
+    out = dict(params)
+    out["layers"] = (new_groups[0] if len(new_groups) == 1
+                     else {"__groups__": new_groups})
+    return out
+
+
 def apply_lora_to_params(params: dict, lora: dict, meta: dict) -> dict:
     """Merge adapter arrays into the layer leaf dicts (keys the model hooks).
 
