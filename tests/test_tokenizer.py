@@ -14,6 +14,7 @@ FIXTURES = [
     "phi-3",
     "gpt-2",
     "mpt",
+    "bert-bge",
     "starcoder",
     "refact",
     "falcon",

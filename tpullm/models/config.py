@@ -61,6 +61,10 @@ class ModelConfig:
     attn_bias: bool = False
     post_norms: bool = False  # gemma-style post-attn/post-ffn norms
     embedding_scale: float = 1.0
+    # encoder (BERT-family) models
+    causal: bool = True
+    pooling_type: str = "none"  # none | mean | cls | last | rank
+    n_cls_out: int = 1
     raw_kv: dict = field(default_factory=dict, repr=False)
 
     @property
@@ -104,6 +108,14 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
         raw_kv=dict(g.metadata),
     )
+    # encoder models: pooling enum (llama.h LLAMA_POOLING_TYPE_*) + causality
+    _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
+    pt = _k(g, "{arch}.pooling_type")
+    if pt is not None:
+        cfg.pooling_type = _POOL.get(int(pt), "none")
+    causal = _k(g, "{arch}.attention.causal")
+    if causal is not None:
+        cfg.causal = bool(causal)
     scaling = _k(g, "{arch}.rope.scaling.type", "none") or "none"
     cfg.rope_scaling = str(scaling)
     cfg.rope_scale = float(_k(g, "{arch}.rope.scaling.factor", 1.0))

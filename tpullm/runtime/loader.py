@@ -53,6 +53,14 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "moe_probs_b",
+    # encoder (BERT) family: post-LN norms + FFN biases
+    "attn_output_norm.weight": "attn_out_norm",
+    "attn_output_norm.bias": "attn_out_norm_b",
+    "layer_output_norm.weight": "layer_out_norm",
+    "layer_output_norm.bias": "layer_out_norm_b",
+    "ffn_up.bias": "ffn_up_b",
+    "ffn_down.bias": "ffn_down_b",
+    "ffn_gate.bias": "ffn_gate_b",
 }
 
 GLOBAL_TENSORS = {
@@ -61,6 +69,21 @@ GLOBAL_TENSORS = {
     "output_norm.weight": "output_norm",
     "output_norm.bias": "output_norm_b",
     "rope_freqs.weight": "rope_freqs",
+    # encoder (BERT) family: extra embeddings + pooling head
+    "position_embd.weight": "pos_embd",
+    "token_types.weight": "type_embd",
+    "token_embd_norm.weight": "tok_norm",
+    "token_embd_norm.bias": "tok_norm_b",
+    "cls.weight": "cls_w",
+    "cls.bias": "cls_b",
+    "cls.output.weight": "cls_out_w",
+    "cls.output.bias": "cls_out_b",
+}
+
+# global tensors kept as plain f32 arrays (small, or added elementwise)
+_FLOAT_GLOBALS = {
+    "output_norm", "output_norm_b", "rope_freqs", "pos_embd", "type_embd",
+    "tok_norm", "tok_norm_b", "cls_w", "cls_b", "cls_out_w", "cls_out_b",
 }
 
 _FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
@@ -105,13 +128,15 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
     if override_kv:
         g.metadata.update(override_kv)
     cfg = config_from_gguf(g)
+    if not cfg.causal:
+        fuse = False  # encoder graph reads unfused q/k/v (+ biases)
     params: dict[str, Any] = {}
 
     for tname, key in GLOBAL_TENSORS.items():
         if tname not in g.tensors:
             continue
         ti = g.tensors[tname]
-        if key in ("output_norm", "output_norm_b", "rope_freqs"):
+        if key in _FLOAT_GLOBALS:
             arr = _to_float_array(g, tname)
             params[key] = jnp.asarray(arr) if device_put else arr
         else:
@@ -133,7 +158,8 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             assert len(per_key[key]) == i, f"layer gap for {key} at {i}"
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
-                "norm" in key or key.startswith("b") or key == "moe_probs_b"
+                "norm" in key or key.startswith("b") or key.endswith("_b")
+                or key == "moe_probs_b"
             ):
                 per_key[key].append(_to_float_array(g, tname))
             else:

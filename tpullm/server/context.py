@@ -519,6 +519,8 @@ class ServerContext:
 
         from ..models.llama import KVCache, forward
 
+        if not self.cfg.causal:  # encoder (BERT) model: bidirectional graph
+            return self._embed_encoder(token_lists, pooling)
         outs = []
         for toks in token_lists:
             Tc = len(toks)
@@ -554,6 +556,54 @@ class ServerContext:
             else:
                 outs.append(np.asarray(h)[:Tc])
         return outs
+
+    def _embed_encoder(self, token_lists, pooling: str = "mean"):
+        """BERT-family path: encode+pool in one jit per (bucket, pooling)."""
+        from ..models.bert import embed_texts
+
+        if pooling not in ("mean", "cls", "last", "none", "rank"):
+            pooling = "mean"
+        outs = []
+        for toks in token_lists:
+            Tc = len(toks)
+            Tb = _bucket(Tc)
+            key = ("bert", Tb, pooling)
+            fn = self._embed_fns.get(key)
+            if fn is None:
+                fn = jax.jit(lambda params, tokens, n:
+                             embed_texts(params, self.cfg, tokens, n, pooling,
+                                         self.dtype, normalize=pooling not in
+                                         ("none", "rank")))
+                self._embed_fns[key] = fn
+            arr = np.zeros((1, Tb), np.int32)
+            arr[0, :Tc] = toks
+            v = fn(self.params, jnp.asarray(arr), jnp.asarray([Tc]))
+            outs.append(np.asarray(v[0])[:Tc] if pooling == "none"
+                        else np.asarray(v[0]))
+        return outs
+
+    def rerank(self, query: str, documents: list[str]) -> list[float]:
+        """Relevance scores for (query, doc) pairs (rank pooling head).
+
+        Prompt layout matches format_prompt_rerank
+        (tools/server/server-common.cpp:1544): CLS/BOS query SEP doc SEP for
+        encoder models."""
+        v = self.tok.vocab
+        cls_ = v.cls_id if v.cls_id is not None else v.bos_id
+        sep = v.sep_id if v.sep_id is not None else v.eos_id
+        q_ids = self.tok.encode(query, add_special=False)
+        scores = []
+        for doc in documents:
+            d_ids = self.tok.encode(doc, add_special=False)
+            ids = ([cls_] if cls_ is not None else []) + q_ids
+            if sep is not None:
+                ids.append(sep)
+            ids += d_ids
+            if sep is not None:
+                ids.append(sep)
+            s = self._embed_encoder([ids], "rank")[0]
+            scores.append(float(np.asarray(s).reshape(-1)[0]))
+        return scores
 
     # ------------------------------------------------------------- sync api
 

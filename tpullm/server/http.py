@@ -180,6 +180,8 @@ class Handler(BaseHTTPRequestHandler):
                 return self._json(200, {"prompt": prompt})
             if path in ("/embedding", "/embeddings", "/v1/embeddings"):
                 return self._embeddings(body)
+            if path in ("/rerank", "/reranking", "/v1/rerank", "/v1/reranking"):
+                return self._rerank(body)
             if path == "/infill":
                 return self._infill(body)
             if path.startswith("/slots/"):
@@ -212,6 +214,33 @@ class Handler(BaseHTTPRequestHandler):
         self._json(200, {"object": "list", "data": data,
                          "model": ctx.model_name,
                          "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}})
+
+    def _rerank(self, body: dict):
+        """Jina/TEI-style reranking (tools/server/server.cpp:4000 +
+        format_response_rerank): scores sorted desc, trimmed to top_n."""
+        ctx = self.ctx
+        if ctx.cfg.causal or "cls_out_w" not in ctx.params:
+            return self._error(400, "model does not support reranking "
+                                    "(no rank pooling head)")
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        texts = [d.get("text", "") if isinstance(d, dict) else str(d)
+                 for d in docs]
+        if not query or not texts:
+            return self._error(400, "need query + documents")
+        top_n = int(body.get("top_n", len(texts)))
+        scores = ctx.rerank(query, texts)
+        results = sorted(
+            ({"index": i, "relevance_score": s} for i, s in enumerate(scores)),
+            key=lambda r: -r["relevance_score"])[:top_n]
+        if body.get("return_text"):
+            for r in results:
+                r["text"] = texts[r["index"]]
+        n_tok = sum(len(ctx.tok.encode(t, add_special=False)) for t in texts)
+        self._json(200, {"model": body.get("model", ctx.model_name),
+                         "object": "list",
+                         "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+                         "results": results})
 
     def _slot_action(self, path: str, body: dict):
         """POST /slots/{id}?action=save|restore|erase (llama-server parity)."""

@@ -39,7 +39,8 @@ _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
 
 
 class Tokenizer:
-    """Facade dispatching on vocab.model; covers SPM + BPE (WPM/UGM/RWKV: TODO)."""
+    """Facade dispatching on vocab.model; covers SPM + BPE + WPM
+    (UGM/RWKV: TODO)."""
 
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
@@ -47,6 +48,8 @@ class Tokenizer:
             self._session = _SPM(vocab)
         elif vocab.model == "gpt2":
             self._session = _BPE(vocab)
+        elif vocab.model == "bert":
+            self._session = _WPM(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 
@@ -109,6 +112,18 @@ class Tokenizer:
                     prev_special = True
             if add_special and v.add_eos and v.eos_id is not None:
                 out.append(v.eos_id)
+        elif isinstance(self._session, _WPM):
+            cls_ = v.cls_id if v.cls_id is not None else v.bos_id
+            sep = v.sep_id if v.sep_id is not None else v.eos_id
+            if add_special and cls_ is not None:
+                out.append(cls_)
+            for kind, val in frags:
+                if kind == "text":
+                    self._session.tokenize(val, out)
+                else:
+                    out.append(val)
+            if add_special and sep is not None:
+                out.append(sep)
         else:
             if add_special and v.add_bos and v.bos_id is not None:
                 out.append(v.bos_id)
@@ -123,6 +138,17 @@ class Tokenizer:
 
     def decode(self, ids: list[int], skip_special: bool = False) -> str:
         v = self.vocab
+        if isinstance(self._session, _WPM):
+            buf = []
+            for i in ids:
+                a = v.attrs[i]
+                if (a & TokenAttr.CONTROL) or (a & TokenAttr.UNKNOWN):
+                    if not skip_special:
+                        buf.append(v.tokens[i])
+                    continue
+                buf.append(v.tokens[i].replace("▁", " "))
+            s = "".join(buf)
+            return s[1:] if s.startswith(" ") else s
         if isinstance(self._session, _SPM):
             buf = bytearray()
             for i in ids:
@@ -220,6 +246,84 @@ class _SPM:
             if alive[i]:
                 resegment(syms[i])
             i = nxt[i]
+
+
+class _WPM:
+    """BERT WordPiece (llm_tokenizer_wpm, llama-vocab.cpp:735-841).
+
+    The GGUF stores pieces SPM-style ('hello' -> '▁hello', '##lo' -> 'lo'),
+    so each word gets a phantom '▁' prepended and matching is plain greedy
+    longest-substring over the vocab — no '##' handling at runtime.
+    Preprocess: per-codepoint NFD-to-base (approximated here as NFD + drop
+    combining marks), drop controls/U+0000/U+FFFD, lowercase, split words on
+    whitespace and make single-char words from punctuation, ASCII symbols,
+    and CJK chars. A word with any unmatchable position becomes one UNK."""
+
+    def __init__(self, vocab: Vocab):
+        self.v = vocab
+        self._max_len = max((len(t) for t in vocab.tokens), default=1)
+
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+                or 0x2B740 <= cp <= 0x2B81F or 0x2B920 <= cp <= 0x2CEAF
+                or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+    def _preprocess(self, text: str) -> list[str]:
+        import unicodedata
+
+        words: list[str] = []
+        cur = ""
+        for ch in unicodedata.normalize("NFD", text):
+            cat = unicodedata.category(ch)
+            if cat == "Mn":  # base-only NFD: drop the decomposed marks
+                continue
+            if ch.isspace():
+                if cur:
+                    words.append(cur)
+                cur = ""
+                continue
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or cat.startswith("C"):
+                continue
+            low = ch.lower()
+            if cat.startswith("P") or (cp < 0x7F and cat.startswith("S")) \
+                    or self._is_cjk(cp):
+                if cur:
+                    words.append(cur)
+                cur = ""
+                words.append(low)
+            else:
+                cur += low
+        if cur:
+            words.append(cur)
+        return words
+
+    def tokenize(self, text: str, out: list[int]) -> None:
+        v = self.v
+        maxlen = self._max_len
+        for word in self._preprocess(text):
+            if not word:
+                continue
+            w = "▁" + word  # phantom space prefix
+            n = len(w)
+            start = len(out)
+            i = 0
+            while i < n:
+                matched = False
+                for j in range(min(n, i + maxlen), i, -1):
+                    tid = v.token_to_id.get(w[i:j])
+                    if tid is not None:
+                        out.append(tid)
+                        i = j
+                        matched = True
+                        break
+                if not matched:  # discard partial word
+                    del out[start:]
+                    break
+            if len(out) == start and v.unk_id is not None:
+                out.append(v.unk_id)
 
 
 class _BPE:

@@ -58,6 +58,8 @@ class Vocab:
     fim_pre_id: int | None = None
     fim_suf_id: int | None = None
     fim_mid_id: int | None = None
+    cls_id: int | None = None
+    mask_id: int | None = None
     remove_extra_whitespaces: bool = False
     # caches
     token_to_id: dict[str, int] = field(default_factory=dict, repr=False)
@@ -95,6 +97,8 @@ class Vocab:
         v.unk_id = _id(K.UNK_ID, 0 if v.model == "llama" else None)
         v.sep_id = _id(K.SEP_ID)
         v.pad_id = _id(K.PAD_ID)
+        v.cls_id = _id("tokenizer.ggml.cls_token_id")
+        v.mask_id = _id("tokenizer.ggml.mask_token_id")
         v.fim_pre_id = _id(getattr(K, "FIM_PRE_ID", "tokenizer.ggml.fim_pre_token_id"))
         v.fim_suf_id = _id(getattr(K, "FIM_SUF_ID", "tokenizer.ggml.fim_suf_token_id"))
         v.fim_mid_id = _id(getattr(K, "FIM_MID_ID", "tokenizer.ggml.fim_mid_token_id"))

@@ -229,3 +229,99 @@ def build_llama_gguf(
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
+
+
+def build_bert_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 64,
+    pooling: int = 2,  # LLAMA_POOLING_TYPE_CLS
+    with_cls_head: bool = False,
+    n_cls_out: int = 1,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    weight_cb=None,
+) -> str:
+    """Synthetic BERT-arch GGUF (tensor names per src/models/bert.cpp
+    load_arch_tensors + reference arch table)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    arch = "bert"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-bert")
+    w.add_uint32(f"{arch}.context_length", n_ctx)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_uint32(f"{arch}.pooling_type", pooling)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    # WPM toy vocab: chars + a few words, SPM-style storage ('▁hello', 'lo')
+    chars = ["▁" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    conts = list("abcdefghijklmnopqrstuvwxyz")
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + chars + conts
+    toks += [f"unused{i}" for i in range(vocab_size - len(toks))]
+    ttypes = [3, 2, 3, 3, 3] + [1] * (vocab_size - 5)
+    w.add_string("tokenizer.ggml.model", "bert")
+    w.add_array("tokenizer.ggml.tokens", toks[:vocab_size])
+    w.add_array("tokenizer.ggml.token_type", np.asarray(ttypes[:vocab_size], np.int32))
+    w.add_uint32("tokenizer.ggml.token_type_count", 2)
+    w.add_uint32("tokenizer.ggml.unknown_token_id", 1)
+    w.add_uint32("tokenizer.ggml.cls_token_id", 2)
+    w.add_uint32("tokenizer.ggml.seperator_token_id", 3)
+    w.add_uint32("tokenizer.ggml.padding_token_id", 0)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    add("token_types.weight", rand(2, n_embd))
+    add("position_embd.weight", rand(n_ctx, n_embd))
+    add("token_embd_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    add("token_embd_norm.bias", rand(n_embd))
+    if with_cls_head:
+        add("cls.weight", rand(n_embd, n_embd))
+        add("cls.bias", rand(n_embd))
+        add("cls.output.weight", rand(n_cls_out, n_embd))
+        add("cls.output.bias", rand(n_cls_out))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        addq(p + "attn_q.weight", rand(n_embd, n_embd))
+        add(p + "attn_q.bias", rand(n_embd))
+        addq(p + "attn_k.weight", rand(n_embd, n_embd))
+        add(p + "attn_k.bias", rand(n_embd))
+        addq(p + "attn_v.weight", rand(n_embd, n_embd))
+        add(p + "attn_v.bias", rand(n_embd))
+        addq(p + "attn_output.weight", rand(n_embd, n_embd))
+        add(p + "attn_output.bias", rand(n_embd))
+        add(p + "attn_output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "attn_output_norm.bias", rand(n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        add(p + "ffn_up.bias", rand(n_ff))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        add(p + "ffn_down.bias", rand(n_embd))
+        add(p + "layer_output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "layer_output_norm.bias", rand(n_embd))
+    w.write()
+    return path
