@@ -104,3 +104,19 @@ def test_greedy_batch():
     p = BatchSamplerParams.neutral(2)
     toks = np.asarray(sample_batch(logits, p, jax.random.PRNGKey(0)))
     assert toks.tolist() == [1, 2]
+
+
+def test_logit_bias_rows():
+    import jax
+
+    B, V = 2, 32
+    logits = jnp.zeros((B, V), jnp.float32).at[:, 5].set(3.0)
+    p = BatchSamplerParams.neutral(B)
+    p = p.with_row(0, SamplerConfig(greedy=True))
+    p = p.with_row(1, SamplerConfig(greedy=True))
+    bias = jnp.zeros((B, V), jnp.float32)
+    bias = bias.at[0, 9].set(100.0)   # row 0: force token 9
+    bias = bias.at[1, 5].set(-1e9)    # row 1: ban the argmax token
+    toks = np.asarray(sample_batch(logits, p, jax.random.PRNGKey(0), bias=bias))
+    assert toks[0] == 9
+    assert toks[1] != 5

@@ -266,3 +266,28 @@ def test_generate_sync_api(server):
     toks = ctx.tok.encode("tok3 tok4", add_special=True)
     info = ctx.generate(toks, GenParams(max_tokens=4, temperature=0.0))
     assert info["stats"]["completion_tokens"] <= 4
+
+
+def test_logit_bias(server):
+    ctx, url = server
+    # +100 bias on one token forces greedy decoding to emit it every step
+    forced = ctx.tok.encode("tok7", add_special=False)[-1]
+    expected = ctx.tok.decode([forced] * 4)
+    r = _post(url, "/completion", {
+        "prompt": "tok1 tok2", "n_predict": 4, "temperature": 0,
+        "logit_bias": {str(int(forced)): 100.0}})
+    assert r["choices"][0]["text"] == expected
+
+    # llama.cpp list form: false bans the token even against a +100 bias
+    r1 = _post(url, "/completion", {
+        "prompt": "tok1 tok2", "n_predict": 4, "temperature": 0,
+        "logit_bias": [[int(forced), 100.0], [int(forced), False]]})
+    assert r1["choices"][0]["text"] != expected
+
+    # a later request on the same slots must not inherit any bias
+    r2 = _post(url, "/completion", {
+        "prompt": "tok1 tok2", "n_predict": 4, "temperature": 0})
+    assert r2["choices"][0]["text"] != expected
+    r3 = _post(url, "/completion", {
+        "prompt": "tok1 tok2", "n_predict": 4, "temperature": 0})
+    assert r3["choices"][0]["text"] == r2["choices"][0]["text"]

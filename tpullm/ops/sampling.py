@@ -289,7 +289,7 @@ def apply_dry(logits, ordered, p: BatchSamplerParams, max_match: int = 16):
 
 
 def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None,
-                 dry_ctx=None):
+                 dry_ctx=None, bias=None):
     """(B, V) f32 logits + per-row params -> (B,) i32 tokens (or
     (tokens, new_mu) when ``mu`` is given). Chain order follows
     common/common.h:244-254 (penalties -> top_n_sigma -> top_k -> typical ->
@@ -297,6 +297,8 @@ def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None,
     mirostat_tau > 0 run mirostat v2 instead of the truncation stack
     (llama_sampler_mirostat_v2)."""
     logits = logits.astype(jnp.float32)
+    if bias is not None:  # per-row logit bias (llama_sampler_init_logit_bias)
+        logits = logits + bias
     B, V = logits.shape
     raw = logits
 

@@ -61,6 +61,9 @@ class GenParams:
     n_probs: int = 0
     grammar: str | None = None  # GBNF; constrains sampling (host-side)
     json_schema: dict | None = None  # converted to GBNF
+    # {token_id: bias} (OpenAI dict) or [[token_id, bias|false], ...]
+    # (llama.cpp list form); false -> token banned
+    logit_bias: dict | list | None = None
 
     def sampler_config(self) -> SamplerConfig:
         greedy = self.temperature <= 0
@@ -173,8 +176,8 @@ class ServerContext:
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
 
-        def _decode(params, logits0, pos0, active, cache, sparams, pen, mu,
-                    key, forced, use_forced, n_steps):
+        def _decode(params, logits0, pos0, active, cache, sparams, bias, pen,
+                    mu, key, forced, use_forced, n_steps):
             """Sample-then-forward: each step samples from the carried logits
             (first step: the prefill's next-token logits), writes the sampled
             token's K/V at pos, and computes logits for the next step.
@@ -187,7 +190,7 @@ class ServerContext:
                 logits, pos, cache, pen, mu, key = carry
                 key, sub = jax.random.split(key)
                 nxt, mu = sample_batch(logits, sparams, sub, pen.counts, mu,
-                                       dry_ctx=pen.ordered())
+                                       dry_ctx=pen.ordered(), bias=bias)
                 nxt = jnp.where(use_forced & (step == 0), forced, nxt)
                 pen = pen.push(nxt)
                 lp = jax.nn.log_softmax(logits, axis=-1)
@@ -219,6 +222,9 @@ class ServerContext:
         self._set_row = jax.jit(_set_row, donate_argnums=(0,))
         # per-slot next-token logits carried across decode chunks (device)
         self._logits_buf = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+        # per-slot logit biases (logit_bias request param)
+        self._bias = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+        self._bias_set = np.zeros(n_slots, bool)  # rows needing a zero reset
         self._embed_fns: dict = {}
 
     # ------------------------------------------------------------------ api
@@ -270,6 +276,16 @@ class ServerContext:
             self.memory.slots[i].tokens = toks[:reuse]
             cfg = task.params.sampler_config()
             self.sparams = self.sparams.with_row(i, cfg)
+            row = self._bias_row(task.params.logit_bias)
+            if row is not None:
+                self._bias = self._set_row(self._bias, jnp.int32(i),
+                                           jnp.asarray(row[None]))
+                self._bias_set[i] = True
+            elif self._bias_set[i]:  # clear a stale bias from a prior task
+                self._bias = self._set_row(
+                    self._bias, jnp.int32(i),
+                    jnp.zeros((1, self.cfg.vocab_size), jnp.float32))
+                self._bias_set[i] = False
             self.penalties = self.penalties.clear_row(i)
             r.constraint = None
             gbnf = task.params.grammar
@@ -384,11 +400,30 @@ class ServerContext:
                 self.memory.slots[i].tokens[: r.n_prompt + len(r.gen)])
             self._finish(i, finished)
 
+    def _bias_row(self, lb) -> "np.ndarray | None":
+        """logit_bias request param -> dense (V,) f32 row (None if absent).
+
+        Accepts the OpenAI dict form {token_id: bias} and the llama.cpp list
+        form [[token_id, bias|false], ...]; false bans the token."""
+        if not lb:
+            return None
+        row = np.zeros(self.cfg.vocab_size, np.float32)
+        items = lb.items() if isinstance(lb, dict) else \
+            ((e[0], e[1]) for e in lb if isinstance(e, (list, tuple)) and len(e) == 2)
+        for tok, b in items:
+            t = int(tok)
+            if 0 <= t < self.cfg.vocab_size:
+                row[t] = np.float32(-1e9) if b is False else np.float32(b)
+        return row
+
     def _grammar_sample(self, i: int) -> int:
         """Host-side constrained sample for slot i from its carried logits
         (llama_sampler_grammar semantics: mask candidates, renormalize)."""
         r = self.rt[i]
         logits = np.asarray(self._logits_buf[i])
+        row = self._bias_row(r.task.params.logit_bias)
+        if row is not None:
+            logits = logits + row
         p = r.task.params
         k = 128
         cand = np.argpartition(-logits, k)[:k]
@@ -445,7 +480,8 @@ class ServerContext:
             self._decode(
                 self.params, self._logits_buf,
                 jnp.asarray(self._pos.astype(np.int32)),
-                act, self.memory.cache, self.sparams, self.penalties,
+                act, self.memory.cache, self.sparams, self._bias,
+                self.penalties,
                 self._mu, sub,
                 jnp.asarray(forced), jnp.asarray(use_forced), n_steps=n_steps,
             )

@@ -48,6 +48,9 @@ def _gen_params(body: dict) -> GenParams:
         p.stop = [stop]
     elif isinstance(stop, list):
         p.stop = [str(s) for s in stop]
+    lb = body.get("logit_bias")
+    if isinstance(lb, (dict, list)) and lb:
+        p.logit_bias = lb
     if body.get("grammar"):
         p.grammar = str(body["grammar"])
     if body.get("json_schema"):
