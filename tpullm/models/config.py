@@ -65,6 +65,12 @@ class ModelConfig:
     causal: bool = True
     pooling_type: str = "none"  # none | mean | cls | last | rank
     n_cls_out: int = 1
+    # recurrent (Mamba/SSM) models
+    ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_dt_b_c_rms: bool = False  # FalconMamba: RMS-norm dt/B/C
     raw_kv: dict = field(default_factory=dict, repr=False)
 
     @property
@@ -108,6 +114,12 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
         raw_kv=dict(g.metadata),
     )
+    # recurrent (SSM) hparams (llama-model.cpp mamba load_arch_hparams)
+    cfg.ssm_d_conv = int(_k(g, "{arch}.ssm.conv_kernel", 0))
+    cfg.ssm_d_inner = int(_k(g, "{arch}.ssm.inner_size", 0))
+    cfg.ssm_d_state = int(_k(g, "{arch}.ssm.state_size", 0))
+    cfg.ssm_dt_rank = int(_k(g, "{arch}.ssm.time_step_rank", 0))
+    cfg.ssm_dt_b_c_rms = bool(_k(g, "{arch}.ssm.dt_b_c_rms", False))
     # encoder models: pooling enum (llama.h LLAMA_POOLING_TYPE_*) + causality
     _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
     pt = _k(g, "{arch}.pooling_type")

@@ -1,0 +1,194 @@
+"""Mamba-1 selective-SSM decoder in functional JAX.
+
+Counterpart of the reference's recurrent family (src/models/mamba.cpp +
+src/models/mamba-base.cpp build_mamba_layer; scan math per the CPU oracle
+ggml_compute_forward_ssm_scan_f32, ggml/src/ggml-cpu/ops.cpp:9520-9570):
+
+    per channel h, state k:
+      dt'      = softplus(dt[h])
+      state    = state * exp(dt' * A[h,k]) + B[k] * (x[h] * dt')
+      y[h]     = sum_k state[k] * C[k]
+      y        = (y + D*x) * silu(z);  out = y @ W_out^T
+
+TPU-first: prefill evaluates the whole recurrence with one
+``lax.associative_scan`` over time (first-order linear recurrence as a
+(decay, increment) monoid — the parallel-scan trick from the Mamba paper's
+Annex D, which the reference implements as a custom sequential kernel);
+decode is a single fused update. The depthwise causal conv is a width-d_conv
+shifted-slice sum, and the recurrent state (conv tail + SSM state) is a
+pytree analogous to llama_memory_recurrent (src/llama-memory-recurrent.*).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.qtensor import QTensor
+from .config import ModelConfig
+from .llama import _mm, rms_norm
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RecurrentState:
+    """Per-sequence recurrent bank (llama_memory_recurrent analogue):
+    conv (L, B, d_inner, d_conv-1) last inputs, ssm (L, B, d_inner, d_state)."""
+
+    conv: Any
+    ssm: Any
+
+    def tree_flatten(self):
+        return (self.conv, self.ssm), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int, dtype=jnp.float32):
+        return RecurrentState(
+            conv=jnp.zeros((cfg.n_layer, batch, cfg.ssm_d_inner,
+                            cfg.ssm_d_conv - 1), dtype),
+            ssm=jnp.zeros((cfg.n_layer, batch, cfg.ssm_d_inner,
+                           cfg.ssm_d_state), jnp.float32),
+        )
+
+
+def _causal_conv(x, conv_tail, w, b):
+    """Depthwise causal conv: x (B,T,Di), conv_tail (B,Di,dc-1),
+    w (Di,dc), b (Di,) -> (y (B,T,Di), new_tail)."""
+    B, T, Di = x.shape
+    dc = w.shape[-1]
+    xt = jnp.concatenate([conv_tail.transpose(0, 2, 1).astype(x.dtype), x],
+                         axis=1)  # (B, dc-1+T, Di)
+    y = sum(xt[:, j:j + T, :] * w[:, j].astype(x.dtype) for j in range(dc))
+    new_tail = xt[:, T:, :].transpose(0, 2, 1) if dc > 1 else conv_tail
+    return y + b.astype(x.dtype), new_tail
+
+
+def _ssm_scan(s0, x_dt, dA, B_t, C_t):
+    """Selective scan: s0 (B,Di,Ds), x_dt (B,T,Di), dA (B,T,Di,Ds),
+    B_t/C_t (B,T,Ds) -> (y (B,T,Di), s_T).
+
+    h_t = dA_t * h_{t-1} + (x_dt_t * B_t);  y_t = <h_t, C_t>.
+    T == 1 is a single fused update; T > 1 uses the associative first-order
+    recurrence scan (O(log T) depth, fully parallel over (B, Di, Ds))."""
+    Bn, T, Di = x_dt.shape
+    inc = x_dt[..., None] * B_t[:, :, None, :]  # (B,T,Di,Ds)
+    if T == 1:
+        h = dA[:, 0] * s0 + inc[:, 0]
+        y = (h * C_t[:, 0, None, :]).sum(-1)[:, None]
+        return y, h
+
+    def combine(a, b):
+        (a1, b1), (a2, b2) = a, b
+        return a1 * a2, b1 * a2 + b2
+
+    # fold the carried-in state into the first step's increment
+    inc = inc.at[:, 0].add(dA[:, 0] * s0)
+    decays, states = jax.lax.associative_scan(combine, (dA, inc), axis=1)
+    y = (states * C_t[:, :, None, :]).sum(-1)  # (B,T,Di)
+    return y, states[:, -1]
+
+
+def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
+           pad_mask=None):
+    """One Mamba block on (B,T,D); returns (out, new_tail, new_ssm).
+
+    pad_mask (B,T) True at left-pad positions: the conv input is zeroed and
+    dt is clamped so softplus(dt)=0 there — the state passes through
+    unchanged, which makes a left-padded row identical to starting the
+    sequence later (zero conv tail + untouched SSM state)."""
+    B, T, D = x.shape
+    Di, Ds, dtr = cfg.ssm_d_inner, cfg.ssm_d_state, cfg.ssm_dt_rank
+
+    h = rms_norm(x, p["attn_norm"][li], cfg.rms_eps)
+    xz = _mm(h, p["ssm_in"], dtype, layer=li)  # (B,T,2*Di)
+    xs, z = xz[..., :Di], xz[..., Di:]
+
+    if pad_mask is not None:
+        xs = jnp.where(pad_mask[..., None], 0, xs)
+    xs, new_tail = _causal_conv(xs, conv_tail, p["ssm_conv1d"][li],
+                                p["ssm_conv1d_b"][li])
+    xs = jax.nn.silu(xs.astype(jnp.float32)).astype(dtype)
+
+    x_db = _mm(xs, p["ssm_x"], dtype, layer=li)  # (B,T,dtr+2*Ds)
+    dt, B_t, C_t = (x_db[..., :dtr], x_db[..., dtr:dtr + Ds],
+                    x_db[..., dtr + Ds:])
+    if cfg.ssm_dt_b_c_rms:  # FalconMamba: weightless RMS on dt/B/C
+        dt = rms_norm(dt, jnp.ones((dtr,), jnp.float32), cfg.rms_eps)
+        B_t = rms_norm(B_t, jnp.ones((Ds,), jnp.float32), cfg.rms_eps)
+        C_t = rms_norm(C_t, jnp.ones((Ds,), jnp.float32), cfg.rms_eps)
+    dt = _mm(dt, p["ssm_dt"], dtype, layer=li) + p["ssm_dt_b"][li].astype(dtype)
+
+    dt_sp = jax.nn.softplus(dt.astype(jnp.float32))  # (B,T,Di)
+    if pad_mask is not None:  # dt'=0 at pads: exp(0*A)=1, dB*x=0
+        dt_sp = jnp.where(pad_mask[..., None], 0.0, dt_sp)
+    A = p["ssm_a"][li].astype(jnp.float32)  # (Di,Ds)
+    dA = jnp.exp(dt_sp[..., None] * A[None, None])  # (B,T,Di,Ds)
+    x_dt = xs.astype(jnp.float32) * dt_sp
+    y, new_ssm = _ssm_scan(ssm_state, x_dt, dA,
+                           B_t.astype(jnp.float32), C_t.astype(jnp.float32))
+
+    y = y + xs.astype(jnp.float32) * p["ssm_d"][li][None, None]
+    y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(dtype)
+    out = _mm(y, p["ssm_out"], dtype, layer=li)
+    if "cvec" in p:
+        out = out + p["cvec"][li].astype(out.dtype)
+    return out, new_tail, new_ssm
+
+
+def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
+            dtype=jnp.bfloat16, logits_idx=None, return_hidden=False,
+            valid_from=None):
+    """tokens (B,T) int32 -> (logits (B,T',vocab) f32, new RecurrentState).
+
+    valid_from (B,): left-pad lengths — positions before it are masked out
+    of the recurrence (see _layer pad_mask)."""
+    B, T = tokens.shape
+    x = params["tok_embd"].take_rows(tokens, dtype)
+    pad_mask = (jnp.arange(T)[None, :] < valid_from[:, None]
+                if valid_from is not None else None)
+
+    layers = params["layers"]
+    groups = layers.get("__groups__") or [layers]
+    new_conv, new_ssm = [], []
+    off = 0
+    for p in groups:
+        L_g = next(iter(p.values())).shape[0]
+        conv_g = jax.lax.dynamic_slice_in_dim(state.conv, off, L_g, 0)
+        ssm_g = jax.lax.dynamic_slice_in_dim(state.ssm, off, L_g, 0)
+
+        def step(x, inp, p=p):
+            li, conv_tail, ssm_state = inp
+            out, tail, ssm = _layer(x, li, p, cfg, conv_tail, ssm_state,
+                                    dtype, pad_mask)
+            return x + out, (tail, ssm)
+
+        x, (tails, ssms) = jax.lax.scan(
+            step, x, (jnp.arange(L_g), conv_g, ssm_g))
+        new_conv.append(tails)
+        new_ssm.append(ssms)
+        off += L_g
+
+    def _cat(parts):
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    new_state = RecurrentState(_cat(new_conv), _cat(new_ssm))
+    if logits_idx is not None:
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jnp.asarray(logits_idx, jnp.int32), 1, axis=1)
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    hidden = x
+    logits = _mm(x, params["output"], dtype).astype(jnp.float32)
+    if return_hidden:
+        return logits, new_state, hidden
+    return logits, new_state
+
+
+def is_recurrent(cfg: ModelConfig) -> bool:
+    return cfg.ssm_d_conv > 0

@@ -40,6 +40,9 @@ ARCH_REGISTRY: dict[str, dict] = {
     "exaone4": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
     "minicpm": dict(rope_type="norm"),
     "cohere2": dict(rope_type="norm", norm_type="layernorm", swa_pattern=4),
+    # recurrent SSM family — src/models/mamba.cpp (+falcon-mamba via
+    # ssm.dt_b_c_rms KV on the same arch)
+    "mamba": dict(),
     # encoder (bidirectional) family — src/models/bert.cpp
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),

@@ -53,6 +53,16 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "moe_probs_b",
+    # recurrent SSM (Mamba) family — src/models/mamba.cpp load_arch_tensors
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_b",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_b",
+    "ssm_a": "ssm_a",  # no .weight suffix in GGUF
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
     # encoder (BERT) family: post-LN norms + FFN biases
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_b",
@@ -159,7 +169,7 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
                 "norm" in key or key.startswith("b") or key.endswith("_b")
-                or key == "moe_probs_b"
+                or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d")
             ):
                 per_key[key].append(_to_float_array(g, tname))
             else:

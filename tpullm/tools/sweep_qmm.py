@@ -15,7 +15,8 @@ import sys
 import time
 
 
-def _slope(fn_of_len, L1=4, L2=16, reps=3):
+def _slope(fn_of_len, L1=64, L2=256, reps=3):
+    # L2-L1 steps must dwarf the ~33ms dispatch round-trip noise
     f1, f2 = fn_of_len(L1), fn_of_len(L2)
     float(f1())
     float(f2())
@@ -35,8 +36,8 @@ def main(argv=None):
     ap.add_argument("--qtype", default="Q4_K")
     ap.add_argument("--m", type=int, default=1, help="batch rows (decode=1)")
     ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--tiles-n", default="128,256,512,1024")
-    ap.add_argument("--tiles-k", default="512,1024,2048,4096")
+    ap.add_argument("--tiles-n", default="256,512")
+    ap.add_argument("--tiles-k", default="1024,2048,4096")
     args = ap.parse_args(argv)
 
     import jax

@@ -325,3 +325,80 @@ def build_bert_gguf(
         add(p + "layer_output_norm.bias", rand(n_embd))
     w.write()
     return path
+
+
+def build_mamba_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    dt_rank: int = 0,  # 0 -> ceil(n_embd/16) (the HF convention)
+    n_ctx: int = 1024,
+    dt_b_c_rms: bool = False,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    weight_cb=None,
+) -> str:
+    """Synthetic Mamba-1 GGUF (tensor names per src/models/mamba.cpp
+    load_arch_tensors; d_inner = 2*n_embd, the only supported expansion)."""
+    rng = np.random.default_rng(seed)
+    d_inner = 2 * n_embd
+    dt_rank = dt_rank or max(1, (n_embd + 15) // 16)
+    arch = "mamba"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-mamba")
+    w.add_uint32(f"{arch}.context_length", n_ctx)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", 0)
+    w.add_uint32(f"{arch}.attention.head_count", 0)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", dt_rank)
+    if dt_b_c_rms:
+        w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        from ..gguf.constants import GGML_QUANT_SIZES
+
+        blk = GGML_QUANT_SIZES.get(qtype, (1, 0))[0]
+        if arr.shape[-1] % max(blk, 1):  # too-narrow rows stay f32
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        addq(p + "ssm_in.weight", rand(2 * d_inner, n_embd))
+        add(p + "ssm_conv1d.weight", rand(d_inner, d_conv))
+        add(p + "ssm_conv1d.bias", rand(d_inner))
+        addq(p + "ssm_x.weight", rand(dt_rank + 2 * d_state, d_inner))
+        addq(p + "ssm_dt.weight", rand(d_inner, dt_rank))
+        add(p + "ssm_dt.bias", rand(d_inner) + 0.5)  # keep dt in a sane range
+        # A_log convention: A = -exp(A_log) < 0 keeps the recurrence stable;
+        # GGUF stores A directly (converter applies -exp at conversion time)
+        add(p + "ssm_a", -np.exp(rand(d_inner, d_state)))
+        add(p + "ssm_d", np.ones(d_inner, np.float32) + rand(d_inner))
+        addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+    w.write()
+    return path
