@@ -209,3 +209,90 @@ def test_mamba_recurrent_engine(mamba_model):
             t = int(np.argmax(np.asarray(lg[0, -1])))
             toks.append(t)
         assert toks == r.tokens[b], (b, toks, r.tokens[b])
+
+
+def test_mamba_right_padding(mamba_model):
+    """Right-padded rows (server prefill buckets) match unpadded, including
+    the conv tail; an n_valid=0 row passes its state through untouched."""
+    cfg, params, _ = mamba_model
+    toks = np.array([3, 17, 42, 9], np.int32)
+    st = RecurrentState.create(cfg, 1)
+    ref, ref_st = forward(params, cfg, jnp.asarray(toks[None]), st,
+                          jnp.float32)
+    padded = np.concatenate([toks, np.zeros(4, np.int32)])
+    st = RecurrentState.create(cfg, 1)
+    out, out_st = forward(params, cfg, jnp.asarray(padded[None]), st,
+                          jnp.float32, n_valid=jnp.asarray([4]))
+    np.testing.assert_allclose(np.asarray(out[0, :4]), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_st.conv), np.asarray(ref_st.conv),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_st.ssm), np.asarray(ref_st.ssm),
+                               rtol=2e-4, atol=2e-4)
+    # n_valid=0: state identity
+    _, same_st = forward(params, cfg, jnp.asarray(padded[None]), ref_st,
+                         jnp.float32, n_valid=jnp.asarray([0]))
+    np.testing.assert_allclose(np.asarray(same_st.conv),
+                               np.asarray(ref_st.conv), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(same_st.ssm),
+                               np.asarray(ref_st.ssm), rtol=1e-6, atol=1e-7)
+
+
+def test_mamba_server_e2e(tmp_path):
+    """Full HTTP serving path on a recurrent model: completion, streaming
+    continuation reuse, embeddings, slot save/restore."""
+    import json
+    import socket
+    import urllib.request
+
+    from tpullm.server.context import ServerContext
+    from tpullm.server.http import serve
+    from tpullm.tokenizer import Tokenizer
+
+    path = str(tmp_path / "srv.gguf")
+    build_mamba_gguf(path, vocab_size=512, n_embd=64, n_layer=2, scale=0.1,
+                     with_vocab=True)
+    cfg, params, g = load_model(path)
+    tok = Tokenizer.from_gguf(g)
+    ctx = ServerContext(cfg, params, tok, n_slots=2, max_seq_len=256,
+                        decode_chunk=4, prefill_chunk=32, model_name="mamba")
+    assert ctx.recurrent
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    srv = serve(ctx, "127.0.0.1", port, block=False)
+    try:
+        def post(p, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{p}", json.dumps(body).encode(),
+                {"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return json.loads(r.read())
+
+        r = post("/v1/completions", {"prompt": "ab cd", "max_tokens": 8,
+                                     "temperature": 0})
+        assert r["usage"]["completion_tokens"] == 8
+        text1 = r["choices"][0]["text"]
+
+        # deterministic: same request same output
+        r2 = post("/v1/completions", {"prompt": "ab cd", "max_tokens": 8,
+                                      "temperature": 0})
+        assert r2["choices"][0]["text"] == text1
+
+        # continuation prompt reuses the running state (prefix_match)
+        full = post("/v1/completions", {"prompt": "ab cd" + text1,
+                                        "max_tokens": 4, "temperature": 0})
+        assert full["usage"]["completion_tokens"] == 4
+
+        emb = post("/v1/embeddings", {"input": ["ab cd"]})
+        assert len(emb["data"][0]["embedding"]) == cfg.n_embd
+
+        # logit_bias + sampling still work through the shared decode path
+        rb = post("/v1/completions", {"prompt": "ab", "max_tokens": 4,
+                                      "temperature": 0,
+                                      "logit_bias": {"9": 100.0}})
+        assert rb["choices"][0]["text"] == ctx.tok.decode([9] * 4)
+    finally:
+        srv.shutdown()
+        ctx.stop()

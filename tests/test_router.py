@@ -5,6 +5,7 @@ covers load/list/proxy/unload.
 """
 import json
 import socket
+import time
 import urllib.request
 
 from tpullm.gguf.constants import GGMLType
@@ -25,8 +26,18 @@ def test_router_end_to_end(tmp_path):
                                extra_args=["-c", "128", "-np", "1"])
     url = f"http://127.0.0.1:{port}"
     try:
-        with urllib.request.urlopen(url + "/health", timeout=30) as r:
-            h = json.loads(r.read())
+        # child startup = jax import + model load: generous retry loop so a
+        # loaded single-core host (concurrent benches) can't flake this
+        deadline = time.time() + 180
+        h = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(url + "/health", timeout=30) as r:
+                    h = json.loads(r.read())
+                break
+            except Exception:
+                time.sleep(2)
+        assert h is not None, "router never became healthy"
         assert h["models"] == ["modelA"]
         with urllib.request.urlopen(url + "/v1/models", timeout=30) as r:
             models = json.loads(r.read())

@@ -170,7 +170,7 @@ def _mm(x, qt: QTensor, dtype, layer=None):
 
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
-              cfg: ModelConfig, layer_is_swa=False, window=None):
+              cfg: ModelConfig, layer_is_swa=False, window=None, sinks=None):
     """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
 
     Masking is slot-based: kv slot s is attendable by the query at slot
@@ -178,6 +178,11 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     replaces the reference's host-built KQ mask upload (SURVEY §A.8) with
     on-device positional comparisons. SWA additionally windows on real
     positions. GQA is grouped via reshape (no KV head replication).
+
+    sinks (H,): per-head attention-sink logits (gpt-oss). The sink joins
+    the softmax as a virtual extra key (max and denominator corrections,
+    ggml_compute_forward_soft_max, ops.cpp:5369) without a value row — the
+    output is scaled by 1 - p_sink.
     """
     B, T, H, Dk = q.shape
     S, Hkv = k_all.shape[1], k_all.shape[2]
@@ -185,7 +190,7 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     from ..ops.flash_attention import flash_attention, flash_supported
     from ..ops.qmm import use_pallas
 
-    if (window is None and use_pallas()
+    if (window is None and sinks is None and use_pallas()
             and flash_supported(T, S, Dk, v_all.shape[-1])):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
         # score materialization); decode/small-T keeps the XLA einsum path
@@ -207,8 +212,16 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
         q_pos = positions[:, None, None, :, None]
         mask = mask & (kv_pos > q_pos - win)
     scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+    if sinks is not None:
+        sk = sinks.astype(jnp.float32).reshape(Hkv, G)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk)  # (B,Hkv,G,T)
+        p = jnp.exp(scores - m[..., None])
+        p = jnp.where(mask, p, 0.0)
+        denom = p.sum(-1) + jnp.exp(sk - m)
+        probs = p / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
     out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(q.dtype), v_all,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, T, H, -1).astype(q.dtype)
@@ -454,6 +467,7 @@ def forward(
 
     def _attend(q, k, v, p, kv, li=None):
         q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv)
+        sinks = p.get("attn_sinks")  # per-head sink logits (gpt-oss)
         if cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
             # interleaved local/global layers (gemma2/3, cohere2 style:
             # every swa_pattern-th layer is full attention,
@@ -463,11 +477,11 @@ def forward(
             window = jnp.where(is_swa_l, cfg.sliding_window, 1 << 30)
             att = attention(q, k_view, v_view, q_slots, kv_positions,
                             positions, valid_from, cfg, True,
-                            window=window)
+                            window=window, sinks=sinks)
         else:
             is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
             att = attention(q, k_view, v_view, q_slots, kv_positions,
-                            positions, valid_from, cfg, is_swa)
+                            positions, valid_from, cfg, is_swa, sinks=sinks)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
     def layer_fold(carry, inp):

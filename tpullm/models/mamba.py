@@ -58,15 +58,29 @@ class RecurrentState:
         )
 
 
-def _causal_conv(x, conv_tail, w, b):
+def _causal_conv(x, conv_tail, w, b, n_valid=None):
     """Depthwise causal conv: x (B,T,Di), conv_tail (B,Di,dc-1),
-    w (Di,dc), b (Di,) -> (y (B,T,Di), new_tail)."""
+    w (Di,dc), b (Di,) -> (y (B,T,Di), new_tail).
+
+    n_valid (B,): number of REAL leading positions per row (rest is
+    right-pad). The new tail is gathered at the n_valid edge, so trailing
+    pads never displace real history (a row with n_valid=0 keeps its tail
+    bit-identical — that is what makes inactive decode slots free)."""
     B, T, Di = x.shape
     dc = w.shape[-1]
     xt = jnp.concatenate([conv_tail.transpose(0, 2, 1).astype(x.dtype), x],
                          axis=1)  # (B, dc-1+T, Di)
     y = sum(xt[:, j:j + T, :] * w[:, j].astype(x.dtype) for j in range(dc))
-    new_tail = xt[:, T:, :].transpose(0, 2, 1) if dc > 1 else conv_tail
+    if dc > 1:
+        if n_valid is None:
+            new_tail = xt[:, T:, :].transpose(0, 2, 1)
+        else:
+            idx = n_valid[:, None] + jnp.arange(dc - 1)[None, :]  # (B, dc-1)
+            new_tail = jnp.take_along_axis(
+                xt, idx[..., None], axis=1).transpose(0, 2, 1)
+        new_tail = new_tail.astype(conv_tail.dtype)
+    else:
+        new_tail = conv_tail
     return y + b.astype(x.dtype), new_tail
 
 
@@ -96,13 +110,14 @@ def _ssm_scan(s0, x_dt, dA, B_t, C_t):
 
 
 def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
-           pad_mask=None):
+           pad_mask=None, n_valid=None):
     """One Mamba block on (B,T,D); returns (out, new_tail, new_ssm).
 
-    pad_mask (B,T) True at left-pad positions: the conv input is zeroed and
+    pad_mask (B,T) True at padded positions: the conv input is zeroed and
     dt is clamped so softplus(dt)=0 there — the state passes through
     unchanged, which makes a left-padded row identical to starting the
-    sequence later (zero conv tail + untouched SSM state)."""
+    sequence later (zero conv tail + untouched SSM state). n_valid (B,)
+    anchors the conv tail when the padding is on the right."""
     B, T, D = x.shape
     Di, Ds, dtr = cfg.ssm_d_inner, cfg.ssm_d_state, cfg.ssm_dt_rank
 
@@ -113,7 +128,7 @@ def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
     if pad_mask is not None:
         xs = jnp.where(pad_mask[..., None], 0, xs)
     xs, new_tail = _causal_conv(xs, conv_tail, p["ssm_conv1d"][li],
-                                p["ssm_conv1d_b"][li])
+                                p["ssm_conv1d_b"][li], n_valid)
     xs = jax.nn.silu(xs.astype(jnp.float32)).astype(dtype)
 
     x_db = _mm(xs, p["ssm_x"], dtype, layer=li)  # (B,T,dtr+2*Ds)
@@ -144,15 +159,21 @@ def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
 
 def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
             dtype=jnp.bfloat16, logits_idx=None, return_hidden=False,
-            valid_from=None):
+            valid_from=None, n_valid=None):
     """tokens (B,T) int32 -> (logits (B,T',vocab) f32, new RecurrentState).
 
     valid_from (B,): left-pad lengths — positions before it are masked out
-    of the recurrence (see _layer pad_mask)."""
+    of the recurrence (see _layer pad_mask). n_valid (B,): real length per
+    row for RIGHT-padded input (server prefill buckets / inactive decode
+    rows with n_valid=0, whose state passes through untouched)."""
     B, T = tokens.shape
     x = params["tok_embd"].take_rows(tokens, dtype)
-    pad_mask = (jnp.arange(T)[None, :] < valid_from[:, None]
-                if valid_from is not None else None)
+    pad_mask = None
+    if valid_from is not None:
+        pad_mask = jnp.arange(T)[None, :] < valid_from[:, None]
+    if n_valid is not None:
+        right = jnp.arange(T)[None, :] >= n_valid[:, None]
+        pad_mask = right if pad_mask is None else (pad_mask | right)
 
     layers = params["layers"]
     groups = layers.get("__groups__") or [layers]
@@ -166,7 +187,7 @@ def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
         def step(x, inp, p=p):
             li, conv_tail, ssm_state = inp
             out, tail, ssm = _layer(x, li, p, cfg, conv_tail, ssm_state,
-                                    dtype, pad_mask)
+                                    dtype, pad_mask, n_valid)
             return x + out, (tail, ssm)
 
         x, (tails, ssms) = jax.lax.scan(

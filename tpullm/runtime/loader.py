@@ -35,6 +35,7 @@ LAYER_TENSORS = {
     "attn_output.bias": "bo",
     "attn_q_norm.weight": "q_norm",
     "attn_k_norm.weight": "k_norm",
+    "attn_sinks.weight": "attn_sinks",  # per-head sink logits (gpt-oss)
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_b",
     "ffn_gate.weight": "ffn_gate",
@@ -169,7 +170,8 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
                 "norm" in key or key.startswith("b") or key.endswith("_b")
-                or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d")
+                or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
+                           "attn_sinks")
             ):
                 per_key[key].append(_to_float_array(g, tname))
             else:

@@ -123,3 +123,93 @@ class RecurrentEngine:
         state = RecurrentState.create(self.cfg, tokens.shape[0])
         logits, _ = self._prefill(self.params, tokens, state, valid_from)
         return np.asarray(logits)
+
+
+class RecurrentSlotMemory:
+    """SlotMemory analogue for recurrent models (llama_memory_recurrent,
+    src/llama-memory-recurrent.*): a fixed-size state bank per slot instead
+    of KV rows (exposed as .cache so the server slot loop is shared).
+    Prefix reuse is all-or-nothing (the state is a running
+    summary — only a full continuation of the cached tokens can reuse it),
+    and context never fills, so context_shift is a no-op."""
+
+    def __init__(self, cfg: ModelConfig, n_slots: int,
+                 max_seq_len: int = 1 << 30, kv_dtype=None):
+        from .memory import SlotState
+
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_seq_len = max_seq_len
+        self.cache = RecurrentState.create(cfg, n_slots)
+        self.slots = [SlotState() for _ in range(n_slots)]
+
+        def _reset(state, i):
+            z = jax.tree_util.tree_map(
+                lambda a: a.at[:, i].set(jnp.zeros_like(a[:, i])), state)
+            return z
+
+        self._reset = jax.jit(_reset, donate_argnums=(0,))
+
+        def _copy(state, src, dst):
+            return jax.tree_util.tree_map(
+                lambda a: a.at[:, dst].set(a[:, src]), state)
+
+        self._copy = jax.jit(_copy, donate_argnums=(0,))
+
+    def prefix_match(self, slot: int, tokens: list[int]) -> int:
+        st = self.slots[slot]
+        n = st.n_past
+        if 0 < n < len(tokens) and st.tokens[:n] == tokens[:n]:
+            return n  # exact continuation: state summarises tokens[:n]
+        return 0
+
+    def truncate(self, slot: int, n_keep: int):
+        st = self.slots[slot]
+        if n_keep < st.n_past:  # cannot rewind a running state: reset
+            self.cache = self._reset(self.cache, jnp.int32(slot))
+            st.n_past = 0
+            st.tokens = []
+
+    def clear_slot(self, slot: int):
+        self.truncate(slot, 0)
+        self.slots[slot].clear()
+
+    def copy_slot(self, src: int, dst: int):
+        self.cache = self._copy(self.cache, jnp.int32(src), jnp.int32(dst))
+        self.slots[dst].n_past = self.slots[src].n_past
+        self.slots[dst].tokens = list(self.slots[src].tokens)
+
+    def context_shift(self, slot: int, n_keep: int, n_discard: int):
+        pass  # recurrent context is unbounded
+
+    # -- state IO (llama_state_seq_* analogue) ------------------------------
+
+    def save_slot(self, slot: int) -> dict:
+        st = self.slots[slot]
+        return {
+            "version": 1,
+            "kind": "recurrent",
+            "tokens": np.asarray(st.tokens, np.int32),
+            "n_past": np.int64(st.n_past),
+            "conv": np.asarray(self.cache.conv[:, slot], np.float32),
+            "ssm": np.asarray(self.cache.ssm[:, slot], np.float32),
+        }
+
+    def load_slot(self, slot: int, blob: dict) -> int:
+        conv = jnp.asarray(blob["conv"], self.cache.conv.dtype)
+        ssm = jnp.asarray(blob["ssm"], self.cache.ssm.dtype)
+        self.cache = RecurrentState(
+            self.cache.conv.at[:, slot].set(conv),
+            self.cache.ssm.at[:, slot].set(ssm),
+        )
+        st = self.slots[slot]
+        st.tokens = [int(t) for t in blob["tokens"]]
+        st.n_past = int(blob["n_past"])
+        return st.n_past
+
+    def save_slot_file(self, slot: int, path: str):
+        np.savez(path, **self.save_slot(slot))
+
+    def load_slot_file(self, slot: int, path: str) -> int:
+        z = np.load(path)
+        return self.load_slot(slot, {k: z[k] for k in z.files})

@@ -145,7 +145,16 @@ class ServerContext:
         self.prefill_chunk = prefill_chunk
         self.dtype = compute_dtype
         self.model_name = model_name
-        self.memory = SlotMemory(cfg, n_slots, max_seq_len, kv_dtype or compute_dtype)
+        from ..models.mamba import is_recurrent
+
+        self.recurrent = is_recurrent(cfg)
+        if self.recurrent:
+            from ..runtime.recurrent import RecurrentSlotMemory
+
+            self.memory = RecurrentSlotMemory(cfg, n_slots, max_seq_len)
+        else:
+            self.memory = SlotMemory(cfg, n_slots, max_seq_len,
+                                     kv_dtype or compute_dtype)
         self.rt = [_SlotRt() for _ in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
         self._thread: threading.Thread | None = None
@@ -215,6 +224,59 @@ class ServerContext:
         self._decode = jax.jit(_decode, donate_argnums=(1, 4),
                                static_argnames=("n_steps",))
         self._mu = jnp.zeros((n_slots,), jnp.float32)
+
+        if self.recurrent:
+            # overwrite prefill/decode with the recurrent-state equivalents
+            # (same signatures: "cache" is the RecurrentState slot bank,
+            # positions/cache_pos are ignored — the state is positionless)
+            from ..models.mamba import forward as rec_forward
+
+            rfwd = functools.partial(rec_forward, cfg=cfg, dtype=compute_dtype)
+
+            def _prefill_r(params, tokens, positions, cache, slot0, pos0,
+                           last_idx):
+                sub = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, slot0, 1, 1),
+                    cache)
+                logits, sub = rfwd(
+                    params, tokens=tokens, state=sub,
+                    n_valid=jnp.full((1,), last_idx + 1, jnp.int32),
+                    logits_idx=last_idx)
+                cache = jax.tree_util.tree_map(
+                    lambda a, s: jax.lax.dynamic_update_slice_in_dim(
+                        a, s, slot0, 1), cache, sub)
+                return logits[:, 0, :], cache
+
+            self._prefill = jax.jit(_prefill_r, donate_argnums=(3,))
+
+            def _decode_r(params, logits0, pos0, active, cache, sparams, bias,
+                          pen, mu, key, forced, use_forced, n_steps):
+                def body(carry, step):
+                    logits, pos, cache, pen, mu, key = carry
+                    key, sub = jax.random.split(key)
+                    nxt, mu = sample_batch(logits, sparams, sub, pen.counts,
+                                           mu, dry_ctx=pen.ordered(), bias=bias)
+                    nxt = jnp.where(use_forced & (step == 0), forced, nxt)
+                    pen = pen.push(nxt)
+                    lp = jax.nn.log_softmax(logits, axis=-1)
+                    topv, topi = jax.lax.top_k(lp, 8)
+                    tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+                    # inactive rows run with n_valid=0: state passes through
+                    logits, cache = rfwd(params, tokens=nxt[:, None],
+                                         state=cache,
+                                         n_valid=active.astype(jnp.int32))
+                    logits = logits[:, -1, :]
+                    pos = pos + jnp.where(active, 1, 0)
+                    return ((logits, pos, cache, pen, mu, key),
+                            (nxt, tok_lp, topv, topi))
+
+                (logits, pos, cache, pen, mu, key), ys = jax.lax.scan(
+                    body, (logits0, pos0, cache, pen, mu, key),
+                    jnp.arange(n_steps), length=n_steps)
+                return ys, logits, pos, cache, pen, mu
+
+            self._decode = jax.jit(_decode_r, donate_argnums=(1, 4),
+                                   static_argnames=("n_steps",))
 
         def _set_row(buf, i, row):
             return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=0)
@@ -446,6 +508,8 @@ class ServerContext:
     def _context_shift_overdue(self, n_steps: int):
         """Shift slots that would overflow the cache this chunk
         (update_slots' context-shift, tools/server/server-context.cpp:2168)."""
+        if self.recurrent:
+            return  # recurrent context is unbounded, nothing overflows
         S = self.max_seq_len
         for i in range(self.n_slots):
             if not self._active[i]:
@@ -557,6 +621,8 @@ class ServerContext:
 
         if not self.cfg.causal:  # encoder (BERT) model: bidirectional graph
             return self._embed_encoder(token_lists, pooling)
+        if self.recurrent:
+            return self._embed_recurrent(token_lists, pooling)
         outs = []
         for toks in token_lists:
             Tc = len(toks)
@@ -585,6 +651,42 @@ class ServerContext:
             pos = np.arange(Tb, dtype=np.int32)[None]
             mean, last, h = fn(self.params, jnp.asarray(tok_arr),
                                jnp.asarray(pos), jnp.int32(Tc))
+            if pooling == "mean":
+                outs.append(np.asarray(mean))
+            elif pooling == "last":
+                outs.append(np.asarray(last))
+            else:
+                outs.append(np.asarray(h)[:Tc])
+        return outs
+
+    def _embed_recurrent(self, token_lists, pooling: str = "mean"):
+        """SSM path: hidden states from a throwaway recurrent state."""
+        from ..models.mamba import RecurrentState
+        from ..models.mamba import forward as rec_forward
+
+        outs = []
+        for toks in token_lists:
+            Tc = len(toks)
+            Tb = _bucket(Tc)
+            key = ("rec", Tb)
+            fn = self._embed_fns.get(key)
+            if fn is None:
+                def _f(params, tokens, n_real):
+                    st = RecurrentState.create(self.cfg, 1)
+                    _, _, hidden = rec_forward(
+                        params, self.cfg, tokens, st, self.dtype,
+                        n_valid=n_real[None], return_hidden=True)
+                    h = hidden[0].astype(jnp.float32)
+                    mask = (jnp.arange(tokens.shape[1]) < n_real)[:, None]
+                    mean = (h * mask).sum(0) / jnp.maximum(n_real, 1)
+                    last = h[jnp.maximum(n_real - 1, 0)]
+                    return mean, last, h
+
+                fn = jax.jit(_f)
+                self._embed_fns[key] = fn
+            arr = np.zeros((1, Tb), np.int32)
+            arr[0, :Tc] = toks
+            mean, last, h = fn(self.params, jnp.asarray(arr), jnp.int32(Tc))
             if pooling == "mean":
                 outs.append(np.asarray(mean))
             elif pooling == "last":

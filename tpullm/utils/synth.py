@@ -129,6 +129,27 @@ def _host_qt(qtype, rows, cols, rng):
     return qtensor_from_bytes(raw.reshape(-1), qtype, (rows, cols), device_put=False)
 
 
+def add_spm_toy_vocab(w: GGUFWriter, vocab_size: int) -> None:
+    """Usable SPM-style toy vocab: single-char pieces make any ASCII text
+    tokenizable (and round-trippable); "▁tokN" word pieces exercise the
+    merge path; the tail is filler ids (with FIM markers for infill)."""
+    chars = ["▁"] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?")
+    n_words = max(0, min((vocab_size - 3 - len(chars)) // 2, 200))
+    toks = ["<unk>", "<s>", "</s>"] + chars + [f"▁tok{i}" for i in range(n_words)]
+    toks += [f"<fill{i}>" for i in range(vocab_size - len(toks))]
+    scores = np.zeros(vocab_size, np.float32)
+    # word pieces score higher than chars so merges prefer them
+    scores[3 + len(chars): 3 + len(chars) + n_words] = 1.0
+    w.add_string("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", toks)
+    w.add_array("tokenizer.ggml.scores", scores)
+    w.add_array("tokenizer.ggml.token_type", np.ones(vocab_size, np.int32))
+    if vocab_size >= 8:  # FIM markers on the filler tail (infill tests)
+        w.add_uint32("tokenizer.ggml.fim_pre_token_id", vocab_size - 3)
+        w.add_uint32("tokenizer.ggml.fim_suf_token_id", vocab_size - 2)
+        w.add_uint32("tokenizer.ggml.fim_mid_token_id", vocab_size - 1)
+
+
 def build_llama_gguf(
     path: str,
     *,
@@ -149,6 +170,7 @@ def build_llama_gguf(
     n_expert: int = 0,
     n_expert_used: int = 0,
     fused_qkv: bool = False,  # write attn_qkv.weight (phi/gptneox style)
+    with_sinks: bool = False,  # write per-head attn_sinks.weight (gpt-oss)
     combined_gateup: bool = False,  # write [gate;up] as one ffn_up.weight
     weight_cb=None,  # hook(name, array) to capture the exact float weights
 ) -> str:
@@ -172,24 +194,7 @@ def build_llama_gguf(
         w.add_uint32(f"{arch}.expert_count", n_expert)
         w.add_uint32(f"{arch}.expert_used_count", n_expert_used or 2)
     if with_vocab:
-        # Usable SPM-style toy vocab: single-char pieces make any ASCII text
-        # tokenizable (and round-trippable); "▁tokN" word pieces exercise the
-        # merge path; the tail is filler ids.
-        chars = ["▁"] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?")
-        n_words = max(0, min((vocab_size - 3 - len(chars)) // 2, 200))
-        toks = ["<unk>", "<s>", "</s>"] + chars + [f"▁tok{i}" for i in range(n_words)]
-        toks += [f"<fill{i}>" for i in range(vocab_size - len(toks))]
-        scores = np.zeros(vocab_size, np.float32)
-        # word pieces score higher than chars so merges prefer them
-        scores[3 + len(chars): 3 + len(chars) + n_words] = 1.0
-        w.add_string("tokenizer.ggml.model", "llama")
-        w.add_array("tokenizer.ggml.tokens", toks)
-        w.add_array("tokenizer.ggml.scores", scores)
-        w.add_array("tokenizer.ggml.token_type", np.ones(vocab_size, np.int32))
-        if vocab_size >= 8:  # FIM markers on the filler tail (infill tests)
-            w.add_uint32("tokenizer.ggml.fim_pre_token_id", vocab_size - 3)
-            w.add_uint32("tokenizer.ggml.fim_suf_token_id", vocab_size - 2)
-            w.add_uint32("tokenizer.ggml.fim_mid_token_id", vocab_size - 1)
+        add_spm_toy_vocab(w, vocab_size)
 
     def rand(*shape):
         return (rng.normal(0, scale, size=shape)).astype(np.float32)
@@ -215,6 +220,11 @@ def build_llama_gguf(
             addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
             addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
         addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        if with_sinks:
+            sk = rand(n_head) * 4.0
+            if weight_cb:
+                weight_cb(p + "attn_sinks.weight", sk)
+            w.add_tensor(p + "attn_sinks.weight", sk)
         if n_expert:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             _add_quant_tensor(w, p + "ffn_gate_exps.weight", rand(n_expert, n_ff, n_embd), qtype)
@@ -341,6 +351,7 @@ def build_mamba_gguf(
     qtype: GGMLType = GGMLType.F32,
     seed: int = 0,
     scale: float = 0.05,
+    with_vocab: bool = False,
     weight_cb=None,
 ) -> str:
     """Synthetic Mamba-1 GGUF (tensor names per src/models/mamba.cpp
@@ -364,6 +375,8 @@ def build_mamba_gguf(
         w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
 
     def rand(*shape):
         return (rng.normal(0, scale, size=shape)).astype(np.float32)
