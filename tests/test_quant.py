@@ -190,3 +190,56 @@ def test_zero_blocks():
         x = np.zeros((1, max(blk, 256)), np.float32)
         y = dequantize(quantize(x, qtype), qtype)
         np.testing.assert_array_equal(y, x, err_msg=qtype.name)
+
+
+IQ_TYPES = [
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+]
+
+
+@pytest.mark.parametrize("qtype", IQ_TYPES)
+def test_iq_dequant_bitexact_vs_oracle(qtype):
+    """Codebook i-quants: random payload bytes, bit-exact vs gguf-py."""
+    from tpullm.gguf.constants import GGML_QUANT_SIZES
+
+    rng = np.random.default_rng(int(qtype))
+    _, bs = GGML_QUANT_SIZES[qtype]
+    raw = rng.integers(0, 256, size=(3, 4 * bs), dtype=np.uint8)
+    ours = dequantize(raw, qtype)
+    theirs = RQ.dequantize(raw.reshape(-1), RT[qtype.name]).reshape(ours.shape)
+    ok = np.nan_to_num(ours, nan=0, posinf=1e30, neginf=-1e30)
+    ref = np.nan_to_num(theirs, nan=0, posinf=1e30, neginf=-1e30)
+    np.testing.assert_array_equal(ok, ref, err_msg=qtype.name)
+
+
+def test_iq_qtensor_runs_dense(tmp_path):
+    """IQ weights load as dense-dequanted QTensors and matmul correctly."""
+    import jax.numpy as jnp
+
+    from tpullm.gguf.constants import GGML_QUANT_SIZES
+    from tpullm.ops.qmm import qmm
+    from tpullm.ops.qtensor import qtensor_from_bytes
+
+    qtype = GGMLType.IQ2_XXS
+    rng = np.random.default_rng(0)
+    _, bs = GGML_QUANT_SIZES[qtype]
+    N, K = 8, 512
+    raw = rng.integers(0, 256, size=(N, K // 256 * bs), dtype=np.uint8)
+    # sane embedded f16 super-scales (offset 0)
+    d = np.full((N, K // 256), 0.02, np.float16).view(np.uint16)
+    raw2 = raw.reshape(N, K // 256, bs).copy()
+    raw2[..., 0] = (d & 0xFF).astype(np.uint8)
+    raw2[..., 1] = (d >> 8).astype(np.uint8)
+    raw = raw2.reshape(N, -1)
+
+    qt = qtensor_from_bytes(raw.reshape(-1), qtype, (N, K))
+    assert qt.layout == "dense"
+    w = np.asarray(qt.dequant(jnp.float32))
+    want = dequantize(raw, qtype)
+    np.testing.assert_allclose(w, want, rtol=2e-2, atol=1e-4)  # bf16 store
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.float32)
+    y = np.asarray(qmm(x, qt, jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x) @ w.T, rtol=2e-2, atol=2e-2)
+    r = qt.take_rows(jnp.asarray([1, 3]), jnp.float32)
+    np.testing.assert_allclose(np.asarray(r), w[[1, 3]], rtol=1e-6)

@@ -23,6 +23,8 @@ Reference counterpart: the per-layer ffn graph section built by build_ffn
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,20 @@ from ..quant.kmajor import KM_SPECS, KmSpec
 from .qmm import _lut_select, _pick_tile, min_tile_k
 
 DEF_TK = 2048
+
+
+def _best_tk(K: int, qtype, cap: int) -> int:
+    """Largest K-tile that divides K, is a multiple of the format's minimum
+    group tile, and fits the cap. Non-power-of-two tiles are fine (14336 ->
+    7168) — only divisibility matters to the index maps."""
+    mt = min_tile_k(qtype)
+    best = 0
+    t = mt
+    while t <= min(K, cap):
+        if K % t == 0:
+            best = t
+        t += mt
+    return best or _pick_tile(K, (DEF_TK, 1024, 512, 256, 128))
 
 
 class _Pool:
@@ -137,7 +153,13 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
     carried qkv output)."""
     fold = qk is not None
     npads = [wo_np, gu_np, dn_np] + ([qk[2]] if fold else [])
-    tn = 512 if all(n % 512 == 0 for n in npads) else 256
+    # Step-boundary stalls on the sequential ("arbitrary") grid dominate at
+    # small tiles, so prefer the LARGEST tiles that divide the shapes: fewer
+    # grid steps = fewer pipeline flushes (measured ~2x stream-rate on 8B).
+    tn_cap = int(os.environ.get("TPULLM_MEGA_TN", "1024"))
+    tn = _pick_tile(math.gcd(*npads), (tn_cap, 1024, 512, 256))
+    assert tn, npads
+    tk_cap = int(os.environ.get("TPULLM_MEGA_TK_CAP", "8192"))
     pools = []
     start = 0
     defs = [
@@ -148,7 +170,7 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
     if fold:
         defs.append(("qk", qk[0], D, qk[2], qk[1]))
     for name, qtype, K, Npad, hb in defs:
-        tk = _pick_tile(K, (DEF_TK, 1024, 512, 256, 128))
+        tk = _best_tk(K, qtype, tk_cap)
         assert tk >= min_tile_k(qtype), (name, K, qtype)
         p = _Pool(name, qtype, K, Npad, hb, start, tn, tk)
         pools.append(p)
@@ -333,10 +355,8 @@ def supported(cfg, qw) -> bool:
         if qw[k].layout != "kmajor":
             return False
         K = qw[k].shape[-1]
-        if K % max(min_tile_k(qw[k].qtype), 512) and K % min_tile_k(qw[k].qtype):
-            return False
-        tk = _pick_tile(K, (DEF_TK, 1024, 512, 256, 128))
-        if not tk or tk < min_tile_k(qw[k].qtype):
+        tk = _best_tk(K, qw[k].qtype, 8192)
+        if not tk or K % tk or tk < min_tile_k(qw[k].qtype):
             return False
     return True
 

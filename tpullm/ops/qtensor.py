@@ -56,8 +56,8 @@ class QTensor:
 
     @property
     def layout(self) -> str:
-        if not self.is_quantized:
-            return "dense"
+        if not self.is_quantized or "w" in self.data:
+            return "dense"  # float weights, or dequanted-at-load codebooks
         return "kmajor" if "q" in self.data and "sc" in self.data else "planar"
 
     @property
@@ -75,7 +75,7 @@ class QTensor:
         layer-stacked or scan-sliced QTensor dequantizes correctly); kmajor
         dequant requires unstacked (2-D) leaves.
         """
-        if not self.is_quantized:
+        if not self.is_quantized or "w" in self.data:
             return self.data["w"].astype(dtype)
         if self.layout == "kmajor":
             assert self.data["q"].ndim == 2, "kmajor dequant needs per-layer leaves"
@@ -89,7 +89,7 @@ class QTensor:
         analogue, ggml/include/ggml.h GGML_OP_GET_ROWS). kmajor stores rows
         as lanes, so this is a column gather + dequant of the gathered slab.
         """
-        if not self.is_quantized:
+        if not self.is_quantized or "w" in self.data:
             return self.data["w"][idx].astype(dtype)
         if self.layout == "kmajor":
             idx = jnp.asarray(idx)
@@ -137,6 +137,17 @@ def qtensor_from_bytes(
     blk, bs = GGML_QUANT_SIZES[qtype]
     row_bytes = n_in // blk * bs
     lead = tuple(shape[:-1]) if len(shape) > 1 else (1,)
+    from ..quant.layout import PLANAR_TYPES
+
+    if qtype not in PLANAR_TYPES:
+        # codebook formats (IQ1/IQ2/IQ3): no kernel layout yet — dense
+        # dequant at load (the reference's convert.cu full-dequant path)
+        from ..quant.numpy_impl import dequantize
+
+        w = dequantize(raw.reshape(*lead, row_bytes), qtype).reshape(shape)
+        w = w.astype(np.float32)
+        data = {"w": jnp.asarray(w, jnp.bfloat16) if device_put else w}
+        return QTensor(qtype, tuple(shape), data)
     planar = decode_planar(raw.reshape(*lead, row_bytes), qtype)
     if _choose_layout(qtype, tuple(shape), layout) == "kmajor":
         assert len(lead) == 1, "kmajor packing expects 2-D logical weights"

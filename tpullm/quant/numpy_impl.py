@@ -339,6 +339,172 @@ def _q_tq2_0(x):
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# i-quants (IQ1/IQ2/IQ3): codebook-grid formats. Layouts per ggml-quants.c
+# block_iq* structs; the shared E8-lattice grids and canonical sign table
+# live in iq_grids (pure format data). Decode-only: the reference's encoders
+# for these need an importance matrix search and are out of scope here.
+# ---------------------------------------------------------------------------
+
+
+def _u16cols(b):
+    """(..., 2k) uint8 -> (..., k) uint16 (LE pairs)."""
+    return (b[..., 0::2].astype(np.uint16)
+            | (b[..., 1::2].astype(np.uint16) << 8))
+
+
+def _u32cols(b):
+    """(..., 4k) uint8 -> (..., k) uint32 (LE quads)."""
+    u = b.astype(np.uint32)
+    return u[..., 0::4] | (u[..., 1::4] << 8) | (u[..., 2::4] << 16) \
+        | (u[..., 3::4] << 24)
+
+
+def _signs_from_idx(idx):
+    """7-bit canonical sign indices (...,) -> +-1.0 f32 (..., 8)."""
+    from .iq_grids import KSIGNS
+
+    bits = KSIGNS[idx][..., None] >> np.arange(8, dtype=np.uint8)
+    return np.where(bits & 1, np.float32(-1), np.float32(1))
+
+
+def _sign_bytes(b):
+    """Raw sign bytes (...,) uint8 -> +-1.0 f32 (..., 8)."""
+    bits = b[..., None] >> np.arange(8, dtype=np.uint8)
+    return np.where(bits & 1, np.float32(-1), np.float32(1))
+
+
+def _iqgrid(name, idx, per):
+    from .iq_grids import grid
+
+    g = grid(name).astype(np.float32)
+    return g[idx]  # (..., per)
+
+
+def _dq_iq2_xxs(blk):
+    # block: d f16 | 32 x u32 pairs: [4 grid bytes][4x7b signs + 4b scale]
+    d = _f16_at(blk, 0)  # (..., nb)
+    q = _u32cols(blk[..., 2:]).reshape(*blk.shape[:-1], 8, 2)
+    gi = q[..., 0]  # 4 grid bytes packed LE
+    meta = q[..., 1]
+    db = d[..., None] * (0.5 + (meta >> 28).astype(np.float32)) * 0.25
+    sidx = (meta[..., None] >> np.array([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _signs_from_idx(sidx.astype(np.int64))  # (..., 8, 4, 8)
+    gb = (gi[..., None] >> np.array([0, 8, 16, 24], np.uint32)) & 0xFF
+    vals = _iqgrid("IQ2_XXS", gb.astype(np.int64), 8)  # (..., 8, 4, 8)
+    y = db[..., None, None] * vals * signs
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+def _dq_iq2_xs(blk):
+    # block: d f16 | 32 x u16 (9b grid idx + 7b sign idx) | 8 x u8 scales
+    d = _f16_at(blk, 0)
+    qs = _u16cols(blk[..., 2:66]).reshape(*blk.shape[:-1], 16, 2)
+    sc = blk[..., 66:74]
+    s4 = (sc[..., None] >> np.array([0, 4], np.uint8)) & 0x0F  # (...,8,2)
+    db = d[..., None, None] * (0.5 + s4.astype(np.float32)) * 0.25  # (...,8,2)
+    db = db.reshape(*blk.shape[:-1], 16, 1, 1)
+    signs = _signs_from_idx((qs >> 9).astype(np.int64))  # (...,16,2,8)
+    vals = _iqgrid("IQ2_XS", (qs & 511).astype(np.int64), 8)
+    y = db * vals * signs
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+def _dq_iq2_s(blk):
+    # block: d f16 | 32 qs | 32 sign bytes | 8 qh | 8 scales
+    d = _f16_at(blk, 0)
+    qs = blk[..., 2:34]
+    sb = blk[..., 34:66]
+    qh = blk[..., 66:74]
+    sc = blk[..., 74:82]
+    s4 = (sc[..., None] >> np.array([0, 4], np.uint8)) & 0x0F
+    db = (d[..., None, None] * (0.5 + s4.astype(np.float32)) * 0.25)
+    db = db.reshape(*blk.shape[:-1], 16, 1, 1)
+    hi = (qh[..., None] >> np.array([0, 2, 4, 6], np.uint8)) & 0x03
+    gi = qs.astype(np.uint16) | (hi.reshape(*qs.shape).astype(np.uint16) << 8)
+    vals = _iqgrid("IQ2_S", gi.astype(np.int64), 8)  # (...,32,8)
+    signs = _sign_bytes(sb)  # (...,32,8)
+    y = db * vals.reshape(*blk.shape[:-1], 16, 2, 8) \
+        * signs.reshape(*blk.shape[:-1], 16, 2, 8)
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+def _dq_iq3_xxs(blk):
+    # block: d f16 | 64 grid-index bytes | 8 x u32 (4x7b signs + 4b scale)
+    d = _f16_at(blk, 0)
+    qs = blk[..., 2:66]
+    meta = _u32cols(blk[..., 66:98])  # (..., 8)
+    db = d[..., None] * (0.5 + (meta >> 28).astype(np.float32)) * 0.5
+    sidx = (meta[..., None] >> np.array([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _signs_from_idx(sidx.astype(np.int64))  # (...,8,4,8)
+    vals = _iqgrid("IQ3_XXS", qs.astype(np.int64), 4)  # (...,64,4)
+    y = db[..., None, None] * vals.reshape(*blk.shape[:-1], 8, 4, 8) * signs
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+def _dq_iq3_s(blk):
+    # block: d f16 | 64 qs | 8 qh | 32 sign bytes | 4 scales
+    d = _f16_at(blk, 0)
+    qs = blk[..., 2:66]
+    qh = blk[..., 66:74]
+    sb = blk[..., 74:106]
+    sc = blk[..., 106:110]
+    s4 = (sc[..., None] >> np.array([0, 4], np.uint8)) & 0x0F  # (...,4,2)
+    db = d[..., None, None] * (1 + 2 * s4.astype(np.float32))
+    db = db.reshape(*blk.shape[:-1], 8, 1, 1)
+    hi = (qh[..., None] >> np.arange(8, dtype=np.uint8)) & 0x01
+    gi = qs.astype(np.uint16) | (hi.reshape(*qs.shape).astype(np.uint16) << 8)
+    vals = _iqgrid("IQ3_S", gi.astype(np.int64), 4)  # (...,64,4)
+    signs = _sign_bytes(sb)  # (...,32,8)
+    y = db * vals.reshape(*blk.shape[:-1], 8, 4, 8) \
+        * signs.reshape(*blk.shape[:-1], 8, 4, 8)
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+_IQ1_DELTA = np.float32(0.125)
+
+
+def _dq_iq1_s(blk):
+    # block: d f16 | 32 qs | 16 x u16 qh (3x3b grid hi + 3b scale + sign bit)
+    d = _f16_at(blk, 0)
+    qs = blk[..., 2:34]
+    qh = _u16cols(blk[..., 34:50])  # (..., 8)
+    dl = d[..., None] * (2 * ((qh >> 12) & 7).astype(np.float32) + 1)
+    delta = np.where((qh & 0x8000) == 0, _IQ1_DELTA, -_IQ1_DELTA)
+    hi = (qh[..., None] >> np.array([0, 3, 6, 9], np.uint16)) & 7  # (...,8,4)
+    gi = qs.astype(np.uint16) | (hi.reshape(*qs.shape).astype(np.uint16) << 8)
+    vals = _iqgrid("IQ1_S", gi.astype(np.int64), 8)  # (...,32,8)
+    y = dl[..., None, None] * (vals.reshape(*blk.shape[:-1], 8, 4, 8)
+                               + delta[..., None, None])
+    return y.reshape(*blk.shape[:-1], 256)
+
+
+def _dq_iq1_m(blk):
+    # block: 32 qs | 16 qh (2x3b grid hi + delta signs) | 8 scale bytes;
+    # the f16 super-scale hides in the scale words' top nibbles
+    qs = blk[..., 0:32]
+    qh = blk[..., 32:48]
+    sw = _u16cols(blk[..., 48:56])  # (..., 4) scale words
+    dbits = (sw & 0xF000) >> np.array([12, 8, 4, 0], np.uint16)
+    du16 = dbits[..., 0] | dbits[..., 1] | dbits[..., 2] | dbits[..., 3]
+    d = np.ascontiguousarray(du16).view(np.float16).astype(np.float32)
+    d = d.reshape(du16.shape)
+    s3 = (sw[..., None] >> np.array([0, 3, 6, 9], np.uint16)) & 0x07
+    dl = d[..., None, None] * (2 * s3.astype(np.float32).reshape(
+        *blk.shape[:-1], 8, 2) + 1)  # (...,8,2)
+    hi = (qh[..., None] >> np.array([0, 4], np.uint8)) & 0x07  # (...,16,2)
+    gi = qs.astype(np.uint16) | (hi.reshape(*qs.shape).astype(np.uint16) << 8)
+    sgn = (qh[..., None] >> np.array([0, 4], np.uint8)) & 0x08
+    delta = np.where(sgn == 0, _IQ1_DELTA, -_IQ1_DELTA)  # (...,16,2)
+    vals = _iqgrid("IQ1_M", gi.astype(np.int64), 8)  # (...,32,8)
+    y = dl.reshape(*blk.shape[:-1], 8, 2, 1, 1) \
+        * (vals.reshape(*blk.shape[:-1], 8, 2, 2, 8)
+           + delta.reshape(*blk.shape[:-1], 8, 2, 2, 1))
+    return y.reshape(*blk.shape[:-1], 256)
+
+
 _DEQUANT = {
     GGMLType.Q4_0: _dq_q4_0,
     GGMLType.Q4_1: _dq_q4_1,
@@ -356,7 +522,13 @@ _DEQUANT = {
     GGMLType.IQ4_XS: _dq_iq4_xs,
     GGMLType.MXFP4: _dq_mxfp4,
     GGMLType.TQ2_0: _dq_tq2_0,
-    GGMLType.TQ2_0: _dq_tq2_0,
+    GGMLType.IQ2_XXS: _dq_iq2_xxs,
+    GGMLType.IQ2_XS: _dq_iq2_xs,
+    GGMLType.IQ2_S: _dq_iq2_s,
+    GGMLType.IQ3_XXS: _dq_iq3_xxs,
+    GGMLType.IQ3_S: _dq_iq3_s,
+    GGMLType.IQ1_S: _dq_iq1_s,
+    GGMLType.IQ1_M: _dq_iq1_m,
 }
 
 
