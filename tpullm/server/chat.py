@@ -94,14 +94,16 @@ def pick_template(chat_template: str | None, arch: str = ""):
     return _chatml
 
 
-def apply_chat_template(ctx, messages: list[dict]) -> str:
+def get_template_src(ctx) -> str | None:
+    if ctx.tok is not None and getattr(ctx.tok, "chat_template", None):
+        return ctx.tok.chat_template
+    return ctx.cfg.raw_kv.get("tokenizer.chat_template")
+
+
+def apply_chat_template(ctx, messages: list[dict], tools=None) -> str:
     msgs = [{"role": str(m.get("role", "user")), "content": _content_str(m)}
             for m in messages]
-    tmpl_src = None
-    if ctx.tok is not None and getattr(ctx.tok, "chat_template", None):
-        tmpl_src = ctx.tok.chat_template
-    if tmpl_src is None:
-        tmpl_src = ctx.cfg.raw_kv.get("tokenizer.chat_template")
+    tmpl_src = get_template_src(ctx)
     if tmpl_src:
         # execute the model's own template with the bundled Jinja subset
         # (common/jinja analogue); fall back to fingerprints on failure
@@ -114,7 +116,7 @@ def apply_chat_template(ctx, messages: list[dict]) -> str:
             eos = (v.tokens[v.eos_id] if v is not None and v.eos_id is not None
                    else "")
             return render_chat_template(tmpl_src, msgs, bos_token=bos,
-                                        eos_token=eos)
+                                        eos_token=eos, tools=tools)
         except Exception:
             pass
     fn = pick_template(tmpl_src, ctx.cfg.arch)

@@ -487,12 +487,19 @@ class ServerContext:
         if row is not None:
             logits = logits + row
         p = r.task.params
-        k = 128
-        cand = np.argpartition(-logits, k)[:k]
+        k = min(128, logits.shape[-1])
+        cand = np.argpartition(-logits, k - 1)[:k]
         cand = cand[np.argsort(-logits[cand])]
         mask = r.constraint.filter_candidates(cand)
         allowed = cand[mask.astype(bool)]
-        if len(allowed) == 0:  # dead end: force EOG
+        if len(allowed) == 0:
+            # nothing legal in the top-k: the grammar may require a
+            # low-probability token — widen to the full vocab (the
+            # reference grammar sampler filters ALL candidates)
+            cand = np.argsort(-logits)
+            mask = r.constraint.filter_candidates(cand)
+            allowed = cand[mask.astype(bool)]
+        if len(allowed) == 0:  # true dead end: force EOG
             v = self.tok.vocab
             return int(v.eos_id if v.eos_id is not None else 0)
         lg = logits[allowed].astype(np.float64)

@@ -388,8 +388,19 @@ class Handler(BaseHTTPRequestHandler):
         params = _gen_params(body)
         created = int(time.time())
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:16]
+        tool_fmt = None
         if chat:
-            prompt_text = apply_chat_template(ctx, body.get("messages", []))
+            msgs = body.get("messages", [])
+            tools = body.get("tools")
+            if tools and body.get("tool_choice") != "none":
+                from .chat import get_template_src
+                from .toolcall import detect_format, inject_tools
+
+                tool_fmt = detect_format(get_template_src(ctx))
+                msgs = inject_tools(msgs, tools, tool_fmt)
+                prompt_text = apply_chat_template(ctx, msgs, tools=tools)
+            else:
+                prompt_text = apply_chat_template(ctx, msgs)
             tokens = ctx.tok.encode(prompt_text, add_special=True, parse_special=True)
         else:
             prompt = body.get("prompt", "")
@@ -433,11 +444,22 @@ class Handler(BaseHTTPRequestHandler):
             "total_tokens": stats["prompt_tokens"] + stats["completion_tokens"],
         }
         if chat:
+            message = {"role": "assistant", "content": result["text"]}
+            finish = result["reason"]
+            if tool_fmt is not None:
+                from .toolcall import parse_tool_calls
+
+                content, calls = parse_tool_calls(result["text"], tool_fmt)
+                if calls:
+                    message = {"role": "assistant",
+                               "content": content or None,
+                               "tool_calls": calls}
+                    finish = "tool_calls"
             self._json(200, {
                 "id": rid, "object": "chat.completion", "created": created,
                 "model": model, "usage": usage, "timings": stats,
-                "choices": [{"index": 0, "finish_reason": result["reason"],
-                             "message": {"role": "assistant", "content": result["text"]}}],
+                "choices": [{"index": 0, "finish_reason": finish,
+                             "message": message}],
             })
         else:
             lp = None

@@ -133,7 +133,7 @@ def add_spm_toy_vocab(w: GGUFWriter, vocab_size: int) -> None:
     """Usable SPM-style toy vocab: single-char pieces make any ASCII text
     tokenizable (and round-trippable); "▁tokN" word pieces exercise the
     merge path; the tail is filler ids (with FIM markers for infill)."""
-    chars = ["▁"] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?")
+    chars = ["▁"] + list("abcdefghijklmnopqrstuvwxyz0123456789.,!?" '{}[]":_-')
     n_words = max(0, min((vocab_size - 3 - len(chars)) // 2, 200))
     toks = ["<unk>", "<s>", "</s>"] + chars + [f"▁tok{i}" for i in range(n_words)]
     toks += [f"<fill{i}>" for i in range(vocab_size - len(toks))]
