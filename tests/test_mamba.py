@@ -296,3 +296,109 @@ def test_mamba_server_e2e(tmp_path):
     finally:
         srv.shutdown()
         ctx.stop()
+
+
+def _np_mamba2(W, cfg, tokens):
+    """Sequential Mamba-2 oracle (scalar per-head decay, grouped norm)."""
+    Di, Ds, dc = cfg.ssm_d_inner, cfg.ssm_d_state, cfg.ssm_d_conv
+    nh, G = cfg.ssm_dt_rank, cfg.ssm_n_group
+    hd = Di // nh
+    dxbc = Di + 2 * G * Ds
+    T = len(tokens)
+    x = W["token_embd.weight"][tokens]
+
+    def rms(v, w, eps=1e-5):
+        return v / np.sqrt((v**2).mean(-1, keepdims=True) + eps) * w
+
+    for l in range(cfg.n_layer):
+        p = f"blk.{l}."
+        h = rms(x, W[p + "attn_norm.weight"])
+        zxbcdt = h @ W[p + "ssm_in.weight"].T
+        z, xbc, dt = (zxbcdt[:, :Di], zxbcdt[:, Di:Di + dxbc],
+                      zxbcdt[:, Di + dxbc:])
+        wconv = W[p + "ssm_conv1d.weight"]  # (dxbc, dc)
+        xt = np.concatenate([np.zeros((dc - 1, dxbc), np.float32), xbc], 0)
+        y = np.zeros_like(xbc)
+        for t in range(T):
+            y[t] = (xt[t:t + dc] * wconv.T).sum(0)
+        xbc = y + W[p + "ssm_conv1d.bias"]
+        xbc = xbc / (1 + np.exp(-xbc))
+        xs = xbc[:, :Di]
+        Bt = xbc[:, Di:Di + G * Ds].reshape(T, G, Ds)
+        Ct = xbc[:, Di + G * Ds:].reshape(T, G, Ds)
+        dt_sp = np.log1p(np.exp(dt + W[p + "ssm_dt.bias"]))  # (T,nh)
+        A = W[p + "ssm_a"].reshape(-1)
+        D = W[p + "ssm_d"].reshape(-1)
+        s = np.zeros((nh, hd, Ds), np.float32)
+        yout = np.zeros((T, Di), np.float32)
+        for t in range(T):
+            for hh in range(nh):
+                g = hh // (nh // G)
+                dA = np.exp(dt_sp[t, hh] * A[hh])
+                xv = xs[t, hh * hd:(hh + 1) * hd] * dt_sp[t, hh]
+                s[hh] = s[hh] * dA + xv[:, None] * Bt[t, g][None, :]
+                yout[t, hh * hd:(hh + 1) * hd] = (s[hh] * Ct[t, g][None, :]).sum(-1)
+        yout = yout + xs * np.repeat(D, hd)
+        yout = yout * (z / (1 + np.exp(-z)))
+        yg = yout.reshape(T, G, Di // G)
+        wn = W[p + "ssm_norm.weight"]
+        yg = yg / np.sqrt((yg**2).mean(-1, keepdims=True) + 1e-5) * wn[None]
+        yout = yg.reshape(T, Di)
+        x = x + yout @ W[p + "ssm_out.weight"].T
+    x = rms(x, W["output_norm.weight"])
+    return x @ W["token_embd.weight"].T
+
+
+def test_mamba2_forward_matches_numpy(tmp_path):
+    from tpullm.utils.synth import build_mamba2_gguf
+
+    path = str(tmp_path / "m2.gguf")
+    W = {}
+    build_mamba2_gguf(path, vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                      n_group=2, scale=0.2,
+                      weight_cb=lambda n, a: W.__setitem__(n, a.copy()))
+    cfg, params, _ = load_model(path)
+    assert cfg.arch == "mamba2" and cfg.ssm_n_group == 2
+    toks = np.array([3, 17, 42, 9, 77], np.int32)
+    ref = _np_mamba2(W, cfg, toks)
+    st = RecurrentState.create(cfg, 1)
+    logits, _ = forward(params, cfg, jnp.asarray(toks[None]), st, jnp.float32)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_mamba2_prefill_equals_stepwise(tmp_path):
+    from tpullm.utils.synth import build_mamba2_gguf
+
+    path = str(tmp_path / "m2b.gguf")
+    build_mamba2_gguf(path, vocab_size=64, n_embd=32, n_layer=1, n_head=4,
+                      n_group=2, scale=0.2)
+    cfg, params, _ = load_model(path)
+    toks = np.array([3, 7, 12, 9], np.int32)
+    st = RecurrentState.create(cfg, 1)
+    full, full_st = forward(params, cfg, jnp.asarray(toks[None]), st,
+                            jnp.float32)
+    st = RecurrentState.create(cfg, 1)
+    outs = []
+    for t in toks:
+        lg, st = forward(params, cfg, jnp.asarray([[t]], jnp.int32), st,
+                         jnp.float32)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(st.ssm), np.asarray(full_st.ssm),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_mamba2_engine(tmp_path):
+    from tpullm.runtime.recurrent import RecurrentEngine
+    from tpullm.utils.synth import build_mamba2_gguf
+
+    path = str(tmp_path / "m2c.gguf")
+    build_mamba2_gguf(path, vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                      n_group=2, scale=0.1)
+    cfg, params, _ = load_model(path)
+    eng = RecurrentEngine(cfg, params, compute_dtype=jnp.float32,
+                          decode_chunk=4)
+    r = eng.generate([[3, 17, 42]], max_new_tokens=8)
+    assert len(r.tokens[0]) == 8
+    assert all(0 <= t < 128 for t in r.tokens[0])

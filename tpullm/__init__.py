@@ -8,3 +8,15 @@ mesh-sharded multi-chip execution via GSPMD.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The fused decode layer kernel wants ~32 MB of VMEM windows (large tiles
+# halve the sequential-grid stall overhead: 18.2 -> 13.9 ms/step on 8B);
+# the default scoped-vmem budget is 16 MB. Must be set before the first
+# backend init, hence here at package import.
+_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+_cur = _os.environ.get("LIBTPU_INIT_ARGS", "")
+if "xla_tpu_scoped_vmem_limit_kib" not in _cur:
+    _os.environ["LIBTPU_INIT_ARGS"] = (_cur + " " + _FLAG).strip()
+del _os, _cur, _FLAG

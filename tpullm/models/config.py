@@ -69,7 +69,8 @@ class ModelConfig:
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
-    ssm_dt_rank: int = 0
+    ssm_dt_rank: int = 0  # mamba2: the SSM head count
+    ssm_n_group: int = 0  # mamba2: B/C group count
     ssm_dt_b_c_rms: bool = False  # FalconMamba: RMS-norm dt/B/C
     raw_kv: dict = field(default_factory=dict, repr=False)
 
@@ -119,6 +120,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     cfg.ssm_d_inner = int(_k(g, "{arch}.ssm.inner_size", 0))
     cfg.ssm_d_state = int(_k(g, "{arch}.ssm.state_size", 0))
     cfg.ssm_dt_rank = int(_k(g, "{arch}.ssm.time_step_rank", 0))
+    cfg.ssm_n_group = int(_k(g, "{arch}.ssm.group_count", 0))
     cfg.ssm_dt_b_c_rms = bool(_k(g, "{arch}.ssm.dt_b_c_rms", False))
     # encoder models: pooling enum (llama.h LLAMA_POOLING_TYPE_*) + causality
     _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}

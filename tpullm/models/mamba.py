@@ -51,11 +51,19 @@ class RecurrentState:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, dtype=jnp.float32):
         return RecurrentState(
-            conv=jnp.zeros((cfg.n_layer, batch, cfg.ssm_d_inner,
+            conv=jnp.zeros((cfg.n_layer, batch, conv_channels(cfg),
                             cfg.ssm_d_conv - 1), dtype),
             ssm=jnp.zeros((cfg.n_layer, batch, cfg.ssm_d_inner,
                            cfg.ssm_d_state), jnp.float32),
         )
+
+
+def conv_channels(cfg: ModelConfig) -> int:
+    """Mamba-2 convolves x, B, and C together (src/models/mamba-base.cpp
+    build_mamba2_layer); Mamba-1 convolves only x."""
+    if cfg.arch == "mamba2":
+        return cfg.ssm_d_inner + 2 * cfg.ssm_n_group * cfg.ssm_d_state
+    return cfg.ssm_d_inner
 
 
 def _causal_conv(x, conv_tail, w, b, n_valid=None):
@@ -157,6 +165,82 @@ def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
     return out, new_tail, new_ssm
 
 
+def _layer2(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
+            pad_mask=None, n_valid=None):
+    """Mamba-2 block (build_mamba2_layer): one fused in-proj emits
+    [z | xBC | dt]; the conv covers x, B and C; the scan uses a SCALAR decay
+    per head (state-space duality form) and a grouped RMS norm before the
+    out-projection."""
+    B, T, D = x.shape
+    Di, Ds, G = cfg.ssm_d_inner, cfg.ssm_d_state, cfg.ssm_n_group
+    nh = cfg.ssm_dt_rank  # SSM head count
+    hd = Di // nh
+    dxbc = Di + 2 * G * Ds
+
+    h = rms_norm(x, p["attn_norm"][li], cfg.rms_eps)
+    zxbcdt = _mm(h, p["ssm_in"], dtype, layer=li)  # (B,T,2Di+2GDs+nh)
+    z = zxbcdt[..., :Di]
+    xbc = zxbcdt[..., Di:Di + dxbc]
+    dt = zxbcdt[..., Di + dxbc:]
+
+    if pad_mask is not None:
+        xbc = jnp.where(pad_mask[..., None], 0, xbc)
+    xbc, new_tail = _causal_conv(xbc, conv_tail, p["ssm_conv1d"][li],
+                                 p["ssm_conv1d_b"][li], n_valid)
+    xbc = jax.nn.silu(xbc.astype(jnp.float32)).astype(dtype)
+
+    xs = xbc[..., :Di].astype(jnp.float32)
+    B_t = xbc[..., Di:Di + G * Ds].astype(jnp.float32).reshape(B, T, G, Ds)
+    C_t = xbc[..., Di + G * Ds:].astype(jnp.float32).reshape(B, T, G, Ds)
+
+    dt_sp = jax.nn.softplus(dt.astype(jnp.float32)
+                            + p["ssm_dt_b"][li][None, None])  # (B,T,nh)
+    if pad_mask is not None:
+        dt_sp = jnp.where(pad_mask[..., None], 0.0, dt_sp)
+    A = p["ssm_a"][li].reshape(-1).astype(jnp.float32)  # (nh,)
+    dA_h = jnp.exp(dt_sp * A[None, None])  # (B,T,nh) scalar per head
+    # expand per-head decay/B/C to the flat (Di, Ds) state layout
+    rep = nh // max(G, 1)
+    dA = jnp.repeat(dA_h, hd, axis=-1)[..., None]  # (B,T,Di,1)
+    dA = jnp.broadcast_to(dA, (B, T, Di, Ds))
+    Bh = jnp.repeat(B_t, rep, axis=2)  # (B,T,nh,Ds)
+    Ch = jnp.repeat(C_t, rep, axis=2)
+    Bf = jnp.repeat(Bh, hd, axis=2).reshape(B, T, Di, Ds)
+    x_dt = xs * jnp.repeat(dt_sp, hd, axis=-1)  # (B,T,Di)
+
+    # same first-order recurrence as mamba-1, with dA already expanded
+    inc = x_dt[..., None] * Bf
+    if T == 1:
+        hnew = dA[:, 0] * ssm_state + inc[:, 0]
+        Cf = jnp.repeat(Ch, hd, axis=2).reshape(B, T, Di, Ds)
+        y = (hnew[:, None] * Cf).sum(-1)
+        new_ssm = hnew
+    else:
+        def combine(a, b):
+            (a1, b1), (a2, b2) = a, b
+            return a1 * a2, b1 * a2 + b2
+
+        inc = inc.at[:, 0].add(dA[:, 0] * ssm_state)
+        _, states = jax.lax.associative_scan(combine, (dA, inc), axis=1)
+        Cf = jnp.repeat(Ch, hd, axis=2).reshape(B, T, Di, Ds)
+        y = (states * Cf).sum(-1)  # (B,T,Di)
+        new_ssm = states[:, -1]
+
+    Dh = p["ssm_d"][li].reshape(-1).astype(jnp.float32)  # (nh,)
+    y = y + xs * jnp.repeat(Dh, hd)[None, None]
+    y = (y * jax.nn.silu(z.astype(jnp.float32)))
+    # grouped RMS norm (ssm_norm (G, Di/G))
+    yg = y.reshape(B, T, G, Di // G)
+    w = p["ssm_norm"][li].astype(jnp.float32)  # (G, Di/G)
+    var = jnp.mean(yg * yg, axis=-1, keepdims=True)
+    yg = yg * jax.lax.rsqrt(var + cfg.rms_eps) * w[None, None]
+    y = yg.reshape(B, T, Di).astype(dtype)
+    out = _mm(y, p["ssm_out"], dtype, layer=li)
+    if "cvec" in p:
+        out = out + p["cvec"][li].astype(out.dtype)
+    return out, new_tail, new_ssm
+
+
 def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
             dtype=jnp.bfloat16, logits_idx=None, return_hidden=False,
             valid_from=None, n_valid=None):
@@ -184,10 +268,12 @@ def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
         conv_g = jax.lax.dynamic_slice_in_dim(state.conv, off, L_g, 0)
         ssm_g = jax.lax.dynamic_slice_in_dim(state.ssm, off, L_g, 0)
 
-        def step(x, inp, p=p):
+        layer_fn = _layer2 if cfg.arch == "mamba2" else _layer
+
+        def step(x, inp, p=p, layer_fn=layer_fn):
             li, conv_tail, ssm_state = inp
-            out, tail, ssm = _layer(x, li, p, cfg, conv_tail, ssm_state,
-                                    dtype, pad_mask, n_valid)
+            out, tail, ssm = layer_fn(x, li, p, cfg, conv_tail, ssm_state,
+                                      dtype, pad_mask, n_valid)
             return x + out, (tail, ssm)
 
         x, (tails, ssms) = jax.lax.scan(

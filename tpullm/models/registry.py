@@ -43,6 +43,7 @@ ARCH_REGISTRY: dict[str, dict] = {
     # recurrent SSM family — src/models/mamba.cpp (+falcon-mamba via
     # ssm.dt_b_c_rms KV on the same arch)
     "mamba": dict(),
+    "mamba2": dict(),
     # encoder (bidirectional) family — src/models/bert.cpp
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),

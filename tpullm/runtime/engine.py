@@ -69,6 +69,16 @@ class InferenceEngine:
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
         self._decode_fns: dict = {}
+        self._sample_fns: dict = {}
+
+    def _sample_fn(self, sampler: SamplerConfig):
+        # cache the jitted first-token sampler: a fresh jax.jit wrapper per
+        # generate() call would recompile (~0.8 s) every request
+        fn = self._sample_fns.get(sampler)
+        if fn is None:
+            fn = jax.jit(make_sample_fn(sampler))
+            self._sample_fns[sampler] = fn
+        return fn
 
     def _decode_fn(self, sampler: SamplerConfig, chunk: int):
         key_ = (sampler, chunk)
@@ -135,9 +145,8 @@ class InferenceEngine:
         first_logits = np.asarray(logits) if return_logits else None
 
         key = jax.random.PRNGKey(seed)
-        sample = make_sample_fn(sampler)
         key, sub = jax.random.split(key)
-        tok = jax.jit(sample)(logits, sub)
+        tok = self._sample_fn(sampler)(logits, sub)
 
         out_chunks = [np.asarray(tok)[None]]  # (1, B)
         produced = 1

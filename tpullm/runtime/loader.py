@@ -63,6 +63,7 @@ LAYER_TENSORS = {
     "ssm_dt.bias": "ssm_dt_b",
     "ssm_a": "ssm_a",  # no .weight suffix in GGUF
     "ssm_d": "ssm_d",
+    "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
     # encoder (BERT) family: post-LN norms + FFN biases
     "attn_output_norm.weight": "attn_out_norm",

@@ -42,6 +42,14 @@ class RecurrentEngine:
 
         self._prefill = jax.jit(_prefill, donate_argnums=(2,))
         self._decode_fns: dict = {}
+        self._sample_fns: dict = {}
+
+    def _sample_fn(self, sampler: SamplerConfig):
+        fn = self._sample_fns.get(sampler)
+        if fn is None:
+            fn = jax.jit(make_sample_fn(sampler))
+            self._sample_fns[sampler] = fn
+        return fn
 
     def _decode_fn(self, sampler: SamplerConfig, chunk: int):
         key_ = (sampler, chunk)
@@ -88,9 +96,8 @@ class RecurrentEngine:
         first_logits = np.asarray(logits) if return_logits else None
 
         key = jax.random.PRNGKey(seed)
-        sample = make_sample_fn(sampler)
         key, sub = jax.random.split(key)
-        tok = jax.jit(sample)(logits, sub)
+        tok = self._sample_fn(sampler)(logits, sub)
 
         out_chunks = [np.asarray(tok)[None]]
         produced = 1

@@ -415,3 +415,81 @@ def build_mamba_gguf(
         addq(p + "ssm_out.weight", rand(n_embd, d_inner))
     w.write()
     return path
+
+
+def build_mamba2_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_head: int = 4,   # SSM heads (= ssm.time_step_rank KV)
+    n_group: int = 2,
+    n_ctx: int = 1024,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = False,
+    weight_cb=None,
+) -> str:
+    """Synthetic Mamba-2 GGUF (src/models/mamba2.cpp load_arch_tensors)."""
+    rng = np.random.default_rng(seed)
+    d_inner = 2 * n_embd
+    dxbc = d_inner + 2 * n_group * d_state
+    d_in_proj = 2 * d_inner + 2 * n_group * d_state + n_head
+    arch = "mamba2"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-mamba2")
+    w.add_uint32(f"{arch}.context_length", n_ctx)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", 0)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", n_head)
+    w.add_uint32(f"{arch}.ssm.group_count", n_group)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if weight_cb:
+            weight_cb(name, arr)
+        from ..gguf.constants import GGML_QUANT_SIZES
+
+        blk = GGML_QUANT_SIZES.get(qtype, (1, 0))[0]
+        if arr.shape[-1] % max(blk, 1):
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        addq(p + "ssm_in.weight", rand(d_in_proj, n_embd))
+        add(p + "ssm_conv1d.weight", rand(dxbc, d_conv))
+        add(p + "ssm_conv1d.bias", rand(dxbc))
+        add(p + "ssm_dt.bias", rand(n_head) + 0.5)
+        add(p + "ssm_a", -np.exp(rand(n_head, 1)))
+        add(p + "ssm_d", np.ones((n_head, 1), np.float32) + rand(n_head, 1))
+        add(p + "ssm_norm.weight", np.ones((n_group, d_inner // n_group),
+                                           np.float32)
+            + rand(n_group, d_inner // n_group))
+        addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+    w.write()
+    return path
