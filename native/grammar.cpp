@@ -80,8 +80,15 @@ static bool match_class(const grammar &g, uint32_t i, uint32_t cp) {
 }
 
 // expand rule refs on top of the stack until a char element (or empty) tops it
+// Depth guard: the Python parser rejects left-recursive grammars up front
+// (llama_grammar_detect_left_recursion analogue), but a hand-constructed
+// element array could still recurse unboundedly — beyond MAX_EXPAND_DEPTH the
+// path is dropped (treated as non-viable) instead of overflowing the stack.
+static const int MAX_EXPAND_DEPTH = 256;
+
 static void advance_stack(const grammar &g, stack_t stack,
-                          std::vector<stack_t> &out) {
+                          std::vector<stack_t> &out, int depth = 0) {
+  if (depth > MAX_EXPAND_DEPTH) return;
   if (stack.empty()) {
     out.push_back(std::move(stack));
     return;
@@ -104,7 +111,7 @@ static void advance_stack(const grammar &g, stack_t stack,
       if (g.elems[p].type != GRE_END && g.elems[p].type != GRE_ALT) {
         st.push_back(p);
       }
-      advance_stack(g, std::move(st), out);
+      advance_stack(g, std::move(st), out, depth + 1);
       while (g.elems[p].type != GRE_END && g.elems[p].type != GRE_ALT) {
         if (is_char_element(g.elems[p])) {
           p = class_end(g, p);

@@ -6,6 +6,7 @@ import json
 import socket
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -29,7 +30,8 @@ def server(tmp_path_factory):
     cfg, params, g = load_model(path)
     tok = Tokenizer.from_gguf(g)
     ctx = ServerContext(cfg, params, tok, n_slots=2, max_seq_len=256,
-                        decode_chunk=4, prefill_chunk=64, model_name="tiny")
+                        decode_chunk=4, prefill_chunk=64, model_name="tiny",
+                        slot_save_path=str(tmp_path_factory.mktemp("slots")))
     # pick a free port
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -177,7 +179,7 @@ def test_slot_save_restore(server, tmp_path):
     slots = _json.loads(_get(url, "/slots"))
     sid = max(range(len(slots)), key=lambda i: slots[i]["n_past"])
     n_before = slots[sid]["n_past"]
-    f = str(tmp_path / "slot.npz")
+    f = "slot.npz"  # plain basename inside the configured slot-save dir
     r = _post(url, f"/slots/{sid}?action=save", {"filename": f})
     assert r["n_saved"] == n_before
     _post(url, f"/slots/{sid}?action=erase", {})
@@ -185,6 +187,32 @@ def test_slot_save_restore(server, tmp_path):
     r = _post(url, f"/slots/{sid}?action=restore", {"filename": f})
     assert r["n_restored"] == n_before
     assert ctx.memory.slots[sid].tokens[: len(p.split())]  # tokens back
+
+
+def test_slot_save_rejects_traversal(server):
+    """Path components in the filename must be rejected (the reference
+    validates filenames against --slot-save-path the same way)."""
+    _, url = server
+    for bad in ("../evil.npz", "/tmp/abs.npz", "a/b.npz", ".hidden"):
+        try:
+            _post(url, "/slots/0?action=save", {"filename": bad})
+            raise AssertionError(f"filename {bad!r} was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
+def test_left_recursive_grammar_rejected(server):
+    """A left-recursive GBNF grammar must produce a 4xx error, not hang or
+    crash the automaton (llama_grammar_detect_left_recursion parity)."""
+    _, url = server
+    try:
+        _post(url, "/v1/completions", {
+            "prompt": "x", "max_tokens": 2,
+            "grammar": 'root ::= root "a" | "b"'})
+        raise AssertionError("left-recursive grammar was accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "recursion" in e.read().decode()
 
 
 def test_anthropic_messages(server):

@@ -108,6 +108,7 @@ class _Parser:
                 name = [k for k, v in self.rule_ids.items() if v == i][0]
                 raise GBNFError(f"undefined rule '{name}'")
             out.append(self.rules[i])
+        _check_left_recursion(out, self.rule_ids)
         return out, self.rule_ids["root"]
 
     def _at_rule_end(self) -> bool:
@@ -270,6 +271,80 @@ class _Parser:
         seq = body * mn + ([(RULE_REF, opt)] if opt is not None else [])
         self.rules[wrap] = seq + [(END, 0)]
         return wrap
+
+
+def _check_left_recursion(rules, rule_ids: dict) -> None:
+    """Reject left-recursive grammars (llama_grammar_detect_left_recursion,
+    src/llama-grammar.cpp): a rule whose expansion can re-enter itself
+    without consuming a character drives the pushdown automaton into
+    unbounded recursion. Detected as a cycle in the "first position" graph
+    (rule -> rules referenced before any character element, skipping over
+    nullable references)."""
+    def split_alts(r):
+        alts, cur = [], []
+        for t, v in r:
+            if t in (ALT, END):
+                alts.append(cur)
+                cur = []
+            else:
+                cur.append((t, v))
+        return alts
+
+    alts = [split_alts(r) for r in rules]
+    n = len(rules)
+    nullable = [False] * n
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if nullable[i]:
+                continue
+            for alt in alts[i]:
+                ok = True
+                for t, v in alt:
+                    if t == RULE_REF:
+                        if not nullable[v]:
+                            ok = False
+                            break
+                    else:  # any char element consumes input
+                        ok = False
+                        break
+                if ok:
+                    nullable[i] = True
+                    changed = True
+                    break
+    first = [set() for _ in range(n)]
+    for i in range(n):
+        for alt in alts[i]:
+            for t, v in alt:
+                if t == RULE_REF:
+                    first[i].add(v)
+                    if not nullable[v]:
+                        break
+                else:
+                    break
+    # cycle detection over the first-position graph (iterative DFS)
+    color = [0] * n  # 0=white 1=grey 2=black
+    names = {v: k for k, v in rule_ids.items()}
+    for start in range(n):
+        if color[start]:
+            continue
+        stack = [(start, iter(first[start]))]
+        color[start] = 1
+        while stack:
+            node, it = stack[-1]
+            for nxt in it:
+                if color[nxt] == 1:
+                    raise GBNFError(
+                        f"left recursion detected in rule "
+                        f"'{names.get(nxt, nxt)}'")
+                if color[nxt] == 0:
+                    color[nxt] = 1
+                    stack.append((nxt, iter(first[nxt])))
+                    break
+            else:
+                color[node] = 2
+                stack.pop()
 
 
 def parse_gbnf(text: str):

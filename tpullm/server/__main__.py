@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--override-kv", action="append", default=[],
                     metavar="KEY=TYPE:VALUE",
                     help="metadata override, e.g. llama.rope.freq_base=float:1e6")
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for /slots save/restore files "
+                         "(endpoints disabled when unset)")
     args = ap.parse_args(argv)
 
     from ..runtime.loader import load_model
@@ -55,6 +58,7 @@ def main(argv=None):
         decode_chunk=args.decode_chunk, prefill_chunk=args.prefill_chunk,
         model_name=args.alias or args.model.rsplit("/", 1)[-1],
         kv_dtype=kv_dtype,
+        slot_save_path=args.slot_save_path,
     )
     print(f"serving {cfg.arch} on http://{args.host}:{args.port} "
           f"({args.parallel} slots, ctx {args.ctx_size})", file=sys.stderr)

@@ -67,6 +67,15 @@ class GenParams:
 
     def sampler_config(self) -> SamplerConfig:
         greedy = self.temperature <= 0
+        if self.top_k > 256:
+            # the device sampler runs the truncation chain on the top-256
+            # candidates (ops/sampling.py); larger top_k is clamped — warn so
+            # the deviation from reference semantics is visible
+            from ..utils.log import get_logger
+
+            get_logger("sampling").warning(
+                "top_k=%d exceeds the device candidate window (256); "
+                "clamping to 256", self.top_k)
         return SamplerConfig(
             temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
             min_p=self.min_p, typical_p=self.typical_p,
@@ -135,6 +144,7 @@ class ServerContext:
         compute_dtype=jnp.bfloat16,
         kv_dtype=None,
         model_name: str = "tpullm",
+        slot_save_path: str | None = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -145,6 +155,9 @@ class ServerContext:
         self.prefill_chunk = prefill_chunk
         self.dtype = compute_dtype
         self.model_name = model_name
+        # base dir for /slots/{id}?action=save|restore; None disables the
+        # endpoints (reference: --slot-save-path, tools/server)
+        self.slot_save_path = slot_save_path
         from ..models.mamba import is_recurrent
 
         self.recurrent = is_recurrent(cfg)
@@ -157,6 +170,9 @@ class ServerContext:
                                      kv_dtype or compute_dtype)
         self.rt = [_SlotRt() for _ in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
+        # control closures executed on the loop thread between decode steps
+        # (the reference's SLOT_SAVE/RESTORE/ERASE task types, server-task.h)
+        self._ctrl: "queue.Queue" = queue.Queue()
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._wake = threading.Event()
@@ -296,6 +312,23 @@ class ServerContext:
         self.queue.put(task)
         self._wake.set()
         return task
+
+    def control(self, fn, timeout: float = 60.0):
+        """Run fn() on the inference-loop thread, serialized with decode.
+
+        Handler threads must NOT mutate slot/cache state directly while the
+        loop is running (the reference routes slot save/restore through the
+        task queue for the same reason). Returns fn()'s result or re-raises
+        its exception. Runs inline when the loop isn't running (tests)."""
+        if self._thread is None or not self._thread.is_alive():
+            return fn()
+        done: "queue.Queue" = queue.Queue()
+        self._ctrl.put((fn, done))
+        self._wake.set()
+        kind, val = done.get(timeout=timeout)
+        if kind == "error":
+            raise val
+        return val
 
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -588,9 +621,21 @@ class ServerContext:
                 ]
             self._emit(i, toks_np[:, i].tolist(), probs)
 
+    def _drain_ctrl(self):
+        while True:
+            try:
+                fn, done = self._ctrl.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                done.put(("ok", fn()))
+            except Exception as e:
+                done.put(("error", e))
+
     def _loop(self):
         while not self._stop.is_set():
             try:
+                self._drain_ctrl()
                 self._admit()
                 self.metrics["queue_depth"] = self.queue.qsize()
                 self.metrics["slots_busy"] = sum(r.task is not None for r in self.rt)

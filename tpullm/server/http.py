@@ -65,6 +65,10 @@ def _gen_params(body: dict) -> GenParams:
     return p
 
 
+class _SlotBusy(Exception):
+    pass
+
+
 class Handler(BaseHTTPRequestHandler):
     ctx: ServerContext = None  # set by serve()
     protocol_version = "HTTP/1.1"
@@ -246,7 +250,15 @@ class Handler(BaseHTTPRequestHandler):
                          "results": results})
 
     def _slot_action(self, path: str, body: dict):
-        """POST /slots/{id}?action=save|restore|erase (llama-server parity)."""
+        """POST /slots/{id}?action=save|restore|erase (llama-server parity).
+
+        save/restore are disabled unless the server was started with a
+        slot-save directory, and the client filename must be a plain basename
+        (the reference gates these behind --slot-save-path and validates the
+        filename the same way). All state mutation runs on the inference-loop
+        thread via ctx.control() — handler threads never touch the cache."""
+        import os as _os
+
         ctx = self.ctx
         try:
             slot_id = int(path.split("/")[2])
@@ -259,23 +271,50 @@ class Handler(BaseHTTPRequestHandler):
             for kv in self.path.split("?", 1)[1].split("&"):
                 if kv.startswith("action="):
                     action = kv.split("=", 1)[1]
-        if ctx.rt[slot_id].task is not None:
-            return self._error(409, f"slot {slot_id} busy")
         if action == "erase":
-            ctx.memory.clear_slot(slot_id)
+            def _erase():
+                if ctx.rt[slot_id].task is not None:
+                    raise _SlotBusy()
+                ctx.memory.clear_slot(slot_id)
+            try:
+                ctx.control(_erase)
+            except _SlotBusy:
+                return self._error(409, f"slot {slot_id} busy")
             return self._json(200, {"id_slot": slot_id, "erased": True})
+        if action not in ("save", "restore"):
+            return self._error(400, f"unknown action '{action}'")
+        if not ctx.slot_save_path:
+            return self._error(
+                400, "slot save/restore disabled (server started without "
+                     "a slot-save path)")
         fname = body.get("filename")
-        if not fname:
+        if not fname or not isinstance(fname, str):
             return self._error(400, "filename required")
-        if action == "save":
-            ctx.memory.save_slot_file(slot_id, fname)
-            st = ctx.memory.slots[slot_id]
-            return self._json(200, {"id_slot": slot_id,
-                                    "n_saved": st.n_past, "filename": fname})
-        if action == "restore":
-            n = ctx.memory.load_slot_file(slot_id, fname)
+        if (_os.path.basename(fname) != fname or fname.startswith(".")
+                or "/" in fname or "\\" in fname or ".." in fname):
+            return self._error(400, "invalid filename")
+        fpath = _os.path.join(ctx.slot_save_path, fname)
+        try:
+            if action == "save":
+                def _save():
+                    if ctx.rt[slot_id].task is not None:
+                        raise _SlotBusy()
+                    ctx.memory.save_slot_file(slot_id, fpath)
+                    return ctx.memory.slots[slot_id].n_past
+                n = ctx.control(_save)
+                return self._json(200, {"id_slot": slot_id,
+                                        "n_saved": n, "filename": fname})
+
+            def _restore():
+                if ctx.rt[slot_id].task is not None:
+                    raise _SlotBusy()
+                return ctx.memory.load_slot_file(slot_id, fpath)
+            n = ctx.control(_restore)
             return self._json(200, {"id_slot": slot_id, "n_restored": n})
-        return self._error(400, f"unknown action '{action}'")
+        except _SlotBusy:
+            return self._error(409, f"slot {slot_id} busy")
+        except FileNotFoundError:
+            return self._error(400, f"no such saved state '{fname}'")
 
     def _infill(self, body: dict):
         """Fill-in-the-middle completion: <FIM_PRE>prefix<FIM_SUF>suffix
