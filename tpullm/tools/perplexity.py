@@ -47,7 +47,7 @@ def ppl_chunk_fn(cfg, params_treedef_hint=None, dtype=None):
 
 
 def compute_ppl(model_path: str, text: str, n_ctx: int = 512,
-                max_chunks: int = 0, progress=True):
+                max_chunks: int = 0, progress=True, per_chunk: bool = False):
     import jax.numpy as jnp
 
     from ..models.llama import KVCache
@@ -64,6 +64,7 @@ def compute_ppl(model_path: str, text: str, n_ctx: int = 512,
         raise ValueError(f"corpus too small: {len(ids)} tokens < n_ctx {n_ctx}")
     step = ppl_chunk_fn(cfg)
     tot_nll, tot_cnt = 0.0, 0
+    chunk_ppl = []
     t0 = time.time()
     for c in range(n_chunks):
         chunk = np.asarray(ids[c * n_ctx:(c + 1) * n_ctx], np.int32)[None]
@@ -75,17 +76,22 @@ def compute_ppl(model_path: str, text: str, n_ctx: int = 512,
         nll, cnt = step(params, jnp.asarray(chunk), cache)
         tot_nll += float(nll)
         tot_cnt += int(cnt)
+        if per_chunk:  # cumulative, matching the reference's [i] printouts
+            chunk_ppl.append(math.exp(tot_nll / max(tot_cnt, 1)))
         if progress:
             ppl = math.exp(tot_nll / max(tot_cnt, 1))
             print(f"[{c + 1}/{n_chunks}] ppl = {ppl:.4f}", file=sys.stderr)
     dt = time.time() - t0
-    return {
+    out = {
         "ppl": math.exp(tot_nll / max(tot_cnt, 1)),
         "nll_per_token": tot_nll / max(tot_cnt, 1),
         "tokens_scored": tot_cnt,
         "chunks": n_chunks,
         "tok_per_s": round(n_chunks * n_ctx / dt, 1),
     }
+    if per_chunk:
+        out["chunk_ppl"] = chunk_ppl
+    return out
 
 
 def save_logits(model_path: str, text: str, out_path: str, n_ctx: int = 512,
