@@ -36,7 +36,8 @@ def _cached_synth(shape):
     from tpullm.utils.synth import synth_qparams
 
     tag = "-".join(f"{k}{v}" for k, v in sorted(shape.items()))
-    cache = f"/tmp/tpullm_bench_{tag}_q4k_v1.npz"
+    # v2: compact kmajor scale layout (d/s8/m8/dmin)
+    cache = f"/tmp/tpullm_bench_{tag}_q4k_v2.npz"
 
     def _up(params):
         def walk(v):
@@ -167,6 +168,7 @@ def main():
     bw_meas = _measured_stream_gbps()
     bw = bw_meas or bw_spec
     roofline = bw * 1e9 / qbytes
+    parity_nmse = _kernel_parity_nmse(cfg, params)
 
     result = {
         "metric": f"decode_tok_s_llama3_{MODEL}_q4k_chip({kind})",
@@ -179,8 +181,48 @@ def main():
         "compile_s": round(compile_s, 1),
         "weight_gb": round(qbytes / 1e9, 2),
         "synth_s": round(gen_s, 1),
+        "parity_nmse": parity_nmse,
+        "parity_ok": (parity_nmse is not None and parity_nmse < 1e-4),
     }
     print(json.dumps(result))
+
+
+def _kernel_parity_nmse(cfg, params):
+    """On-device numeric check: the fused Pallas dequant-matmul vs the XLA
+    dequant+dot path on the SAME bench weights (the test-backend-ops
+    analogue, tests/test-backend-ops.cpp:1-11, executed on real hardware
+    every bench run so a Mosaic lowering bug cannot ship silently)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        from tpullm.ops.qmm import qmm_kmajor
+
+        qt = params["layers"]["wqkv"]
+        K = qt.n_in
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, K)) * 0.3, jnp.bfloat16)
+
+        @jax.jit
+        def both(x, qt):
+            data0 = {k: v[0] for k, v in qt.data.items()}
+            y_k = qmm_kmajor(x, qt.data, qt.qtype, qt.n_out,
+                             out_dtype=jnp.float32, layer=jnp.int32(0))
+            from tpullm.quant.kmajor import dequant_kmajor_jnp
+
+            w = dequant_kmajor_jnp(data0, qt.qtype, jnp.bfloat16)
+            y_r = jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y_k, y_r
+
+        y_k, y_r = both(x, qt)
+        y_k, y_r = np.asarray(y_k, np.float64), np.asarray(y_r, np.float64)
+        denom = float((y_r ** 2).mean()) or 1.0
+        return float(((y_k - y_r) ** 2).mean() / denom)
+    except Exception:
+        return None
 
 
 def _measured_stream_gbps():

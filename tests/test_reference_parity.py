@@ -100,35 +100,42 @@ def test_greedy_decode_parity(synth_model):
     from tpullm.tokenizer import Tokenizer
 
     prompt, n = "abc tok4 tok11", 16
-    pieces = _ref_greedy_pieces(synth_model, prompt, n)
-    assert len(pieces) >= n - 2, pieces
-
     cfg, params, g = load_model(synth_model)
     tok = Tokenizer.from_gguf(g)
     # render exactly like the reference does (SPM ▁ -> space), bypassing
     # decode()'s leading-space stripping at sequence start
     render = {t.replace("▁", " "): i
               for i, t in enumerate(tok.vocab.tokens)}
-    c_ids = [render[p] for p in pieces]  # exact reference token ids
     p_ids = tok.encode(prompt, add_special=True)
-    full = p_ids + c_ids
 
-    toks = jnp.asarray(np.asarray(full, np.int32)[None])
-    pos = jnp.arange(len(full), dtype=jnp.int32)[None]
-    cache = KVCache.create(cfg, 1, len(full))
-    logits, _ = jax.jit(lambda pr, t, po, c: forward(
-        pr, cfg, t, po, c, cache_pos=0,
-        valid_from=jnp.zeros((1,), jnp.int32), dtype=jnp.float32))(
-            params, toks, pos, cache)
-    lg = np.asarray(logits[0], np.float32)
+    last = None
+    for _attempt in range(2):  # retry once: stdout interleaving can garble
+        try:                   # a piece under heavy host load
+            pieces = _ref_greedy_pieces(synth_model, prompt, n)
+            assert len(pieces) >= n - 2, pieces
+            c_ids = [render[p] for p in pieces]  # exact reference token ids
+            full = p_ids + c_ids
 
-    exact = 0
-    for p in range(len(p_ids) - 1, len(full) - 1):
-        ref_tok = full[p + 1]
-        margin = lg[p].max() - lg[p, ref_tok]
-        assert margin < 0.5, (p, ref_tok, int(lg[p].argmax()), margin)
-        exact += int(lg[p].argmax() == ref_tok)
-    assert exact >= 0.7 * len(c_ids), (exact, len(c_ids))
+            toks = jnp.asarray(np.asarray(full, np.int32)[None])
+            pos = jnp.arange(len(full), dtype=jnp.int32)[None]
+            cache = KVCache.create(cfg, 1, len(full))
+            logits, _ = jax.jit(lambda pr, t, po, c: forward(
+                pr, cfg, t, po, c, cache_pos=0,
+                valid_from=jnp.zeros((1,), jnp.int32), dtype=jnp.float32))(
+                    params, toks, pos, cache)
+            lg = np.asarray(logits[0], np.float32)
+
+            exact = 0
+            for p in range(len(p_ids) - 1, len(full) - 1):
+                ref_tok = full[p + 1]
+                margin = lg[p].max() - lg[p, ref_tok]
+                assert margin < 0.5, (p, ref_tok, int(lg[p].argmax()), margin)
+                exact += int(lg[p].argmax() == ref_tok)
+            assert exact >= 0.7 * len(c_ids), (exact, len(c_ids))
+            return
+        except (AssertionError, KeyError) as e:
+            last = e
+    raise last
 
 
 def test_ppl_parity(synth_model):
@@ -177,3 +184,44 @@ def test_ppl_parity(synth_model):
     assert len(ref_chunks) == len(r["chunk_ppl"])
     for i, (a, b) in enumerate(zip(r["chunk_ppl"], ref_chunks)):
         assert abs(math.log(a) - math.log(b)) < 2 * tol, (i, a, b)
+
+
+def test_mla_greedy_parity(tmp_path):
+    """deepseek2 (MLA): the reference evaluates the legacy decompressed-MHA
+    graph on the unsplit attn_kv_b file; tpullm runs the absorbed-MQA form.
+    Teacher-forced margins bound the numeric distance between the two."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpullm.models.llama import KVCache, forward
+    from tpullm.runtime.loader import load_model
+    from tpullm.tokenizer import Tokenizer
+    from tpullm.utils.synth import build_deepseek2_gguf
+
+    model = str(tmp_path / "ds2.gguf")
+    build_deepseek2_gguf(model, seed=7)
+    prompt, n = "abc tok4 tok11", 16
+    pieces = _ref_greedy_pieces(model, prompt, n)
+    assert len(pieces) >= n - 2, pieces
+
+    cfg, params, g = load_model(model)
+    tok = Tokenizer.from_gguf(g)
+    render = {t.replace("▁", " "): i for i, t in enumerate(tok.vocab.tokens)}
+    c_ids = [render[p] for p in pieces]
+    p_ids = tok.encode(prompt, add_special=True)
+    full = p_ids + c_ids
+    toks = jnp.asarray(np.asarray(full, np.int32)[None])
+    pos = jnp.arange(len(full), dtype=jnp.int32)[None]
+    cache = KVCache.create(cfg, 1, len(full))
+    logits, _ = jax.jit(lambda pr, t, po, c: forward(
+        pr, cfg, t, po, c, cache_pos=0,
+        valid_from=jnp.zeros((1,), jnp.int32), dtype=jnp.float32))(
+            params, toks, pos, cache)
+    lg = np.asarray(logits[0], np.float32)
+    exact = 0
+    for p in range(len(p_ids) - 1, len(full) - 1):
+        rt = full[p + 1]
+        margin = lg[p].max() - lg[p, rt]
+        assert margin < 0.5, (p, rt, int(lg[p].argmax()), margin)
+        exact += int(lg[p].argmax() == rt)
+    assert exact >= 0.7 * len(c_ids), (exact, len(c_ids))

@@ -65,6 +65,11 @@ class ModelConfig:
     causal: bool = True
     pooling_type: str = "none"  # none | mean | cls | last | rank
     n_cls_out: int = 1
+    # MLA (deepseek2 family): compressed-KV attention
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0  # >0 enables the MLA graph + compressed cache
+    n_layer_dense_lead: int = 0  # leading layers with dense (non-MoE) FFN
+    rope_yarn_log_mul: float = 0.0
     # recurrent (Mamba/SSM) models
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
@@ -115,6 +120,31 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
         raw_kv=dict(g.metadata),
     )
+    # MLA hparams (src/models/deepseek2.cpp load_arch_hparams): head_dim is
+    # the MHA-equivalent ("decompressed") head size; *_mla keys override
+    cfg.q_lora_rank = int(_k(g, "{arch}.attention.q_lora_rank", 0) or 0)
+    cfg.kv_lora_rank = int(_k(g, "{arch}.attention.kv_lora_rank", 0) or 0)
+    if cfg.kv_lora_rank:
+        k_mla = _k(g, "{arch}.attention.key_length_mla")
+        v_mla = _k(g, "{arch}.attention.value_length_mla")
+        if k_mla:
+            cfg.head_dim = int(k_mla)
+        if v_mla:
+            cfg.head_dim_v = int(v_mla)
+        cfg.n_layer_dense_lead = int(_k(g, "{arch}.leading_dense_block_count", 0))
+        # stored value is 0.1*log_mul (convert-script factor); reference
+        # divides it back out ([TAG_DEEPSEEK2_YARN_LOG_MUL_FIX])
+        cfg.rope_yarn_log_mul = float(
+            _k(g, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0) / 0.1
+    ew_scale = _k(g, "{arch}.expert_weights_scale")
+    if ew_scale is not None:
+        cfg.expert_weights_scale = float(ew_scale)
+    ew_norm = _k(g, "{arch}.expert_weights_norm")
+    if ew_norm is not None:
+        cfg.expert_weights_norm = bool(ew_norm)
+    gf = _k(g, "{arch}.expert_gating_func")
+    if gf is not None:
+        cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     # recurrent (SSM) hparams (llama-model.cpp mamba load_arch_hparams)
     cfg.ssm_d_conv = int(_k(g, "{arch}.ssm.conv_kernel", 0))
     cfg.ssm_d_inner = int(_k(g, "{arch}.ssm.inner_size", 0))

@@ -47,8 +47,17 @@ class KVCache:
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape_k = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim)
-        shape_v = (cfg.n_layer, batch, max_len, cfg.n_head_kv, cfg.head_dim_v)
+        if cfg.kv_lora_rank:
+            # MLA (deepseek2): the cache holds the COMPRESSED per-token state
+            # [c_kv (kv_lora); k_pe (rope_dim)] as a single MQA head — this
+            # is the whole point of MLA (src/llama-kv-cache + build_attn_mla)
+            hkv = 1
+            dk = cfg.kv_lora_rank + cfg.rope_dim
+            dv = cfg.kv_lora_rank
+        else:
+            hkv, dk, dv = cfg.n_head_kv, cfg.head_dim, cfg.head_dim_v
+        shape_k = (cfg.n_layer, batch, max_len, hkv, dk)
+        shape_v = (cfg.n_layer, batch, max_len, hkv, dv)
         if dtype in ("q8", "int8"):
             return KVCache(
                 jnp.zeros(shape_k, jnp.int8), jnp.zeros(shape_v, jnp.int8),
@@ -170,7 +179,8 @@ def _mm(x, qt: QTensor, dtype, layer=None):
 
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
-              cfg: ModelConfig, layer_is_swa=False, window=None, sinks=None):
+              cfg: ModelConfig, layer_is_swa=False, window=None, sinks=None,
+              scale=None):
     """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
 
     Masking is slot-based: kv slot s is attendable by the query at slot
@@ -190,13 +200,14 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     from ..ops.flash_attention import flash_attention, flash_supported
     from ..ops.qmm import use_pallas
 
-    if (window is None and sinks is None and use_pallas()
+    if (window is None and sinks is None and scale is None and use_pallas()
             and flash_supported(T, S, Dk, v_all.shape[-1])):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
         # score materialization); decode/small-T keeps the XLA einsum path
         return flash_attention(q, k_all, v_all, q_slots, kv_positions,
                                positions, valid_from, cfg, layer_is_swa)
-    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
+    if scale is None:
+        scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
     qf = q.reshape(B, T, Hkv, G, Dk)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all,
                         preferred_element_type=jnp.float32)
@@ -484,26 +495,97 @@ def forward(
                             positions, valid_from, cfg, is_swa, sinks=sinks)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
-    def layer_fold(carry, inp):
-        """One-program-per-layer path: the megakernel emitted this layer's
-        fused qkv already; attention runs in XLA; the kernel then does
-        wo+ffn AND the next layer's norm+qkv (ops/layer_kernel.ffn_block_qkv)."""
-        x, y = carry
-        p, kv, li = inp
-        from ..ops.layer_kernel import ffn_block_qkv
+    def _attend_mla(h, p, kv, li):
+        """MLA attention in the absorbed-MQA form (deepseek2.cpp is_mla):
+        q_nope projects into the compressed space via wk_b, attention runs
+        over the cached [c_kv; k_pe] rows (one shared KV head), and wv_b
+        lifts the per-head output back to v_head_dim. The KV cache stays at
+        kv_lora+rope per token regardless of head count."""
+        lora, rope_d = cfg.kv_lora_rank, cfg.rope_dim
+        nope = cfg.head_dim - rope_d
+        H = cfg.n_head
+        if "wq_a" in qw:
+            ql = _mm(h, qw["wq_a"], dtype, li)[..., : cfg.q_lora_rank]
+            ql = rms_norm(ql, p["q_a_norm"], cfg.rms_eps)
+            q = _mm(ql, qw["wq_b"], dtype, li)
+        else:
+            q = _mm(h, qw["wq"], dtype, li)
+        q = q[..., : H * cfg.head_dim].reshape(B, T, H, cfg.head_dim)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        kvp = _mm(h, qw["wkv_a"], dtype, li)
+        c_kv = rms_norm(kvp[..., :lora], p["kv_a_norm"], cfg.rms_eps)
+        k_pe = kvp[..., lora: lora + rope_d].reshape(B, T, 1, rope_d)
+        q_pe = apply_rope(q_pe, cos, sin, cfg.rope_type, rope_d)
+        k_pe = apply_rope(k_pe, cos, sin, cfg.rope_type, rope_d)
+        # absorb q_nope into the compressed space: wk_b (H, lora, nope)
+        q_abs = jnp.einsum("bthn,hln->bthl", q_nope.astype(jnp.float32),
+                           p["wk_b"]).astype(dtype)
+        qq = jnp.concatenate([q_abs, q_pe.astype(dtype)], axis=-1)
+        k_new = jnp.concatenate([c_kv[:, :, None, :], k_pe.astype(dtype)],
+                                axis=-1)
+        v_new = c_kv[:, :, None, :]
+        bi = slot0 + rows[:, None]
+        si = q_slots
+        if kv_quant:
+            k_cache, v_cache, ks_c, vs_c = kv
+            kq8, k_sc = _kv_quant(k_new)
+            vq8, v_sc = _kv_quant(v_new)
+            k_cache = _store(k_cache, kq8, bi, si)
+            v_cache = _store(v_cache, vq8, bi, si)
+            ks_c = _store(ks_c, k_sc, bi, si)
+            vs_c = _store(vs_c, v_sc, bi, si)
+            k_view = (_view(k_cache).astype(jnp.float32)
+                      * _view(ks_c)[..., None]).astype(dtype)
+            v_view = (_view(v_cache).astype(jnp.float32)
+                      * _view(vs_c)[..., None]).astype(dtype)
+            kv = (k_cache, v_cache, ks_c, vs_c)
+        else:
+            k_cache, v_cache = kv
+            k_cache = _store(k_cache, k_new, bi, si)
+            v_cache = _store(v_cache, v_new, bi, si)
+            k_view = _view(k_cache).astype(dtype)
+            v_view = _view(v_cache).astype(dtype)
+            kv = (k_cache, v_cache)
+        # kq_scale: mscale^2/sqrt(n_embd_head_k) under YaRN (deepseek2.cpp
+        # pre-scaling); plain 1/sqrt otherwise
+        import math as _math
 
-        q, k, v = _split_qkv(y.astype(dtype))
-        att, kv = _attend(q, k, v, p, kv, li)
-        x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
-                                  qw, li, cfg)
-        if "cvec" in p:  # control vector on the layer output
-            x = x + p["cvec"].astype(dtype)
-        return (x, y_next), kv
+        if (cfg.rope_scaling == "yarn" and cfg.rope_scale > 1
+                and cfg.rope_yarn_log_mul):
+            ms = cfg.rope_attn_factor * (
+                1.0 + 0.1 * cfg.rope_yarn_log_mul * _math.log(cfg.rope_scale))
+            mla_scale = ms * ms / _math.sqrt(cfg.head_dim)
+        else:
+            mla_scale = 1.0 / _math.sqrt(cfg.head_dim)
+        att = attention(qq, k_view, v_view, q_slots, kv_positions, positions,
+                        valid_from, cfg, scale=mla_scale)  # (B,T,H,lora)
+        # lift back out: wv_b (H, v, lora)
+        o = jnp.einsum("bthl,hvl->bthv", att.astype(jnp.float32),
+                       p["wv_b"]).astype(dtype)
+        return o.reshape(B, T, H * cfg.head_dim_v), kv
 
     def layer(carry, inp):
         x = carry
         p, kv, li = inp
         h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
+        if cfg.kv_lora_rank > 0 and "wkv_a" in qw:
+            att, kv = _attend_mla(h, p, kv, li)
+            att_in = att
+            att = _mm(att, qw["wo"], dtype, li)
+            if tp_axis:
+                att = jax.lax.psum(att.astype(jnp.float32), tp_axis).astype(dtype)
+            x = x + att
+            h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            if cfg.n_expert > 0 and "moe_gate_inp" in qw:
+                f, hmid = moe_ffn(h2, p, qw, li, cfg, dtype), None
+            else:
+                f, hmid = ffn(h2, qw, li, cfg, dtype, p, want_mid=True)
+            if tp_axis:
+                f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
+            x = x + f
+            if "cvec" in p:
+                x = x + p["cvec"].astype(dtype)
+            return x, kv
         nq = cfg.n_head * cfg.head_dim
         nk = cfg.n_head_kv * cfg.head_dim
         if "wqkv" in qw:  # load-time fused QKV (padded offsets)
@@ -528,15 +610,6 @@ def forward(
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
         att, kv = _attend(q, k, v, p, kv, li)
-        if use_block:
-            # one fused program: wo + residual + rmsnorm + gate/up + act +
-            # down + residual (ops/layer_kernel.py) — the decode hot path
-            from ..ops.layer_kernel import ffn_block
-
-            x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
-            if "cvec" in p:
-                x = x + p["cvec"].astype(dtype)
-            return x, kv
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
@@ -587,47 +660,17 @@ def forward(
         if kv_quant:
             parts += (cache.ks[lo:hi], cache.vs[lo:hi])
         return parts
-    from ..ops.layer_kernel import supported as _block_supported
-    from ..ops.qmm import use_pallas as _use_pallas
 
     for gl in groups:
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
-        use_block = (
-            B * T <= 16
-            and not collect_stats
-            and tp_axis is None
-            and _use_pallas()
-            and "ffn_norm" in gl
-            and "ffn_norm_b" not in gl
-            and not cfg.attn_bias
-            and not any(k.startswith("lora_") for k in gl)
-            and _block_supported(cfg, qw)
-        )
         any_leaf = next(iter(gl.values()))
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
         ids = jnp.arange(L_g)
-        use_fold = (
-            use_block
-            and "wqkv" in qw
-            and len(groups) == 1
-            and "attn_norm" in gl
+        x, ys = jax.lax.scan(
+            layer, x, (fl, _kv_slices(off, off + L_g), ids)
         )
-        if use_fold:
-            # prime the carry: layer 0's norm + fused qkv; thereafter each
-            # megakernel invocation emits the next layer's qkv
-            anrm_stacked = gl["attn_norm"]
-            h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
-            y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
-            (x, _), ys = jax.lax.scan(
-                layer_fold, (x, y0),
-                (fl, _kv_slices(off, off + L_g), ids),
-            )
-        else:
-            x, ys = jax.lax.scan(
-                layer, x, (fl, _kv_slices(off, off + L_g), ids)
-            )
         nparts = 4 if kv_quant else 2
         new_kv.append(ys[:nparts])
         if collect_stats:

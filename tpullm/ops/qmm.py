@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..gguf.constants import GGMLType
-from ..quant.kmajor import KM_SPECS, KmSpec
+from ..quant.kmajor import KM_SPECS, KmSpec, dstore_for
 
 DEF_TILE_N = 256
 DEF_TILE_K = 2048
@@ -63,31 +63,66 @@ def _n_planes(spec: KmSpec) -> int:
     return 2 if spec.kind == "u4" else 1
 
 
-def _plane_tile(spec: KmSpec, q, sc, bi, j):
+# metadata keys in fixed arg order; rows-per-element divisor per key
+_MD_KEYS = ("d", "s8", "m8", "dmin", "bm")
+
+
+def _md_keys(spec: KmSpec):
+    keys = ["d"]
+    if spec.sb is not None:
+        keys.append("s8")
+    if spec.bias == "i8d":
+        keys += ["m8", "dmin"]
+    elif spec.bias == "f32":
+        keys.append("bm")
+    return keys
+
+
+def _md_rows(spec: KmSpec, key: str, kq: int, ds: int) -> int:
+    """rows of metadata `key` covering kq contraction elements."""
+    return kq // (ds if key in ("d", "dmin") else spec.gs)
+
+
+def _plane_tile(spec: KmSpec, q, md, j):
     """Dequantize plane j of a packed tile -> bf16 weight tile.
 
-    q: (tkp, tn) packed tile; sc/bi: (gpp, tn) plane-j scale rows."""
+    q: (kq, tn) packed tile; md: {key: plane-j metadata rows}. Combines the
+    compact scales in f32 exactly as the reference dequantizers do
+    (ggml-quants.c dequantize_row_*)."""
     u = (q >> (4 * j)) & 0xF if spec.kind == "u4" else q
     if spec.lut is not None:
         val = _lut_select(u, spec.lut)
     else:
         val = u.astype(jnp.float32)
-    w = val * jnp.repeat(sc, spec.gs, axis=0)
-    if bi is not None:
-        w = w + jnp.repeat(bi, spec.gs, axis=0)
+        if spec.off:
+            val = val + spec.off
+    if spec.sb is not None:
+        rep = md["s8"].shape[-2] // md["d"].shape[-2]
+        scf = (md["s8"].astype(jnp.int32).astype(jnp.float32)
+               * (jnp.repeat(md["d"], rep, axis=-2) if rep > 1 else md["d"]))
+    else:
+        scf = md["d"]
+    w = val * jnp.repeat(scf, spec.gs, axis=0)
+    if spec.bias == "i8d":
+        rep = md["m8"].shape[-2] // md["dmin"].shape[-2]
+        bif = -(md["m8"].astype(jnp.int32).astype(jnp.float32)
+                * (jnp.repeat(md["dmin"], rep, axis=-2) if rep > 1
+                   else md["dmin"]))
+        w = w + jnp.repeat(bif, spec.gs, axis=0)
+    elif spec.bias == "f32":
+        w = w + jnp.repeat(md["bm"], spec.gs, axis=0)
     return w.astype(jnp.bfloat16)
 
 
-def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, has_bias: bool,
+def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, ds: int,
             stacked: bool, idx):
-    """BlockSpecs for [q, sc_0..P-1, (bi_0..P-1)].
+    """BlockSpecs for [q] + per-plane compact metadata blocks.
 
     `idx(grid_indices...) -> (k, i)` gives the k-tile and n-tile for a step.
-    Plane j's scale rows for k-tile k live at row-block j*nK + k.
-    """
+    Plane j's metadata rows for k-tile k live at row-block j*nK + k (the
+    half-split layout keeps each plane's rows contiguous)."""
     P = _n_planes(spec)
     kq = tile_k // P
-    gpp = kq // spec.gs
 
     def blk(shape, imap):
         if stacked:
@@ -97,33 +132,43 @@ def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, has_bias: bool,
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
     specs = [blk((kq, tile_n), lambda *g: idx(*g))]
-    for j in range(P):
-        specs.append(blk((gpp, tile_n),
-                         lambda *g, j=j: (j * nK + idx(*g)[0], idx(*g)[1])))
-    if has_bias:
+    for key in _md_keys(spec):
+        rows = _md_rows(spec, key, kq, ds)
         for j in range(P):
-            specs.append(blk((gpp, tile_n),
+            specs.append(blk((rows, tile_n),
                              lambda *g, j=j: (j * nK + idx(*g)[0], idx(*g)[1])))
     return specs
 
 
-def _split_refs(spec: KmSpec, has_bias: bool, refs, stacked: bool):
+def _split_refs(spec: KmSpec, refs, stacked: bool):
+    """-> (q_ref_value, [per-plane metadata dicts])."""
     P = _n_planes(spec)
-    q_ref, rest = refs[0], refs[1:]
-    scs = rest[:P]
-    bis = rest[P: 2 * P] if has_bias else [None] * P
 
     def rd(r):
-        if r is None:
-            return None
         return r[0] if stacked else r[...]
 
-    return rd(q_ref), [rd(r) for r in scs], [rd(r) for r in bis]
+    q = rd(refs[0])
+    mds = [dict() for _ in range(P)]
+    pos = 1
+    for key in _md_keys(spec):
+        for j in range(P):
+            mds[j][key] = rd(refs[pos])
+            pos += 1
+    return q, mds, pos
+
+
+def _md_bytes(spec: KmSpec, N: int, K: int) -> int:
+    b = 0
+    ds = dstore_for(spec, K)
+    for key in _md_keys(spec):
+        rows = K // (ds if key in ("d", "dmin") else spec.gs)
+        b += rows * N * (1 if key in ("s8", "m8") else 4)
+    return b
 
 
 @functools.lru_cache(maxsize=None)
 def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
-                      has_bias: bool, tile_n: int, tile_k: int,
+                      tile_n: int, tile_k: int,
                       stacked: bool, interpret: bool):
     spec = KM_SPECS[qtype]
     P = _n_planes(spec)
@@ -134,11 +179,11 @@ def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
         if stacked:
             refs = refs[1:]
         xp_ref = refs[0]
-        q, scs, bis = _split_refs(spec, has_bias, refs[1:-1], stacked)
+        q, mds, _ = _split_refs(spec, refs[1:-1], stacked)
         q = q.astype(jnp.int32)
         acc = jnp.zeros((M_pad, tile_n), jnp.float32)
         for j in range(P):
-            w = _plane_tile(spec, q, scs[j], bis[j], j)
+            w = _plane_tile(spec, q, mds[j], j)
             acc += jax.lax.dot_general(
                 xp_ref[j], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -158,15 +203,15 @@ def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
         o_spec = pl.BlockSpec((1, M_pad, tile_n), lambda s, i: (s, 0, i),
                               memory_space=pltpu.VMEM)
 
-    in_specs = [x_spec] + _wspecs(spec, nS, tile_n, tile_k, has_bias, stacked, idx)
+    in_specs = [x_spec] + _wspecs(spec, nS, tile_n, tile_k,
+                                  dstore_for(spec, K), stacked, idx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if stacked else 0,
         grid=(nS, nN),
         in_specs=in_specs,
         out_specs=o_spec,
     )
-    qbytes = N * K // (2 if spec.kind == "u4" else 1) + \
-        (2 if has_bias else 1) * N * (K // spec.gs) * 4
+    qbytes = N * K // (2 if spec.kind == "u4" else 1) + _md_bytes(spec, N, K)
     return pl.pallas_call(
         _named(kernel, f"qmm_splitk_{qtype.name}"),
         grid_spec=grid_spec,
@@ -180,7 +225,7 @@ def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int, has_bias: bool,
+def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int,
                tile_m: int, tile_n: int, tile_k: int, out_dtype_name: str,
                stacked: bool, interpret: bool):
     spec = KM_SPECS[qtype]
@@ -194,7 +239,7 @@ def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int, has_bias: bool,
             refs = refs[1:]
         xp_ref = refs[0]
         o_ref, acc_ref = refs[-2], refs[-1]
-        q, scs, bis = _split_refs(spec, has_bias, refs[1:-2], stacked)
+        q, mds, _ = _split_refs(spec, refs[1:-2], stacked)
 
         @pl.when(pl.program_id(2) == 0)
         def _():
@@ -202,7 +247,7 @@ def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int, has_bias: bool,
 
         q = q.astype(jnp.int32)
         for j in range(P):
-            w = _plane_tile(spec, q, scs[j], bis[j], j)
+            w = _plane_tile(spec, q, mds[j], j)
             acc_ref[...] += jax.lax.dot_general(
                 xp_ref[j], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -225,7 +270,8 @@ def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int, has_bias: bool,
         o_spec = pl.BlockSpec((tile_m, tile_n), lambda m, i, k: (m, i),
                               memory_space=pltpu.VMEM)
 
-    in_specs = [x_spec] + _wspecs(spec, nK, tile_n, tile_k, has_bias, stacked, idx)
+    in_specs = [x_spec] + _wspecs(spec, nK, tile_n, tile_k,
+                                  dstore_for(spec, K), stacked, idx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if stacked else 0,
         grid=(nM, nN, nK),
@@ -233,8 +279,7 @@ def _build_qmm(qtype: GGMLType, M_pad: int, N: int, K: int, has_bias: bool,
         out_specs=o_spec,
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
     )
-    qbytes = N * K // (2 if spec.kind == "u4" else 1) + \
-        (2 if has_bias else 1) * N * (K // spec.gs) * 4
+    qbytes = N * K // (2 if spec.kind == "u4" else 1) + _md_bytes(spec, N, K)
     return pl.pallas_call(
         _named(kernel, f"qmm_{qtype.name}"),
         grid_spec=grid_spec,
@@ -252,17 +297,42 @@ def _named(fn, name):
     return fn
 
 
-def min_tile_k(qtype: GGMLType) -> int:
-    spec = KM_SPECS[qtype]
-    # per-plane scale block needs >=8 sublanes
-    return 8 * spec.gs * _n_planes(spec)
+def tile_k_ok(qtype: GGMLType, tk: int, K: int) -> bool:
+    """Is tk a legal K-tile for a tensor with contraction dim K: per-plane
+    q rows and every metadata block's row count must be multiples of 8
+    (Mosaic sublane rule). d granularity matches dstore_for(spec, K)."""
+    spec = KM_SPECS[GGMLType(qtype)]
+    P = _n_planes(spec)
+    ds = dstore_for(spec, K)
+    kq = tk // P
+    if tk % P or kq % 8 or kq % ds or kq % spec.gs:
+        return False
+    return (kq // spec.gs) % 8 == 0 and (kq // ds) % 8 == 0
+
+
+def min_tile_k(qtype: GGMLType, K: int | None = None) -> int:
+    spec = KM_SPECS[GGMLType(qtype)]
+    ds = dstore_for(spec, K) if K is not None else spec.dstore
+    return _n_planes(spec) * 8 * max(ds, spec.gs)
+
+
+def pick_tile_k(qtype: GGMLType, K: int, cap: int = DEF_TILE_K) -> int:
+    """Largest legal K-tile dividing K under cap (0 if none)."""
+    best = 0
+    mt = min_tile_k(qtype, K)
+    t = mt
+    while t <= min(K, cap):
+        if K % t == 0 and tile_k_ok(qtype, t, K):
+            best = t
+        t += mt
+    return best
 
 
 def qmm_supported(qtype: GGMLType, K: int) -> bool:
     t = GGMLType(qtype)
     if t not in KM_SPECS:
         return False
-    return K % min_tile_k(t) == 0
+    return pick_tile_k(t, K) > 0
 
 
 def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
@@ -293,9 +363,7 @@ def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
     splitk = M_pad <= 32  # decode regime: fully-parallel split-K grid
     tn = tile_n or _pick_tile(Npad, (512, DEF_TILE_N, 128) if splitk
                               else (DEF_TILE_N, 512, 128))
-    tk = tile_k or _pick_tile(K, (DEF_TILE_K, 1024, 512, 256, 128))
-    if tk < min_tile_k(qtype):
-        tk = 0
+    tk = tile_k or pick_tile_k(qtype, K)
     if not tn or not tk:
         raise ValueError(f"qmm: no tile for N={Npad} K={K} {qtype.name}")
 
@@ -306,15 +374,16 @@ def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
     if M_pad != M:
         xp = jnp.pad(xp, ((0, 0), (0, M_pad - M), (0, 0)))
 
-    wargs = (data["q"],) + (data["sc"],) * P + \
-        ((data["bi"],) * P if "bi" in data else ())
+    wargs = (data["q"],)
+    for key in _md_keys(spec):
+        wargs += (data[key],) * P
     lid = (jnp.asarray(layer, jnp.int32).reshape(1),) if stacked else ()
     if splitk:
-        fn = _build_qmm_splitk(qtype, M_pad, Npad, K, "bi" in data, tn, tk,
+        fn = _build_qmm_splitk(qtype, M_pad, Npad, K, tn, tk,
                                stacked, interpret)
         y = fn(*lid, xp, *wargs).sum(axis=0).astype(out_dtype)
     else:
-        fn = _build_qmm(qtype, M_pad, Npad, K, "bi" in data, tm, tn, tk,
+        fn = _build_qmm(qtype, M_pad, Npad, K, tm, tn, tk,
                         jnp.dtype(out_dtype).name, stacked, interpret)
         y = fn(*lid, xp, *wargs)
     return y[:M, :n_logical].reshape(*lead, n_logical)

@@ -58,7 +58,7 @@ class QTensor:
     def layout(self) -> str:
         if not self.is_quantized or "w" in self.data:
             return "dense"  # float weights, or dequanted-at-load codebooks
-        return "kmajor" if "q" in self.data and "sc" in self.data else "planar"
+        return "kmajor" if "q" in self.data and "d" in self.data else "planar"
 
     @property
     def n_out(self) -> int:

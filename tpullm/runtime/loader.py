@@ -35,6 +35,15 @@ LAYER_TENSORS = {
     "attn_output.bias": "bo",
     "attn_q_norm.weight": "q_norm",
     "attn_k_norm.weight": "k_norm",
+    # MLA (deepseek2 family, src/models/deepseek2.cpp load_arch_tensors)
+    "attn_q_a.weight": "wq_a",
+    "attn_q_b.weight": "wq_b",
+    "attn_q_a_norm.weight": "q_a_norm",
+    "attn_kv_a_mqa.weight": "wkv_a",
+    "attn_kv_a_norm.weight": "kv_a_norm",
+    "attn_k_b.weight": "wk_b",
+    "attn_v_b.weight": "wv_b",
+    "attn_kv_b.weight": "wkv_b",  # legacy unsplit; split at load
     "attn_sinks.weight": "attn_sinks",  # per-head sink logits (gpt-oss)
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_b",
@@ -128,6 +137,29 @@ def _stack_qtensors(items: list[QTensor], device_put: bool = True) -> QTensor:
     return QTensor(t0.qtype, (len(items),) + t0.shape, data)
 
 
+def _mla_prepare(layers: dict, cfg) -> dict:
+    """Materialize the MLA absorption projections as dense f32 arrays.
+
+    wk_b: (L, H, kv_lora, nope) so q_nope absorbs into the compressed space
+    (q_abs = q_nope @ wk_b^T per head); wv_b: (L, H, v, kv_lora) to project
+    attention output back out. A legacy unsplit attn_kv_b {kv_lora,
+    H*(nope+v)} is split here, matching the reference's MLA back-compat
+    (src/models/deepseek2.cpp load_arch_tensors is_mla branch)."""
+    nope = cfg.head_dim - cfg.rope_dim
+    H, v, lora = cfg.n_head, cfg.head_dim_v, cfg.kv_lora_rank
+    if "wkv_b" in layers and "wk_b" not in layers:
+        kvb = np.asarray(layers.pop("wkv_b").dequant(jnp.float32), np.float32)
+        L = kvb.shape[0]
+        kvb = kvb.reshape(L, H, nope + v, lora)
+        layers["wk_b"] = np.ascontiguousarray(np.swapaxes(kvb[:, :, :nope, :], 2, 3))
+        layers["wv_b"] = np.ascontiguousarray(kvb[:, :, nope:, :])
+    else:
+        for k in ("wk_b", "wv_b"):
+            if k in layers and isinstance(layers[k], QTensor):
+                layers[k] = np.asarray(layers[k].dequant(jnp.float32), np.float32)
+    return layers
+
+
 def load_model(path: str, device_put: bool = True, fuse: bool = True,
                override_kv: dict | None = None):
     """Returns (config, params dict, GGUFFile).
@@ -158,35 +190,37 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
         params["output"] = params["tok_embd"]  # tied embeddings
         cfg.tie_embeddings = True
 
-    # per-layer tensors: collect -> stack
-    per_key: dict[str, list] = {}
+    # per-layer tensors: collect -> stack. Keys may exist only on a SUBSET
+    # of layers (e.g. deepseek2's leading dense-FFN layers vs MoE layers) —
+    # tracked per layer index, segmented below.
+    per_key: dict[str, dict[int, Any]] = {}
     for i in range(cfg.n_layer):
         prefix = f"blk.{i}."
         for suffix, key in LAYER_TENSORS.items():
             tname = prefix + suffix
             if tname not in g.tensors:
                 continue
-            per_key.setdefault(key, [])
-            assert len(per_key[key]) == i, f"layer gap for {key} at {i}"
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
                 "norm" in key or key.startswith("b") or key.endswith("_b")
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
                            "attn_sinks")
             ):
-                per_key[key].append(_to_float_array(g, tname))
+                per_key.setdefault(key, {})[i] = _to_float_array(g, tname)
             else:
-                per_key[key].append(_load_qtensor(g, tname, device_put=False))
+                per_key.setdefault(key, {})[i] = _load_qtensor(
+                    g, tname, device_put=False)
 
     # Mixed per-layer quant types (ftype policies bump attn_v/ffn_down for a
-    # subset of layers, src/llama-quant.cpp:661) can't share one stacked
-    # array: split the depth into contiguous segments of uniform signature
-    # and stack per segment. forward() scans each group in turn.
+    # subset of layers, src/llama-quant.cpp:661) and structural depth mixes
+    # (dense-lead vs MoE layers) can't share one stacked array: split the
+    # depth into contiguous segments of uniform signature and stack per
+    # segment. forward() scans each group in turn.
     def sig(i):
         return tuple(
             (k, v[i].qtype, v[i].shape) if isinstance(v[i], QTensor)
             else (k, "arr", v[i].shape)
-            for k, v in sorted(per_key.items())
+            for k, v in sorted(per_key.items()) if i in v
         )
 
     bounds = [0]
@@ -198,11 +232,15 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
     def build_group(lo, hi):
         layers: dict[str, Any] = {}
         for key, items in per_key.items():
-            seg = items[lo:hi]
+            if lo not in items:  # key absent in this depth segment
+                continue
+            seg = [items[i] for i in range(lo, hi)]
             if isinstance(seg[0], QTensor):
                 layers[key] = _stack_qtensors(seg, device_put=False)
             else:
                 layers[key] = np.stack(seg)
+        if cfg.kv_lora_rank > 0:
+            layers = _mla_prepare(layers, cfg)
         if fuse:
             from ..ops.fuse import fuse_layer_weights
 

@@ -17,8 +17,8 @@ from ..quant.kmajor import KM_SPECS
 
 
 def weight_device_bytes(g: GGUFFile) -> int:
-    """Device bytes after the kmajor repack (scales widen to f32; sub-byte
-    i8-path types widen to 8 bpw)."""
+    """Device bytes after the kmajor repack (compact scales: f32 superblock
+    d + int8 sub-scales; sub-byte i8-path types widen to 8 bpw)."""
     total = 0
     for name, ti in g.tensors.items():
         t = GGMLType(ti.ggml_type)
@@ -30,7 +30,13 @@ def weight_device_bytes(g: GGUFFile) -> int:
         elif t in KM_SPECS:
             spec = KM_SPECS[t]
             qbits = 4 if spec.kind == "u4" else 8
-            scale_b = (2 if spec.has_bias else 1) * 4 / spec.gs
+            scale_b = 4 / spec.dstore  # f32 d per stored superblock row
+            if spec.sb is not None:
+                scale_b += 1 / spec.gs  # int8 sub-scales
+            if spec.bias == "i8d":
+                scale_b += 1 / spec.gs + 4 / spec.dstore
+            elif spec.bias == "f32":
+                scale_b += 4 / spec.gs
             total += int(n * (qbits / 8 + scale_b))
         else:
             blk, bs = GGML_QUANT_SIZES.get(t, (1, 4))

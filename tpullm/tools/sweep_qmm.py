@@ -45,7 +45,7 @@ def main(argv=None):
     import numpy as np
 
     from tpullm.gguf.constants import GGMLType
-    from tpullm.ops.qmm import min_tile_k, qmm_kmajor
+    from tpullm.ops.qmm import qmm_kmajor, tile_k_ok
     from tpullm.quant.kmajor import KM_SPECS, pack_kmajor
     from tpullm.quant.numpy_impl import quantize
 
@@ -79,7 +79,7 @@ def main(argv=None):
 
         for tn in (int(t) for t in args.tiles_n.split(",")):
             for tk in (int(t) for t in args.tiles_k.split(",")):
-                if N % tn or K % tk or tk < min_tile_k(qtype):
+                if N % tn or K % tk or not tile_k_ok(qtype, tk, K):
                     continue
 
                 def make(nsteps, tn=tn, tk=tk):

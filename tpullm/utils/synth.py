@@ -493,3 +493,83 @@ def build_mamba2_gguf(
         addq(p + "ssm_out.weight", rand(n_embd, d_inner))
     w.write()
     return path
+
+
+def build_deepseek2_gguf(
+    path: str,
+    *,
+    vocab_size: int = 512,
+    n_embd: int = 128,
+    n_layer: int = 2,
+    n_head: int = 4,
+    qk_nope: int = 48,
+    qk_rope: int = 16,
+    v_dim: int = 32,
+    q_lora: int = 64,
+    kv_lora: int = 64,
+    n_ff: int = 128,
+    n_ctx: int = 512,
+    qtype: GGMLType = GGMLType.Q8_0,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic deepseek2 (MLA) checkpoint, all-dense FFN layers.
+
+    Writes the legacy UNSPLIT attn_kv_b (src/models/deepseek2.cpp non-is_mla
+    branch): the reference then evaluates the decompressed-MHA form while
+    tpullm runs the absorbed-MQA form — numerically the same attention, so
+    differential tests cross-check the MLA algebra end to end."""
+    rng = np.random.default_rng(seed)
+    head_dim = qk_nope + qk_rope
+    arch = "deepseek2"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-deepseek2")
+    w.add_uint32(f"{arch}.context_length", n_ctx)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", v_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    w.add_uint32(f"{arch}.attention.q_lora_rank", q_lora)
+    w.add_uint32(f"{arch}.attention.kv_lora_rank", kv_lora)
+    # all layers dense (no MoE tensors needed); keys the reference requires
+    w.add_uint32(f"{arch}.leading_dense_block_count", n_layer)
+    w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.expert_shared_count", 0)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        addq(p + "attn_q_a.weight", rand(q_lora, n_embd))
+        w.add_tensor(p + "attn_q_a_norm.weight",
+                     np.ones(q_lora, np.float32) + rand(q_lora))
+        addq(p + "attn_q_b.weight", rand(n_head * head_dim, q_lora))
+        addq(p + "attn_kv_a_mqa.weight", rand(kv_lora + qk_rope, n_embd))
+        w.add_tensor(p + "attn_kv_a_norm.weight",
+                     np.ones(kv_lora, np.float32) + rand(kv_lora))
+        addq(p + "attn_kv_b.weight", rand(n_head * (qk_nope + v_dim), kv_lora))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * v_dim))
+        addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
