@@ -47,6 +47,13 @@ class ModelConfig:
     # attention details
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is full-attention (1 = all full)
+    swa_chunked: bool = False  # llama4: chunk-aligned windows, not sliding
+    # llama4 iRoPE: every Nth layer has NO rope; its Q is temperature-scaled
+    no_rope_interval: int = 0
+    attn_temp_scale: float = 0.0
+    attn_temp_floor: int = 8192
+    attn_temp_offset: float = 1.0
+    qk_l2_norm: bool = False  # weightless rms over the head dim (rope layers)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)

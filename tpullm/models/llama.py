@@ -221,7 +221,12 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
         win = window if window is not None else cfg.sliding_window
         kv_pos = kv_positions[:, None, None, None, :]  # (B,1,1,1,S) real positions
         q_pos = positions[:, None, None, :, None]
-        mask = mask & (kv_pos > q_pos - win)
+        if cfg.swa_chunked:
+            # llama4 LLAMA_SWA_TYPE_CHUNKED: attention stays within the
+            # chunk-aligned window [floor(q_pos/win)*win, q_pos]
+            mask = mask & (kv_pos >= (q_pos // win) * win)
+        else:
+            mask = mask & (kv_pos > q_pos - win)
     scores = jnp.where(mask, scores, -jnp.inf)
     if sinks is not None:
         sk = sinks.astype(jnp.float32).reshape(Hkv, G)[None, :, :, None]
@@ -438,7 +443,7 @@ def forward(
             return buf
         return jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
 
-    def _attend_qkv(q, k, v, p, kv):
+    def _attend_qkv(q, k, v, p, kv, li=None):
         """Flat q/k/v rows -> (q heads, kv views, updated cache parts)."""
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
@@ -446,8 +451,27 @@ def forward(
         if cfg.attn_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
-        k = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+        q_r = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
+        k_r = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+        if cfg.qk_l2_norm:  # llama4 Llama4TextL2Norm on rope layers
+            ones = jnp.ones((cfg.head_dim,), jnp.float32)
+            q_r = rms_norm(q_r, ones, cfg.rms_eps)
+            k_r = rms_norm(k_r, ones, cfg.rms_eps)
+        if cfg.no_rope_interval and li is not None:
+            # iRoPE (llama4.cpp:144): every no_rope_interval-th layer skips
+            # rope; its Q gets the floor-scaled attention temperature
+            # (llm_graph_input_attn_temp, llama-graph.cpp:135-147)
+            use_rope = ((li + 1) % cfg.no_rope_interval) != 0
+            tmp = (jnp.log(jnp.floor(
+                (positions.astype(jnp.float32) + cfg.attn_temp_offset)
+                / cfg.attn_temp_floor) + 1.0)
+                * cfg.attn_temp_scale + 1.0)  # (B, T)
+            q_nr = (q.astype(jnp.float32)
+                    * tmp[..., None, None]).astype(q.dtype)
+            q = jnp.where(use_rope, q_r, q_nr)
+            k = jnp.where(use_rope, k_r, k)
+        else:
+            q, k = q_r, k_r
         if cfg.clamp_kqv:
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
@@ -477,7 +501,7 @@ def forward(
         return q, k_view, v_view, kv
 
     def _attend(q, k, v, p, kv, li=None):
-        q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv)
+        q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv, li)
         sinks = p.get("attn_sinks")  # per-head sink logits (gpt-oss)
         if cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
             # interleaved local/global layers (gemma2/3, cohere2 style:

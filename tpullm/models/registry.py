@@ -14,7 +14,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # rope_type: "norm" = interleaved pairs (ggml GGML_ROPE_TYPE_NORM),
     # "neox" = half-split. Matches llama_model_rope_type() per arch.
     "llama": dict(rope_type="norm"),
-    "llama4": dict(rope_type="norm"),
+    # llama4 (src/models/llama4.cpp): 3-chunked-1-full attention pattern,
+    # iRoPE (every 4th layer NoPE + floor-scaled attn temperature), QK
+    # L2-norm on rope layers, sigmoid-gated MoE
+    "llama4": dict(rope_type="norm", swa_pattern=4, swa_chunked=True,
+                   no_rope_interval=4, attn_temp_scale=0.1,
+                   qk_l2_norm=True, expert_gating="sigmoid"),
     "mistral": dict(rope_type="norm"),
     "qwen2": dict(rope_type="neox", attn_bias=True),
     "qwen3": dict(rope_type="neox", attn_qk_norm=True),

@@ -573,3 +573,102 @@ def build_deepseek2_gguf(
         addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
+
+
+def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
+                    n_embd: int = 64, n_layer: int = 2, n_head: int = 4,
+                    n_head_kv: int = 2, n_ff: int = 96,
+                    qtype: GGMLType = GGMLType.Q8_0, seed: int = 0,
+                    scale: float = 0.05) -> str:
+    """Structurally-correct tiny checkpoint for ANY registry arch.
+
+    Consults ARCH_REGISTRY flags and writes exactly the tensors that arch's
+    graph needs (biases, qk-norms, post-norms, MoE experts, sinks, ...) —
+    the per-arch synthetic fixture behind the snapshot harness, mirroring
+    the reference's tests/gguf-model-data.h + test-llama-archs.cpp."""
+    from ..models.registry import get_arch
+
+    flags = get_arch(arch)
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if flags.get("swa_pattern", 1) > 1 or arch == "cohere2":
+        w.add_uint32(f"{arch}.attention.sliding_window", 32)
+    moe = arch.endswith("moe") or arch in ("mixtral",)
+    n_expert = 4 if moe else 0
+    if moe:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count", 2)
+    add_spm_toy_vocab(w, vocab_size)
+
+    norm_type = flags.get("norm_type", "rmsnorm")
+    ffn_gate = flags.get("ffn_gate", True)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        _add_quant_tensor(w, name, arr, qtype)
+
+    def norm_pair(name, n):
+        w.add_tensor(name + ".weight", np.ones(n, np.float32) + rand(n))
+        if norm_type == "layernorm":
+            w.add_tensor(name + ".bias", rand(n))
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    norm_pair("output_norm", n_embd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        norm_pair(p + "attn_norm", n_embd)
+        if not flags.get("parallel_residual"):
+            norm_pair(p + "ffn_norm", n_embd)
+        addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+        addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        if flags.get("attn_bias"):
+            w.add_tensor(p + "attn_q.bias", rand(n_head * head_dim))
+            w.add_tensor(p + "attn_k.bias", rand(n_head_kv * head_dim))
+            w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
+        if flags.get("attn_qk_norm"):
+            w.add_tensor(p + "attn_q_norm.weight",
+                         np.ones(head_dim, np.float32) + rand(head_dim))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones(head_dim, np.float32) + rand(head_dim))
+        if flags.get("post_norms"):
+            norm_pair(p + "post_attention_norm", n_embd)
+            norm_pair(p + "post_ffw_norm", n_embd)
+        if arch == "gpt-oss":
+            w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
+        if moe:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            _add_quant_tensor(w, p + "ffn_gate_exps.weight",
+                              rand(n_expert, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_up_exps.weight",
+                              rand(n_expert, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_down_exps.weight",
+                              rand(n_expert, n_embd, n_ff), qtype)
+        elif ffn_gate:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        else:
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
