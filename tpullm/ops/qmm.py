@@ -67,13 +67,17 @@ def _n_planes(spec: KmSpec) -> int:
 _MD_KEYS = ("d", "s8", "m8", "dmin", "bm")
 
 
-def _md_keys(spec: KmSpec):
+def _md_keys(spec: KmSpec, lite: bool = False):
+    """lite: the affine bias term is evaluated OUTSIDE the kernel (see
+    qmm_kmajor: y += group_sums(x) @ bias_rows — exact, since the bias is
+    constant within each gs-group), so the kernel skips m8/dmin entirely.
+    Cuts the per-weight VPU dequant chain by ~1/3 for affine K-quants."""
     keys = ["d"]
     if spec.sb is not None:
         keys.append("s8")
-    if spec.bias == "i8d":
+    if spec.bias == "i8d" and not lite:
         keys += ["m8", "dmin"]
-    elif spec.bias == "f32":
+    elif spec.bias == "f32" and not lite:
         keys.append("bm")
     return keys
 
@@ -83,7 +87,7 @@ def _md_rows(spec: KmSpec, key: str, kq: int, ds: int) -> int:
     return kq // (ds if key in ("d", "dmin") else spec.gs)
 
 
-def _plane_tile(spec: KmSpec, q, md, j):
+def _plane_tile(spec: KmSpec, q, md, j, lite: bool = False):
     """Dequantize plane j of a packed tile -> bf16 weight tile.
 
     q: (kq, tn) packed tile; md: {key: plane-j metadata rows}. Combines the
@@ -103,6 +107,8 @@ def _plane_tile(spec: KmSpec, q, md, j):
     else:
         scf = md["d"]
     w = val * jnp.repeat(scf, spec.gs, axis=0)
+    if lite:
+        return w.astype(jnp.bfloat16)
     if spec.bias == "i8d":
         rep = md["m8"].shape[-2] // md["dmin"].shape[-2]
         bif = -(md["m8"].astype(jnp.int32).astype(jnp.float32)
@@ -115,7 +121,7 @@ def _plane_tile(spec: KmSpec, q, md, j):
 
 
 def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, ds: int,
-            stacked: bool, idx):
+            stacked: bool, idx, lite: bool = False):
     """BlockSpecs for [q] + per-plane compact metadata blocks.
 
     `idx(grid_indices...) -> (k, i)` gives the k-tile and n-tile for a step.
@@ -132,7 +138,7 @@ def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, ds: int,
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
     specs = [blk((kq, tile_n), lambda *g: idx(*g))]
-    for key in _md_keys(spec):
+    for key in _md_keys(spec, lite):
         rows = _md_rows(spec, key, kq, ds)
         for j in range(P):
             specs.append(blk((rows, tile_n),
@@ -140,7 +146,7 @@ def _wspecs(spec: KmSpec, nK: int, tile_n: int, tile_k: int, ds: int,
     return specs
 
 
-def _split_refs(spec: KmSpec, refs, stacked: bool):
+def _split_refs(spec: KmSpec, refs, stacked: bool, lite: bool = False):
     """-> (q_ref_value, [per-plane metadata dicts])."""
     P = _n_planes(spec)
 
@@ -150,7 +156,7 @@ def _split_refs(spec: KmSpec, refs, stacked: bool):
     q = rd(refs[0])
     mds = [dict() for _ in range(P)]
     pos = 1
-    for key in _md_keys(spec):
+    for key in _md_keys(spec, lite):
         for j in range(P):
             mds[j][key] = rd(refs[pos])
             pos += 1
@@ -169,7 +175,7 @@ def _md_bytes(spec: KmSpec, N: int, K: int) -> int:
 @functools.lru_cache(maxsize=None)
 def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
                       tile_n: int, tile_k: int,
-                      stacked: bool, interpret: bool):
+                      stacked: bool, interpret: bool, lite: bool = False):
     spec = KM_SPECS[qtype]
     P = _n_planes(spec)
     nS, nN = K // tile_k, N // tile_n
@@ -179,11 +185,11 @@ def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
         if stacked:
             refs = refs[1:]
         xp_ref = refs[0]
-        q, mds, _ = _split_refs(spec, refs[1:-1], stacked)
+        q, mds, _ = _split_refs(spec, refs[1:-1], stacked, lite)
         q = q.astype(jnp.int32)
         acc = jnp.zeros((M_pad, tile_n), jnp.float32)
         for j in range(P):
-            w = _plane_tile(spec, q, mds[j], j)
+            w = _plane_tile(spec, q, mds[j], j, lite)
             acc += jax.lax.dot_general(
                 xp_ref[j], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -204,7 +210,7 @@ def _build_qmm_splitk(qtype: GGMLType, M_pad: int, N: int, K: int,
                               memory_space=pltpu.VMEM)
 
     in_specs = [x_spec] + _wspecs(spec, nS, tile_n, tile_k,
-                                  dstore_for(spec, K), stacked, idx)
+                                  dstore_for(spec, K), stacked, idx, lite)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if stacked else 0,
         grid=(nS, nN),
@@ -361,9 +367,16 @@ def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
         M_pad += 256 - M_pad % 256
     tm = min(M_pad, 256)
     splitk = M_pad <= 32  # decode regime: fully-parallel split-K grid
-    tn = tile_n or _pick_tile(Npad, (512, DEF_TILE_N, 128) if splitk
-                              else (DEF_TILE_N, 512, 128))
-    tk = tile_k or pick_tile_k(qtype, K)
+    if splitk:
+        # tuned on v5e (tools/sweep_qmm, compact layout): wide-N pools run
+        # best at tn=1024, others at 512; tk=4096 beats 2048 by ~15%
+        tn = tile_n or _pick_tile(
+            Npad, (1024, 512, DEF_TILE_N, 128) if Npad >= 16384
+            else (512, DEF_TILE_N, 128))
+        tk = tile_k or pick_tile_k(qtype, K, cap=4096)
+    else:
+        tn = tile_n or _pick_tile(Npad, (DEF_TILE_N, 512, 128))
+        tk = tile_k or pick_tile_k(qtype, K)
     if not tn or not tk:
         raise ValueError(f"qmm: no tile for N={Npad} K={K} {qtype.name}")
 
@@ -374,14 +387,40 @@ def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
     if M_pad != M:
         xp = jnp.pad(xp, ((0, 0), (0, M_pad - M), (0, 0)))
 
-    wargs = (data["q"],)
-    for key in _md_keys(spec):
-        wargs += (data[key],) * P
+    # decode path: evaluate the affine bias term OUTSIDE the kernel — it is
+    # constant within each gs-group, so y += group_sums(x) @ bias_rows is
+    # exact and removes the bias stream + per-weight add from the VPU chain
+    lite = splitk and spec.bias in ("i8d", "f32")
     lid = (jnp.asarray(layer, jnp.int32).reshape(1),) if stacked else ()
+    wargs = (data["q"],)
+    for key in _md_keys(spec, lite):
+        wargs += (data[key],) * P
     if splitk:
         fn = _build_qmm_splitk(qtype, M_pad, Npad, K, tn, tk,
-                               stacked, interpret)
-        y = fn(*lid, xp, *wargs).sum(axis=0).astype(out_dtype)
+                               stacked, interpret, lite)
+        y = fn(*lid, xp, *wargs).sum(axis=0)
+        if lite:
+            if spec.bias == "i8d":
+                m8, dmin = data["m8"], data["dmin"]
+                if stacked:
+                    li = jnp.asarray(layer, jnp.int32)
+                    m8 = jax.lax.dynamic_index_in_dim(m8, li, 0, keepdims=False)
+                    dmin = jax.lax.dynamic_index_in_dim(dmin, li, 0, keepdims=False)
+                rep = m8.shape[-2] // dmin.shape[-2]
+                bif = -(m8.astype(jnp.float32)
+                        * (jnp.repeat(dmin, rep, axis=-2) if rep > 1 else dmin))
+            else:
+                bif = data["bm"]
+                if stacked:
+                    bif = jax.lax.dynamic_index_in_dim(
+                        bif, jnp.asarray(layer, jnp.int32), 0, keepdims=False)
+            xg = x2.astype(jnp.float32).reshape(M, K // spec.gs, spec.gs).sum(-1)
+            if M_pad != M:
+                xg = jnp.pad(xg, ((0, M_pad - M), (0, 0)))
+            y = y + jax.lax.dot_general(
+                xg, bif, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = y.astype(out_dtype)
     else:
         fn = _build_qmm(qtype, M_pad, Npad, K, tm, tn, tk,
                         jnp.dtype(out_dtype).name, stacked, interpret)
