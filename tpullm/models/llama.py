@@ -268,7 +268,12 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
     w = w * cfg.expert_weights_scale
 
-    # dense all-expert evaluation, mask-combined
+    # all-expert evaluation, mask-combined. For small batches (decode) each
+    # expert is gated behind lax.cond on "any token selected it": unselected
+    # experts' weights are never read, so the step reads ~(used/E) of the
+    # expert bytes — the MUL_MAT_ID bandwidth behavior (ggml.h:507) without
+    # a ragged kernel. At prefill most experts are active, so the dense
+    # evaluation runs unconditionally (conds would all be true).
     gate_w = qw["moe_gate_exps"]
     up_w = qw["moe_up_exps"]
     down_w = qw["moe_down_exps"]
@@ -288,9 +293,18 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
         we = (w * (top_i == e)).sum(-1)  # (B, T)
         return de * we[..., None].astype(dtype)
 
-    out = one_expert(0)
-    for e in range(1, E):
-        out = out + one_expert(e)
+    if B * T <= 16:  # decode: skip unselected experts entirely
+        def gated(e):
+            return jax.lax.cond((top_i == e).any(),
+                                lambda: one_expert(e),
+                                lambda: jnp.zeros((B, T, D), dtype))
+        out = gated(0)
+        for e in range(1, E):
+            out = out + gated(e)
+    else:
+        out = one_expert(0)
+        for e in range(1, E):
+            out = out + one_expert(e)
 
     if "ffn_gate_shexp" in qw:  # DeepSeek-style always-on shared experts
         g = _mm(x, qw["ffn_gate_shexp"], dtype, li)

@@ -368,11 +368,9 @@ def qmm_kmajor(x, data: dict, qtype: GGMLType, n_logical: int,
     tm = min(M_pad, 256)
     splitk = M_pad <= 32  # decode regime: fully-parallel split-K grid
     if splitk:
-        # tuned on v5e (tools/sweep_qmm, compact layout): wide-N pools run
-        # best at tn=1024, others at 512; tk=4096 beats 2048 by ~15%
-        tn = tile_n or _pick_tile(
-            Npad, (1024, 512, DEF_TILE_N, 128) if Npad >= 16384
-            else (512, DEF_TILE_N, 128))
+        # tuned on v5e (tools/sweep_qmm, compact layout): tk=4096 beats
+        # 2048 by ~15%; tn=512 is the stable pick across pool shapes
+        tn = tile_n or _pick_tile(Npad, (512, DEF_TILE_N, 128))
         tk = tile_k or pick_tile_k(qtype, K, cap=4096)
     else:
         tn = tile_n or _pick_tile(Npad, (DEF_TILE_N, 512, 128))
