@@ -10,6 +10,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
+
 from ..gguf.reader import GGUFFile
 
 
@@ -77,6 +79,9 @@ class ModelConfig:
     kv_lora_rank: int = 0  # >0 enables the MLA graph + compressed cache
     n_layer_dense_lead: int = 0  # leading layers with dense (non-MoE) FFN
     rope_yarn_log_mul: float = 0.0
+    # hybrid attention+recurrent (Jamba family): per-layer kv head counts,
+    # 0 = recurrent layer (src/models/jamba.cpp:12)
+    kv_head_pattern: tuple = ()
     # recurrent (Mamba/SSM) models
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
@@ -105,13 +110,22 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     if n_vocab is None:
         toks = g.get("tokenizer.ggml.tokens")
         n_vocab = len(toks) if toks is not None else 32000
+    # head_count_kv may be a per-layer ARRAY (hybrid archs: 0 = recurrent
+    # layer); the scalar config keeps the max, the pattern the full vector
+    hkv_raw = _k(g, "{arch}.attention.head_count_kv", n_head)
+    kv_pattern = ()
+    if isinstance(hkv_raw, (list, tuple, np.ndarray)):
+        kv_pattern = tuple(int(h) for h in hkv_raw)
+        n_head_kv_scalar = max(kv_pattern)
+    else:
+        n_head_kv_scalar = int(hkv_raw)
     cfg = ModelConfig(
         arch=arch,
         vocab_size=int(n_vocab),
         n_embd=n_embd,
         n_layer=int(_k(g, "{arch}.block_count", 22)),
         n_head=n_head,
-        n_head_kv=int(_k(g, "{arch}.attention.head_count_kv", n_head)),
+        n_head_kv=n_head_kv_scalar,
         head_dim=head_dim,
         head_dim_v=int(_k(g, "{arch}.attention.value_length", head_dim)),
         n_ff=int(_k(g, "{arch}.feed_forward_length", 4 * n_embd)),
@@ -152,6 +166,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     gf = _k(g, "{arch}.expert_gating_func")
     if gf is not None:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
+    cfg.kv_head_pattern = kv_pattern
     # recurrent (SSM) hparams (llama-model.cpp mamba load_arch_hparams)
     cfg.ssm_d_conv = int(_k(g, "{arch}.ssm.conv_kernel", 0))
     cfg.ssm_d_inner = int(_k(g, "{arch}.ssm.inner_size", 0))

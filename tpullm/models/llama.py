@@ -602,6 +602,22 @@ def forward(
                        p["wv_b"]).astype(dtype)
         return o.reshape(B, T, H * cfg.head_dim_v), kv
 
+    def layer_fold(carry, inp):
+        """One-program-per-layer path: the megakernel emitted this layer's
+        fused qkv already; attention runs in XLA; the kernel then does
+        wo+ffn AND the next layer's norm+qkv (ops/layer_kernel.ffn_block_qkv)."""
+        x, y = carry
+        p, kv, li = inp
+        from ..ops.layer_kernel import ffn_block_qkv
+
+        q, k, v = _split_qkv(y.astype(dtype))
+        att, kv = _attend(q, k, v, p, kv, li)
+        x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
+                                  qw, li, cfg)
+        if "cvec" in p:  # control vector on the layer output
+            x = x + p["cvec"].astype(dtype)
+        return (x, y_next), kv
+
     def layer(carry, inp):
         x = carry
         p, kv, li = inp
@@ -648,6 +664,15 @@ def forward(
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
         att, kv = _attend(q, k, v, p, kv, li)
+        if use_block:
+            # one fused program: wo + residual + rmsnorm + gate/up + act +
+            # down + residual (ops/layer_kernel.py) — the decode hot path
+            from ..ops.layer_kernel import ffn_block
+
+            x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
+            if "cvec" in p:
+                x = x + p["cvec"].astype(dtype)
+            return x, kv
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
@@ -699,16 +724,55 @@ def forward(
             parts += (cache.ks[lo:hi], cache.vs[lo:hi])
         return parts
 
+    from ..ops.layer_kernel import supported as _block_supported
+    from ..ops.qmm import use_pallas as _use_pallas
+    import os as _os
+
+    # decode-path selection: "mega" (default) = fused layer megakernel,
+    # "splitk" = per-pool split-K calls; overridable for A/B perf runs
+    path = _os.environ.get("TPULLM_DECODE_PATH", "mega")
+
     for gl in groups:
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
+        use_block = (
+            path == "mega"
+            and B * T <= 16
+            and not collect_stats
+            and tp_axis is None
+            and _use_pallas()
+            and "ffn_norm" in gl
+            and "ffn_norm_b" not in gl
+            and not cfg.attn_bias
+            and cfg.kv_lora_rank == 0
+            and not any(k.startswith("lora_") for k in gl)
+            and _block_supported(cfg, qw)
+        )
         any_leaf = next(iter(gl.values()))
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
         ids = jnp.arange(L_g)
-        x, ys = jax.lax.scan(
-            layer, x, (fl, _kv_slices(off, off + L_g), ids)
+        use_fold = (
+            use_block
+            and "wqkv" in qw
+            and len(groups) == 1
+            and "attn_norm" in gl
+            and not cfg.no_rope_interval
         )
+        if use_fold:
+            # prime the carry: layer 0's norm + fused qkv; thereafter each
+            # megakernel invocation emits the next layer's qkv
+            anrm_stacked = gl["attn_norm"]
+            h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
+            y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
+            (x, _), ys = jax.lax.scan(
+                layer_fold, (x, y0),
+                (fl, _kv_slices(off, off + L_g), ids),
+            )
+        else:
+            x, ys = jax.lax.scan(
+                layer, x, (fl, _kv_slices(off, off + L_g), ids)
+            )
         nparts = 4 if kv_quant else 2
         new_kv.append(ys[:nparts])
         if collect_stats:

@@ -298,4 +298,5 @@ def forward(params, cfg: ModelConfig, tokens, state: RecurrentState,
 
 
 def is_recurrent(cfg: ModelConfig) -> bool:
-    return cfg.ssm_d_conv > 0
+    # pure-SSM only; hybrid (Jamba) models route through models/hybrid
+    return cfg.ssm_d_conv > 0 and not any(h > 0 for h in cfg.kv_head_pattern)

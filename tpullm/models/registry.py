@@ -49,6 +49,9 @@ ARCH_REGISTRY: dict[str, dict] = {
     # ssm.dt_b_c_rms KV on the same arch)
     "mamba": dict(),
     "mamba2": dict(),
+    # hybrid attention+recurrent — src/models/jamba.cpp (no rope on the
+    # attention layers; per-layer head_count_kv array selects the family)
+    "jamba": dict(),
     # encoder (bidirectional) family — src/models/bert.cpp
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),

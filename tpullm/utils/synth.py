@@ -672,3 +672,92 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
+
+
+def build_jamba_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    attn_every: int = 4,  # layer i is attention iff (i % attn_every) == 1
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_ff: int = 96,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic Jamba (hybrid attention+mamba) checkpoint.
+
+    Per-layer head_count_kv ARRAY with zeros on recurrent layers selects the
+    family (src/models/jamba.cpp:12); every layer carries the shared
+    attn_norm/ffn_norm/FFN, attention layers add wq/wk/wv/wo, mamba layers
+    the ssm_* set."""
+    rng = np.random.default_rng(seed)
+    d_inner = 2 * n_embd
+    dt_rank = max(1, (n_embd + 15) // 16)
+    head_dim = n_embd // n_head
+    arch = "jamba"
+    kv_pattern = [n_head_kv if (i % attn_every) == 1 else 0
+                  for i in range(n_layer)]
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-jamba")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kv_pattern, np.uint32))
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", dt_rank)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        _add_quant_tensor(w, name, arr, qtype) if qtype not in (
+            GGMLType.F32,) else w.add_tensor(name, arr)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "ffn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+        if kv_pattern[i] > 0:
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        else:
+            addq(p + "ssm_in.weight", rand(2 * d_inner, n_embd))
+            add(p + "ssm_conv1d.weight", rand(d_inner, d_conv))
+            add(p + "ssm_conv1d.bias", rand(d_inner))
+            addq(p + "ssm_x.weight", rand(dt_rank + 2 * d_state, d_inner))
+            addq(p + "ssm_dt.weight", rand(d_inner, dt_rank))
+            add(p + "ssm_dt.bias", rand(d_inner) + 0.5)
+            add(p + "ssm_a", -np.exp(rand(d_inner, d_state)))
+            add(p + "ssm_d", np.ones(d_inner, np.float32) + rand(d_inner))
+            addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+        addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
