@@ -52,6 +52,9 @@ ARCH_REGISTRY: dict[str, dict] = {
     # hybrid attention+recurrent — src/models/jamba.cpp (no rope on the
     # attention layers; per-layer head_count_kv array selects the family)
     "jamba": dict(),
+    # RWKV7 recurrent family — src/models/rwkv7.cpp (layernorm everywhere)
+    "rwkv7": dict(norm_type="layernorm"),
+    "arwkv7": dict(norm_type="layernorm"),
     # encoder (bidirectional) family — src/models/bert.cpp
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),

@@ -74,6 +74,33 @@ LAYER_TENSORS = {
     "ssm_d": "ssm_d",
     "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
+    # RWKV7 family — src/models/rwkv7.cpp load_arch_tensors
+    "time_mix_w0.weight": "tm_w0",
+    "time_mix_w1.weight": "tm_w1",
+    "time_mix_w2.weight": "tm_w2",
+    "time_mix_a0.weight": "tm_a0",
+    "time_mix_a1.weight": "tm_a1",
+    "time_mix_a2.weight": "tm_a2",
+    "time_mix_v0.weight": "tm_v0",
+    "time_mix_v1.weight": "tm_v1",
+    "time_mix_v2.weight": "tm_v2",
+    "time_mix_g1.weight": "tm_g1",
+    "time_mix_g2.weight": "tm_g2",
+    "time_mix_lerp_fused.weight": "tm_lerp_fused",
+    "time_mix_k_k.weight": "tm_k_k",
+    "time_mix_k_a.weight": "tm_k_a",
+    "time_mix_r_k.weight": "tm_r_k",
+    "time_mix_key.weight": "tm_k",
+    "time_mix_value.weight": "tm_v",
+    "time_mix_receptance.weight": "tm_r",
+    "time_mix_output.weight": "tm_out",
+    "time_mix_ln.weight": "tm_ln",
+    "time_mix_ln.bias": "tm_ln_b",
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_b",
+    "channel_mix_lerp_k.weight": "cm_lerp_k",
+    "channel_mix_key.weight": "cm_k",
+    "channel_mix_value.weight": "cm_v",
     # encoder (BERT) family: post-LN norms + FFN biases
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_b",
@@ -205,6 +232,9 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 "norm" in key or key.startswith("b") or key.endswith("_b")
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
                            "attn_sinks")
+                or key.startswith("tm_") and key not in ("tm_k", "tm_v",
+                                                         "tm_r", "tm_out")
+                or key == "cm_lerp_k"
             ):
                 per_key.setdefault(key, {})[i] = _to_float_array(g, tname)
             else:

@@ -761,3 +761,96 @@ def build_jamba_gguf(
         addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
+
+
+def build_rwkv7_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    head_size: int = 16,
+    lora_decay: int = 16,
+    lora_iclr: int = 16,
+    lora_gate: int = 16,
+    n_ff: int = 128,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic RWKV7 checkpoint (tensor set per src/models/rwkv7.cpp
+    load_arch_tensors; equal LoRA ranks so layer 0's v0/v1/v2 stack with the
+    rest)."""
+    rng = np.random.default_rng(seed)
+    arch = "rwkv7"
+    C = n_embd
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-rwkv7")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", C)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", 0)
+    w.add_uint32(f"{arch}.wkv.head_size", head_size)
+    w.add_uint32(f"{arch}.attention.decay_lora_rank", lora_decay)
+    w.add_uint32(f"{arch}.attention.iclr_lora_rank", lora_iclr)
+    w.add_uint32(f"{arch}.attention.value_residual_mix_lora_rank", lora_iclr)
+    w.add_uint32(f"{arch}.attention.gate_lora_rank", lora_gate)
+    w.add_uint32(f"{arch}.token_shift_count", 2)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, C))
+    add("token_embd_norm.weight", np.ones(C, np.float32) + rand(C))
+    add("token_embd_norm.bias", rand(C))
+    addq("output.weight", rand(vocab_size, C))
+    add("output_norm.weight", np.ones(C, np.float32) + rand(C))
+    add("output_norm.bias", rand(C))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(C, np.float32) + rand(C))
+        add(p + "attn_norm.bias", rand(C))
+        add(p + "attn_norm_2.weight", np.ones(C, np.float32) + rand(C))
+        add(p + "attn_norm_2.bias", rand(C))
+        add(p + "time_mix_w0.weight", rand(C))
+        add(p + "time_mix_w1.weight", rand(lora_decay, C))
+        add(p + "time_mix_w2.weight", rand(C, lora_decay))
+        add(p + "time_mix_a0.weight", rand(C))
+        add(p + "time_mix_a1.weight", rand(lora_iclr, C))
+        add(p + "time_mix_a2.weight", rand(C, lora_iclr))
+        add(p + "time_mix_v0.weight", rand(C))
+        add(p + "time_mix_v1.weight", rand(lora_iclr, C))
+        add(p + "time_mix_v2.weight", rand(C, lora_iclr))
+        add(p + "time_mix_g1.weight", rand(lora_gate, C))
+        add(p + "time_mix_g2.weight", rand(C, lora_gate))
+        add(p + "time_mix_lerp_fused.weight",
+            rand(6, 1, 1, C) * 0.5 + 0.5)
+        add(p + "time_mix_k_k.weight", rand(C) + 0.8)
+        add(p + "time_mix_k_a.weight", rand(C) + 0.8)
+        add(p + "time_mix_r_k.weight", rand(C))
+        addq(p + "time_mix_key.weight", rand(C, C))
+        addq(p + "time_mix_value.weight", rand(C, C))
+        addq(p + "time_mix_receptance.weight", rand(C, C))
+        add(p + "time_mix_ln.weight", np.ones(C, np.float32) + rand(C))
+        add(p + "time_mix_ln.bias", rand(C))
+        addq(p + "time_mix_output.weight", rand(C, C))
+        add(p + "channel_mix_lerp_k.weight", rand(1, 1, C) * 0.5 + 0.5)
+        addq(p + "channel_mix_key.weight", rand(n_ff, C))
+        addq(p + "channel_mix_value.weight", rand(C, n_ff))
+    w.write()
+    return path
