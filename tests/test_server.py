@@ -319,3 +319,21 @@ def test_logit_bias(server):
     r3 = _post(url, "/completion", {
         "prompt": "tok1 tok2", "n_predict": 4, "temperature": 0})
     assert r3["choices"][0]["text"] == r2["choices"][0]["text"]
+
+
+def test_whole_context_state(server):
+    """POST /state?action=save|restore round-trips ALL slots' caches +
+    token prefixes (llama_state_save_file/load_file analogue)."""
+    ctx, url = server
+    p = "tok9 tok2 tok6"
+    _post(url, "/v1/completions", {"prompt": p, "max_tokens": 2,
+                                   "temperature": 0})
+    toks_before = [list(s.tokens) for s in ctx.memory.slots]
+    r = _post(url, "/state?action=save", {"filename": "ctx.npz"})
+    assert r["saved"] is True
+    for i in range(ctx.n_slots):
+        _post(url, f"/slots/{i}?action=erase", {})
+    assert all(s.n_past == 0 for s in ctx.memory.slots)
+    r = _post(url, "/state?action=restore", {"filename": "ctx.npz"})
+    assert r["restored"] is True
+    assert [list(s.tokens) for s in ctx.memory.slots] == toks_before

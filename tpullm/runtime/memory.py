@@ -136,6 +136,56 @@ class SlotMemory:
         z = np.load(path)
         return self.load_slot(slot, {k: z[k] for k in z.files} | {"version": 1})
 
+    # -------------------------------------------------- whole-context state
+
+    def save_state(self) -> dict:
+        """Serialize ALL slots + caches into one blob (the whole-context
+        llama_state_get_data analogue, include/llama.h:770-800). Quantized
+        caches save raw int8 + scales (no dequant round-trip)."""
+        blob = {
+            "version": 2,
+            "n_slots": np.int32(self.n_slots),
+            "max_len": np.int32(self.max_seq_len),
+            "k": np.asarray(self.cache.k.astype(jnp.float32)
+                            if self.cache.k.dtype != jnp.int8 else self.cache.k),
+            "v": np.asarray(self.cache.v.astype(jnp.float32)
+                            if self.cache.v.dtype != jnp.int8 else self.cache.v),
+        }
+        if self.cache.quantized:
+            blob["ks"] = np.asarray(self.cache.ks)
+            blob["vs"] = np.asarray(self.cache.vs)
+        for i, st in enumerate(self.slots):
+            blob[f"slot{i}_tokens"] = np.asarray(st.tokens, np.int32)
+            blob[f"slot{i}_n_past"] = np.int32(st.n_past)
+        return blob
+
+    def load_state(self, blob: dict) -> None:
+        """Restore a save_state() blob (llama_state_set_data). Shapes must
+        match the running configuration."""
+        assert int(blob["version"]) == 2, "unsupported state version"
+        assert int(blob["n_slots"]) == self.n_slots, "slot count mismatch"
+        assert int(blob["max_len"]) == self.max_seq_len, "context size mismatch"
+        k = jnp.asarray(blob["k"], self.cache.k.dtype)
+        v = jnp.asarray(blob["v"], self.cache.v.dtype)
+        if self.cache.quantized:
+            self.cache = KVCache(k, v, jnp.asarray(blob["ks"]),
+                                 jnp.asarray(blob["vs"]))
+        else:
+            self.cache = KVCache(k, v)
+        for i, st in enumerate(self.slots):
+            st.tokens = [int(t) for t in blob[f"slot{i}_tokens"]]
+            st.n_past = int(blob[f"slot{i}_n_past"])
+
+    def save_state_file(self, path: str) -> None:
+        """Session file (llama_state_save_file): one npz holding the whole
+        serving context; reload with load_state_file to resume with all
+        prefix caches warm."""
+        np.savez(path, **self.save_state())
+
+    def load_state_file(self, path: str) -> None:
+        z = np.load(path)
+        self.load_state({k: z[k] for k in z.files})
+
     def context_shift(self, slot: int, n_keep: int, n_discard: int):
         """Discard tokens [n_keep, n_keep+n_discard); roll the tail left and
         rope-shift cached K by -n_discard (on device)."""

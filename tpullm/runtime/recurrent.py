@@ -220,3 +220,33 @@ class RecurrentSlotMemory:
     def load_slot_file(self, slot: int, path: str) -> int:
         z = np.load(path)
         return self.load_slot(slot, {k: z[k] for k in z.files})
+
+    # -------------------------------------------------- whole-context state
+
+    def save_state(self) -> dict:
+        """All slots' recurrent states + token prefixes in one blob
+        (whole-context llama_state_get_data analogue for the recurrent
+        memory, src/llama-memory-recurrent state IO)."""
+        blob = {"version": 2, "n_slots": np.int32(self.n_slots),
+                "conv": np.asarray(self.cache.conv),
+                "ssm": np.asarray(self.cache.ssm)}
+        for i, st in enumerate(self.slots):
+            blob[f"slot{i}_tokens"] = np.asarray(st.tokens, np.int32)
+            blob[f"slot{i}_n_past"] = np.int32(st.n_past)
+        return blob
+
+    def load_state(self, blob: dict) -> None:
+        assert int(blob["version"]) == 2, "unsupported state version"
+        assert int(blob["n_slots"]) == self.n_slots, "slot count mismatch"
+        self.cache = RecurrentState(jnp.asarray(blob["conv"]),
+                                    jnp.asarray(blob["ssm"]))
+        for i, st in enumerate(self.slots):
+            st.tokens = [int(t) for t in blob[f"slot{i}_tokens"]]
+            st.n_past = int(blob[f"slot{i}_n_past"])
+
+    def save_state_file(self, path: str) -> None:
+        np.savez(path, **self.save_state())
+
+    def load_state_file(self, path: str) -> None:
+        z = np.load(path)
+        self.load_state({k: z[k] for k in z.files})

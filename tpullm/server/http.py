@@ -193,6 +193,8 @@ class Handler(BaseHTTPRequestHandler):
                 return self._infill(body)
             if path.startswith("/slots/"):
                 return self._slot_action(path, body)
+            if path == "/state":
+                return self._state_action(body)
             return self._error(404, f"unknown path {path}")
         except BrokenPipeError:
             pass
@@ -315,6 +317,53 @@ class Handler(BaseHTTPRequestHandler):
             return self._error(409, f"slot {slot_id} busy")
         except FileNotFoundError:
             return self._error(400, f"no such saved state '{fname}'")
+
+    def _state_action(self, body: dict):
+        """POST /state?action=save|restore {filename}: whole-context session
+        files (llama_state_save_file/load_file, include/llama.h:770-884) —
+        every slot's cache + token prefixes in one file, so a server restart
+        resumes with warm prefix caches. Same gating/validation as /slots."""
+        import os as _os
+
+        ctx = self.ctx
+        action = ""
+        if "?" in self.path:
+            for kv in self.path.split("?", 1)[1].split("&"):
+                if kv.startswith("action="):
+                    action = kv.split("=", 1)[1]
+        if action not in ("save", "restore"):
+            return self._error(400, f"unknown action '{action}'")
+        if not ctx.slot_save_path:
+            return self._error(400, "state save/restore disabled (server "
+                                    "started without a slot-save path)")
+        fname = body.get("filename")
+        if not fname or not isinstance(fname, str):
+            return self._error(400, "filename required")
+        if (_os.path.basename(fname) != fname or fname.startswith(".")
+                or "/" in fname or "\\" in fname or ".." in fname):
+            return self._error(400, "invalid filename")
+        fpath = _os.path.join(ctx.slot_save_path, fname)
+        try:
+            if action == "save":
+                def _save():
+                    if any(r.task is not None for r in ctx.rt):
+                        raise _SlotBusy()
+                    ctx.memory.save_state_file(fpath)
+                ctx.control(_save)
+                return self._json(200, {"saved": True, "filename": fname})
+
+            def _restore():
+                if any(r.task is not None for r in ctx.rt):
+                    raise _SlotBusy()
+                ctx.memory.load_state_file(fpath)
+            ctx.control(_restore)
+            return self._json(200, {"restored": True, "filename": fname})
+        except _SlotBusy:
+            return self._error(409, "slots busy")
+        except FileNotFoundError:
+            return self._error(400, f"no such saved state '{fname}'")
+        except AssertionError as e:
+            return self._error(400, f"state mismatch: {e}")
 
     def _infill(self, body: dict):
         """Fill-in-the-middle completion: <FIM_PRE>prefix<FIM_SUF>suffix
