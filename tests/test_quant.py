@@ -243,3 +243,30 @@ def test_iq_qtensor_runs_dense(tmp_path):
     np.testing.assert_allclose(y, np.asarray(x) @ w.T, rtol=2e-2, atol=2e-2)
     r = qt.take_rows(jnp.asarray([1, 3]), jnp.float32)
     np.testing.assert_allclose(np.asarray(r), w[[1, 3]], rtol=1e-6)
+
+
+def test_tq1_0_nvfp4_decode_vs_reference_oracle():
+    """TQ1_0 (powers-of-3 ternary) and NVFP4 (UE4M3-scaled e2m1) decode
+    bit-exactly against the reference gguf-py dequantizers on random
+    payloads (NaN f16 scales excluded — both engines propagate them)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/gguf-py")
+    try:
+        import gguf as refgguf
+        from gguf.quants import dequantize as ref_dequant
+    except Exception:
+        pytest.skip("reference gguf-py unavailable")
+    from tpullm.gguf.constants import GGML_QUANT_SIZES
+
+    rng = np.random.default_rng(3)
+    for tname in ("TQ1_0", "NVFP4"):
+        t = GGMLType[tname]
+        blk, bs = GGML_QUANT_SIZES[t]
+        raw = rng.integers(0, 256, (4, 1024 // blk * bs), np.uint8)
+        ours = dequantize(raw, t)
+        theirs = ref_dequant(
+            raw, getattr(refgguf.GGMLQuantizationType, tname)).reshape(ours.shape)
+        ok = np.isfinite(theirs)
+        assert (ours[ok] == theirs[ok]).all(), tname
+        assert np.isnan(ours[~ok]).all() == np.isnan(theirs[~ok]).all(), tname

@@ -165,3 +165,21 @@ def test_eval_callback_tool(tiny_gguf):
     assert len(rows) == 3  # n_layer
     assert all(r["attn_in"] > 0 for r in rows)
     assert out_rms > 0
+
+
+def test_winogrande_and_multiple_choice(tiny_gguf):
+    """The scorers must strongly prefer continuations the model itself
+    generated (self-consistency; real benchmark accuracy needs real
+    weights)."""
+    from tpullm.tools.perplexity import multiple_choice, winogrande
+
+    r = winogrande(tiny_gguf, [
+        {"sentence": "tok1 tok2 _ tok4", "option1": "tok3",
+         "option2": "zq", "answer": 1},
+    ], progress=False)
+    assert r["tasks"] == 1 and 0.0 <= r["acc"] <= 1.0
+
+    r = multiple_choice(tiny_gguf, [
+        {"question": "tok1 tok2", "choices": ["tok3", "tok4"], "answer": 0},
+    ], progress=False)
+    assert r["tasks"] == 1 and 0.0 <= r["acc"] <= 1.0

@@ -303,17 +303,6 @@ def _dq_mxfp4(blk):
 
 
 def _dq_tq2_0(blk):
-    # qs[64] | d f16 ; 2 bits/elem: per 32-byte group, shifts 0,2,4,6
-    qs = blk[..., 0:64].reshape(*blk.shape[:-1], 2, 32)
-    d = _f16_at(blk, 64)[..., None]
-    shifts = np.arange(4, dtype=np.uint8) * 2
-    bits = ((qs[..., :, None, :] >> shifts[None, :, None]) & 3).astype(np.float32)
-    q = bits.reshape(*blk.shape[:-1], 256) - 1.0
-    return d * q
-
-
-
-def _dq_tq2_0(blk):
     """TQ2_0 ternary: 64B of 2-bit trits (value-1 offset) + f16 d per 256
     (ggml-common.h block_tq2_0; dequantize_row_tq2_0 order: per 32-byte
     chunk, shift planes 0,2,4,6)."""
@@ -323,6 +312,51 @@ def _dq_tq2_0(blk):
     parts = [((q >> s) & 3).astype(np.int32) - 1 for s in (0, 2, 4, 6)]
     grid = np.stack(parts, axis=-2).reshape(*qs.shape[:-1], 256)
     return d[..., None] * grid.astype(np.float32)
+
+
+def _dq_tq1_0(blk):
+    """TQ1_0 ternary 1.69 bpw: 48B of 5-trits-per-byte (powers-of-3
+    packing) + 4B qh (4 trits each) + f16 d (ggml-common.h block_tq1_0;
+    dequantize_row_tq1_0: q = (uint8)(qs*3^n), trit = (q*3)>>8 - 1)."""
+    qs = blk[..., 0:48].astype(np.uint16)
+    qh = blk[..., 48:52].astype(np.uint16)
+    d = _f16_at(blk, 52)
+    pow3 = np.asarray([1, 3, 9, 27, 81, 243], np.uint16)
+
+    def trits(bytes_, n_planes):
+        # (..., nb, m) -> (..., nb, n_planes, m) element-ordered trit planes
+        q = (bytes_[..., None, :] * pow3[:n_planes, None]) & 0xFF
+        return (((q * 3) >> 8).astype(np.int32) - 1)
+
+    a = trits(qs[..., 0:32], 5).reshape(*blk.shape[:-1], 160)
+    b = trits(qs[..., 32:48], 5).reshape(*blk.shape[:-1], 80)
+    c = trits(qh, 4).reshape(*blk.shape[:-1], 16)
+    grid = np.concatenate([a, b, c], axis=-1).astype(np.float32)
+    return d[..., None] * grid
+
+
+def _ue4m3_to_f32(x):
+    """UE4M3 scale byte -> f32 (ggml_ue4m3_to_fp32: unsigned e4m3 * 0.5;
+    0 and 0x7F decode to 0)."""
+    x = np.asarray(x, np.uint8)
+    e = ((x >> 3) & 0xF).astype(np.int32)
+    m = (x & 0x7).astype(np.float32)
+    sub = m * np.float32(2.0) ** -9
+    norm = (1.0 + m / 8.0) * np.float32(2.0) ** (e - 7)
+    v = np.where(e == 0, sub, norm) * 0.5
+    return np.where((x == 0) | (x == 0x7F), 0.0, v).astype(np.float32)
+
+
+def _dq_nvfp4(blk):
+    """NVFP4: 64-block of four 16-element sub-blocks, each with a UE4M3
+    scale byte; E2M1 nibbles via the mxfp4 LUT, sub-block half-split
+    (dequantize_row_nvfp4: lo nibbles -> [0,8), hi -> [8,16))."""
+    d = _ue4m3_to_f32(blk[..., 0:4])  # (..., nb, 4)
+    qs = blk[..., 4:36].reshape(*blk.shape[:-1], 4, 8)
+    lo = KVALUES_MXFP4[qs & 0xF]
+    hi = KVALUES_MXFP4[qs >> 4]
+    sub = np.concatenate([lo, hi], axis=-1)  # (..., nb, 4, 16)
+    return (d[..., None] * sub).reshape(*blk.shape[:-1], 64)
 
 
 def _q_tq2_0(x):
@@ -522,6 +556,8 @@ _DEQUANT = {
     GGMLType.IQ4_XS: _dq_iq4_xs,
     GGMLType.MXFP4: _dq_mxfp4,
     GGMLType.TQ2_0: _dq_tq2_0,
+    GGMLType.TQ1_0: _dq_tq1_0,
+    GGMLType.NVFP4: _dq_nvfp4,
     GGMLType.IQ2_XXS: _dq_iq2_xxs,
     GGMLType.IQ2_XS: _dq_iq2_xs,
     GGMLType.IQ2_S: _dq_iq2_s,

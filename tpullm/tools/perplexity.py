@@ -233,6 +233,112 @@ def hellaswag(model_path: str, tasks: list[dict], max_tasks: int = 0,
     return {"accuracy": n_ok / max(n_tot, 1), "tasks": n_tot}
 
 
+def winogrande(model_path: str, tasks: list[dict], max_tasks: int = 0,
+               progress=True):
+    """Winogrande scoring (perplexity.cpp --winogrande): each task
+    {"sentence": "... _ ...", "option1": str, "option2": str, "answer": 1|2}.
+    The blank is filled with each option; the choice with the higher mean
+    log-prob over the filled-option-and-suffix tokens wins."""
+    import jax.numpy as jnp
+
+    from ..runtime.loader import load_model
+    from ..tokenizer import Tokenizer
+
+    cfg, params, g = load_model(model_path)
+    tok = Tokenizer.from_gguf(g)
+    runner = _ChoiceScorer(cfg, params)
+
+    n_ok = n_tot = 0
+    tasks = tasks[:max_tasks] if max_tasks else tasks
+    for t in tasks:
+        pre, _, post = t["sentence"].partition("_")
+        ids_pre = tok.encode(pre, add_special=True)
+        scores = []
+        for opt in (t["option1"], t["option2"]):
+            cont = tok.encode(opt + post, add_special=False)
+            scores.append(runner.score(ids_pre, cont))
+        pred = 1 + int(np.argmax(scores))
+        n_ok += int(pred == int(t["answer"]))
+        n_tot += 1
+        if progress and n_tot % 50 == 0:
+            print(f"[{n_tot}] acc {n_ok / n_tot:.4f}", file=sys.stderr)
+    return {"acc": n_ok / max(n_tot, 1), "tasks": n_tot}
+
+
+def multiple_choice(model_path: str, tasks: list[dict], max_tasks: int = 0,
+                    progress=True):
+    """MMLU-style multiple choice (perplexity.cpp --multiple-choice): each
+    task {"question": str, "choices": [str, ...], "answer": int}; the choice
+    with the highest mean token log-prob given the question wins."""
+    from ..runtime.loader import load_model
+    from ..tokenizer import Tokenizer
+
+    cfg, params, g = load_model(model_path)
+    tok = Tokenizer.from_gguf(g)
+    runner = _ChoiceScorer(cfg, params)
+
+    n_ok = n_tot = 0
+    tasks = tasks[:max_tasks] if max_tasks else tasks
+    for t in tasks:
+        ids_q = tok.encode(t["question"], add_special=True)
+        scores = [runner.score(ids_q, tok.encode(" " + c, add_special=False))
+                  for c in t["choices"]]
+        pred = int(np.argmax(scores))
+        n_ok += int(pred == int(t["answer"]))
+        n_tot += 1
+        if progress and n_tot % 50 == 0:
+            print(f"[{n_tot}] acc {n_ok / n_tot:.4f}", file=sys.stderr)
+    return {"acc": n_ok / max(n_tot, 1), "tasks": n_tot}
+
+
+class _ChoiceScorer:
+    """Shared continuation scorer for the multiple-choice benchmarks: mean
+    token log-prob of `cont` given `ctx`, bucketed jits per length."""
+
+    def __init__(self, cfg, params):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.llama import KVCache, forward
+
+        self.cfg, self.params = cfg, params
+        self._fns = {}
+
+        def build(Tb):
+            @jax.jit
+            def _f(params, toks, start, end):
+                cache = KVCache.create(cfg, 1, toks.shape[1])
+                positions = jnp.arange(toks.shape[1], dtype=jnp.int32)[None]
+                logits, _ = forward(params, cfg, toks, positions, cache, 0,
+                                    jnp.zeros((1,), jnp.int32))
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)[0]
+                tgt = toks[0, 1:]
+                tlp = jnp.take_along_axis(lp[:-1], tgt[:, None], -1)[:, 0]
+                pos = jnp.arange(tlp.shape[0])
+                mask = (pos >= start - 1) & (pos < end - 1)
+                return (tlp * mask).sum(), mask.sum()
+            return _f
+
+        self._build = build
+
+    def score(self, ids_ctx, ids_cont) -> float:
+        import jax.numpy as jnp
+
+        T = len(ids_ctx) + len(ids_cont)
+        Tb = 32
+        while Tb < T:
+            Tb *= 2
+        fn = self._fns.get(Tb)
+        if fn is None:
+            fn = self._fns[Tb] = self._build(Tb)
+        toks = np.zeros((1, Tb), np.int32)
+        seq = ids_ctx + ids_cont
+        toks[0, :len(seq)] = seq
+        s, m = fn(self.params, jnp.asarray(toks), jnp.int32(len(ids_ctx)),
+                  jnp.int32(len(seq)))
+        return float(s) / max(int(m), 1)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("tpullm.tools.perplexity")
     ap.add_argument("-m", "--model", required=True)
@@ -242,12 +348,28 @@ def main(argv=None):
     ap.add_argument("--save-logits", help="write base logprobs for KL mode")
     ap.add_argument("--kl-divergence", help="base logprobs file to compare")
     ap.add_argument("--hellaswag", help="JSONL tasks file (ctx/endings/label)")
+    ap.add_argument("--winogrande",
+                    help="JSONL tasks (sentence/option1/option2/answer)")
+    ap.add_argument("--multiple-choice", dest="multiple_choice",
+                    help="JSONL tasks (question/choices/answer) e.g. MMLU")
     args = ap.parse_args(argv)
     if args.hellaswag:
         import json as _json
 
         tasks = [_json.loads(line) for line in open(args.hellaswag)]
         print(hellaswag(args.model, tasks, args.chunks))
+        return
+    if args.winogrande:
+        import json as _json
+
+        tasks = [_json.loads(line) for line in open(args.winogrande)]
+        print(winogrande(args.model, tasks, args.chunks))
+        return
+    if args.multiple_choice:
+        import json as _json
+
+        tasks = [_json.loads(line) for line in open(args.multiple_choice)]
+        print(multiple_choice(args.model, tasks, args.chunks))
         return
     if args.kl_divergence:
         print(compute_kl(args.model, args.kl_divergence, args.chunks))

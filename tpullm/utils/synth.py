@@ -42,7 +42,7 @@ def random_payload(qtype: GGMLType, rows: int, n: int, rng, scale: float = 0.02)
         GGMLType.Q5_1: [0, 2], GGMLType.Q8_0: [0], GGMLType.IQ4_NL: [0],
         GGMLType.IQ4_XS: [0], GGMLType.Q4_K: [0, 2], GGMLType.Q5_K: [0, 2],
         GGMLType.Q6_K: [208], GGMLType.Q3_K: [108], GGMLType.Q2_K: [80, 82],
-        GGMLType.TQ2_0: [64],
+        GGMLType.TQ2_0: [64], GGMLType.TQ1_0: [52],
     }
     d = (scale * (0.5 + rng.random((rows, nb), np.float32))).astype(np.float16)
     u16 = d.view(np.uint16)
