@@ -196,6 +196,9 @@ class Keys:
         ADD_EOS = "tokenizer.ggml.add_eos_token"
         ADD_SPACE_PREFIX = "tokenizer.ggml.add_space_prefix"
         REMOVE_EXTRA_WS = "tokenizer.ggml.remove_extra_whitespaces"
+        PRECOMPILED_CHARSMAP = "tokenizer.ggml.precompiled_charsmap"
+        ESCAPE_WS = "tokenizer.ggml.escape_whitespaces"
+        WS_SUFFIX = "tokenizer.ggml.treat_whitespace_as_suffix"
         CHAT_TEMPLATE = "tokenizer.chat_template"
         FIM_PRE_ID = "tokenizer.ggml.fim_pre_token_id"
         FIM_SUF_ID = "tokenizer.ggml.fim_suf_token_id"

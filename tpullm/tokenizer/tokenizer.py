@@ -39,8 +39,8 @@ _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
 
 
 class Tokenizer:
-    """Facade dispatching on vocab.model; covers SPM + BPE + WPM
-    (UGM/RWKV: TODO)."""
+    """Facade dispatching on vocab.model; covers SPM + BPE + WPM + UGM
+    (RWKV trie: TODO)."""
 
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
@@ -50,6 +50,8 @@ class Tokenizer:
             self._session = _BPE(vocab)
         elif vocab.model == "bert":
             self._session = _WPM(vocab)
+        elif vocab.model == "t5":
+            self._session = _UGM(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 
@@ -365,3 +367,192 @@ class _BPE:
                 break
             parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         return parts
+
+
+class _UGM:
+    """SentencePiece unigram Viterbi (llm_tokenizer_ugm, llama-vocab.cpp:847).
+
+    Normalization: user-defined tokens pass through verbatim; the
+    precompiled charsmap's XOR-compressed double array maps input prefixes
+    to replacement strings; spaces escape to U+2581 with the prepend/merge
+    rules. Tokenization: optimized Viterbi over UTF-8 code points with
+    unknown-token penalty = min_score - 10 and consecutive-unknown merging
+    — reproducing the reference byte-for-byte (double-precision sums)."""
+
+    def __init__(self, vocab: Vocab):
+        self.v = vocab
+        self.tok: dict[bytes, tuple[int, float]] = {}
+        self.max_len = 1
+        min_score = float("inf")
+        user_defined: list[bytes] = []
+        for i, t in enumerate(vocab.tokens):
+            a = vocab.attrs[i]
+            if a & (TokenAttr.NORMAL | TokenAttr.USER_DEFINED | TokenAttr.UNUSED):
+                b = t.encode("utf-8")
+                score = 0.0 if (a & TokenAttr.USER_DEFINED) else float(
+                    vocab.scores[i] if vocab.scores is not None and
+                    i < len(vocab.scores) else 0.0)
+                self.tok[b] = (i, score)
+                self.max_len = max(self.max_len, len(b))
+            if a & TokenAttr.NORMAL and vocab.scores is not None:
+                min_score = min(min_score, float(vocab.scores[i]))
+            if a & TokenAttr.USER_DEFINED:
+                user_defined.append(t.encode("utf-8"))
+        self.unknown_score = (min_score if min_score != float("inf")
+                              else 0.0) - 10.0
+        self.user_defined = sorted(user_defined, key=len, reverse=True)
+        # precompiled charsmap: u32 xcda blob size | xcda u32[] | repls \0-sep
+        self.xcda = None
+        self.repls = b""
+        pc = vocab.precompiled_charsmap
+        if pc:
+            import numpy as np
+
+            n = int.from_bytes(pc[:4], "little")
+            self.xcda = np.frombuffer(pc[4:4 + n], np.uint32)
+            self.repls = pc[4 + n:]
+
+    # --- XCDA view (xcda_array_view, llama-vocab.cpp:1080) ---------------
+
+    def _node(self, i):
+        if i >= len(self.xcda):
+            raise IndexError
+        return int(self.xcda[i])
+
+    def _base(self, i):
+        p = self._node(i)
+        return (p >> 10) << ((p & (1 << 9)) >> 6)
+
+    def _lcheck(self, i):
+        p = self._node(i)
+        return p & ((1 << 31) | 0xFF)
+
+    def _leaf(self, i):
+        return bool((self._node(i) >> 8) & 1)
+
+    def _value(self, i):
+        return self._node(i) & ((1 << 31) - 1)
+
+    def _utf8_len(self, b0: int) -> int:
+        if b0 < 0x80:
+            return 1
+        if b0 >> 5 == 0b110:
+            return 2
+        if b0 >> 4 == 0b1110:
+            return 3
+        if b0 >> 3 == 0b11110:
+            return 4
+        return 1
+
+    def _normalize_prefix(self, data: bytes, off: int):
+        """-> (replacement bytes, consumed input bytes)."""
+        for ud in self.user_defined:
+            if data.startswith(ud, off):
+                return data[off:off + len(ud)], len(ud)
+        if self.xcda is not None and len(self.xcda):
+            longest_len = 0
+            longest_off = 0
+            try:
+                node = self._base(0)
+                for p in range(off, len(data)):
+                    c = data[p]
+                    if c == 0:
+                        break
+                    node ^= c
+                    if self._lcheck(node) != c:
+                        break
+                    is_leaf = self._leaf(node)
+                    node ^= self._base(node)
+                    if is_leaf:
+                        longest_len = p - off + 1
+                        longest_off = self._value(node)
+            except IndexError:
+                pass
+            if longest_len:
+                end = self.repls.index(b"\0", longest_off)
+                return self.repls[longest_off:end], longest_len
+        n = min(self._utf8_len(data[off]), len(data) - off)
+        chunk = data[off:off + n]
+        try:
+            chunk.decode("utf-8")
+            return chunk, n
+        except UnicodeDecodeError:
+            return b"\xef\xbf\xbd", 1
+    def _normalize(self, text: str) -> bytes:
+        v = self.v
+        data = text.encode("utf-8")
+        space = "▁".encode("utf-8") if v.escape_whitespaces else b" "
+        prepend = v.add_space_prefix and not v.treat_whitespace_as_suffix
+        append = v.add_space_prefix and v.treat_whitespace_as_suffix
+        merge = v.remove_extra_whitespaces
+        out = bytearray()
+        space_prepended = False
+        non_ws = False
+        off = 0
+        while off < len(data):
+            repl, consumed = self._normalize_prefix(data, off)
+            for c in repl:
+                if c != 0x20:
+                    if not non_ws:
+                        non_ws = True
+                        if (prepend and not space_prepended) or merge:
+                            out += space
+                            space_prepended = True
+                    out.append(c)
+                else:
+                    if non_ws:
+                        non_ws = False
+                    if not merge:
+                        out += space
+            off += consumed
+        if append:
+            out += space
+        return bytes(out)
+
+    def tokenize(self, text: str, out_list: list) -> None:
+        v = self.v
+        data = self._normalize(text)
+        n = len(data)
+        if n == 0:
+            return
+        unk = v.unk_id if v.unk_id is not None else 0
+        NEG = float("-inf")
+        # (token_id, input_offset, score_sum) per end position
+        best = [(unk, 0, NEG)] * (n + 1)
+        best[0] = (unk, 0, 0.0)
+        off = 0
+        while off < n:
+            ncp = min(self._utf8_len(data[off]), n - off)
+            cur = best[off]
+            single_cp = False
+            lim = min(off + self.max_len, n)
+            for end in range(off + 1, lim + 1):
+                hit = self.tok.get(data[off:end])
+                if hit is None:
+                    continue
+                if end - off == ncp:
+                    single_cp = True
+                tid, score = hit
+                cand = cur[2] + score
+                if cand > best[end][2]:
+                    best[end] = (tid, off, cand)
+            if not single_cp:
+                cand = cur[2] + self.unknown_score
+                end = off + ncp
+                if cand > best[end][2]:
+                    best[end] = (unk, off, cand)
+            off += ncp
+        out: list[int] = []
+        pos = n
+        prev_unk = False
+        while True:
+            tid, src, _ = best[pos]
+            is_unk = tid == unk
+            if not (prev_unk and is_unk):
+                out.append(tid)
+            if src == 0:
+                break
+            prev_unk = is_unk
+            pos = src
+        out.reverse()
+        out_list.extend(out)

@@ -61,6 +61,9 @@ class Vocab:
     cls_id: int | None = None
     mask_id: int | None = None
     remove_extra_whitespaces: bool = False
+    escape_whitespaces: bool = True
+    treat_whitespace_as_suffix: bool = False
+    precompiled_charsmap: bytes = b""  # UGM normalization (XCDA + repls)
     # caches
     token_to_id: dict[str, int] = field(default_factory=dict, repr=False)
     special_tokens: list[int] = field(default_factory=list, repr=False)
@@ -107,6 +110,14 @@ class Vocab:
         default_prefix = v.model == "llama"  # SPM defaults true, BPE false
         v.add_space_prefix = bool(g.get(K.ADD_SPACE_PREFIX, default_prefix))
         v.remove_extra_whitespaces = bool(g.get(K.REMOVE_EXTRA_WS, False))
+        v.escape_whitespaces = bool(g.get(K.ESCAPE_WS, True))
+        v.treat_whitespace_as_suffix = bool(g.get(K.WS_SUFFIX, False))
+        pc = g.get(K.PRECOMPILED_CHARSMAP)
+        if pc is not None:
+            import numpy as _np
+
+            v.precompiled_charsmap = (bytes(pc) if isinstance(pc, (bytes, bytearray))
+                                      else _np.asarray(pc, _np.uint8).tobytes())
         v._build_caches()
         return v
 
