@@ -75,6 +75,11 @@ class GGUFWriter:
     def add_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None) -> None:
         if vtype is None:
             vtype = _infer_vtype(value)
+        # last-wins: the reference loader rejects duplicate keys outright
+        for i, (k, _, _) in enumerate(self.kv):
+            if k == key:
+                self.kv[i] = (key, vtype, value)
+                return
         self.kv.append((key, vtype, value))
 
     def add_string(self, key: str, value: str) -> None:

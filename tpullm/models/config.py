@@ -82,6 +82,8 @@ class ModelConfig:
     # hybrid attention+recurrent (Jamba family): per-layer kv head counts,
     # 0 = recurrent layer (src/models/jamba.cpp:12)
     kv_head_pattern: tuple = ()
+    # T5 family: relative position buckets (no rope)
+    n_rel_attn_bkts: int = 0
     # RWKV family
     wkv_head_size: int = 0  # >0 selects the RWKV graph (rwkv7.cpp)
     # recurrent (Mamba/SSM) models
@@ -170,6 +172,8 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     cfg.kv_head_pattern = kv_pattern
     cfg.wkv_head_size = int(_k(g, "{arch}.wkv.head_size", 0) or 0)
+    cfg.n_rel_attn_bkts = int(
+        _k(g, "{arch}.attention.relative_buckets_count", 0) or 0)
     # recurrent (SSM) hparams (llama-model.cpp mamba load_arch_hparams)
     cfg.ssm_d_conv = int(_k(g, "{arch}.ssm.conv_kernel", 0))
     cfg.ssm_d_inner = int(_k(g, "{arch}.ssm.inner_size", 0))

@@ -55,6 +55,9 @@ ARCH_REGISTRY: dict[str, dict] = {
     # RWKV7 recurrent family — src/models/rwkv7.cpp (layernorm everywhere)
     "rwkv7": dict(norm_type="layernorm"),
     "arwkv7": dict(norm_type="layernorm"),
+    # encoder-decoder family — src/models/t5.cpp (rel-pos buckets, no rope)
+    "t5": dict(),
+    "t5encoder": dict(causal=False),
     # encoder (bidirectional) family — src/models/bert.cpp
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),

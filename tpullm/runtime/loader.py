@@ -199,6 +199,10 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
     if override_kv:
         g.metadata.update(override_kv)
     cfg = config_from_gguf(g)
+    if cfg.arch in ("t5", "t5encoder"):
+        from ..models.t5 import load_t5
+
+        return cfg, load_t5(g, cfg, device_put=device_put), g
     if not cfg.causal:
         fuse = False  # encoder graph reads unfused q/k/v (+ biases)
     params: dict[str, Any] = {}

@@ -151,7 +151,7 @@ class Tokenizer:
                 buf.append(v.tokens[i].replace("▁", " "))
             s = "".join(buf)
             return s[1:] if s.startswith(" ") else s
-        if isinstance(self._session, _SPM):
+        if isinstance(self._session, (_SPM, _UGM)):  # SPM-style pieces
             buf = bytearray()
             for i in ids:
                 a = v.attrs[i]

@@ -854,3 +854,93 @@ def build_rwkv7_gguf(
         addq(p + "channel_mix_value.weight", rand(C, n_ff))
     w.write()
     return path
+
+
+def build_t5_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_ff: int = 96,
+    n_buckets: int = 32,
+    gated: bool = True,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic T5 encoder-decoder checkpoint (enc.blk.*/dec.blk.* tensor
+    names per src/models/t5.cpp; rel-pos bias table on layer 0 only, as real
+    converts emit)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    arch = "t5"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-t5")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.decoder_block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.attention.relative_buckets_count", n_buckets)
+    w.add_uint32(f"{arch}.decoder_start_token_id", 1)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        # UGM (t5) vocab: scores + the SPM-toy pieces reused
+        add_spm_toy_vocab(w, vocab_size)
+        # overwrite model name for the UGM tokenizer
+        w.add_string("tokenizer.ggml.model", "t5")
+        w.add_array("tokenizer.ggml.scores",
+                    -np.abs(rng.normal(2, 1, vocab_size)).astype(np.float32))
+        w.add_bool("tokenizer.ggml.add_bos_token", False)
+        w.add_bool("tokenizer.ggml.add_eos_token", True)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    w.add_tensor("enc.output_norm.weight",
+                 np.ones(n_embd, np.float32) + rand(n_embd))
+    w.add_tensor("dec.output_norm.weight",
+                 np.ones(n_embd, np.float32) + rand(n_embd))
+    for prefix in ("enc", "dec"):
+        for i in range(n_layer):
+            p = f"{prefix}.blk.{i}."
+            w.add_tensor(p + "attn_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            w.add_tensor(p + "ffn_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_o.weight", rand(n_embd, n_head * head_dim))
+            if i == 0:
+                w.add_tensor(p + "attn_rel_b.weight",
+                             rand(n_buckets, n_head))
+            if prefix == "dec":
+                w.add_tensor(p + "cross_attn_norm.weight",
+                             np.ones(n_embd, np.float32) + rand(n_embd))
+                addq(p + "cross_attn_q.weight", rand(n_head * head_dim, n_embd))
+                addq(p + "cross_attn_k.weight", rand(n_head * head_dim, n_embd))
+                addq(p + "cross_attn_v.weight", rand(n_head * head_dim, n_embd))
+                addq(p + "cross_attn_o.weight", rand(n_embd, n_head * head_dim))
+            if gated:
+                addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
