@@ -26,7 +26,8 @@ SNAP_DIR = os.path.join(os.path.dirname(__file__), "snapshots")
 UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 
 # families with their own builders/tests (not the shared decoder graph)
-_SKIP = {"mamba", "mamba2", "bert", "deepseek2"}
+_SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
+         "rwkv7", "arwkv7", "t5", "t5encoder"}
 
 ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 
