@@ -400,6 +400,7 @@ def forward(
     return_hidden=False,  # also return final hidden states (embeddings API)
     collect_stats=False,  # also return per-layer matmul-input sum(x^2) stats
     tp_axis=None,  # shard_map tensor-parallel axis name: psum after row-split
+    embeds=None,  # (B, T, n_embd) f32: bypass the token-embedding lookup
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
@@ -411,7 +412,14 @@ def forward(
       cache batch = n_slots).
     """
     B, T = tokens.shape
-    x = params["tok_embd"].take_rows(tokens, dtype)  # gather-then-dequant
+    if embeds is not None:
+        # multimodal / embedding input: rows come from the vision projector
+        # (or caller); embedding_scale still applies uniformly, matching the
+        # reference (src/llama-graph.cpp:1709 build_inp_embd feeds both the
+        # token and embd paths through the same downstream scaling)
+        x = jnp.asarray(embeds).astype(dtype)
+    else:
+        x = params["tok_embd"].take_rows(tokens, dtype)  # gather-then-dequant
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
     cos, sin = rope_cache(cfg, positions)

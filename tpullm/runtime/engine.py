@@ -68,6 +68,17 @@ class InferenceEngine:
             return logits[:, -1, :], cache
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
+
+        def _prefill_embeds(params, tokens, embeds, positions, cache, valid_from):
+            logits, cache = fwd(
+                params, tokens=tokens, positions=positions, cache=cache,
+                cache_pos=0, valid_from=valid_from, embeds=embeds,
+            )
+            return logits[:, -1, :], cache
+
+        # multimodal path: prompt rows arrive as embeddings (vision projector
+        # output spliced between text rows, multimodal/mtmd.py embed_prompt)
+        self._prefill_embeds = jax.jit(_prefill_embeds, donate_argnums=(4,))
         self._decode_fns: dict = {}
         self._sample_fns: dict = {}
 
@@ -132,6 +143,7 @@ class InferenceEngine:
         seed: int = 0,
         eos_id: int | None = None,
         return_logits: bool = False,
+        embeds: list | None = None,  # per-prompt (T_i, n_embd) f32 or None
     ) -> GenerationResult:
         sampler = sampler or GREEDY
         tokens, positions, valid_from, T, lens = self.prepare_batch(prompts)
@@ -141,7 +153,20 @@ class InferenceEngine:
                 f"prompt bucket {T} + {max_new_tokens} new > max_seq_len {self.max_seq_len}"
             )
         cache = self.new_cache(B)
-        logits, cache = self._prefill(self.params, tokens, positions, cache, valid_from)
+        if embeds is not None:
+            emb = np.zeros((B, T, self.cfg.n_embd), np.float32)
+            for i, e in enumerate(embeds):
+                if e is None:  # text-only row: gather its rows host-side
+                    e = np.asarray(self.params["tok_embd"].take_rows(
+                        jnp.asarray(np.asarray(prompts[i], np.int32)),
+                        jnp.float32), np.float32)
+                assert e.shape[0] == len(prompts[i]), "embeds/prompt mismatch"
+                emb[i, T - len(prompts[i]):] = e
+            logits, cache = self._prefill_embeds(
+                self.params, tokens, jnp.asarray(emb), positions, cache,
+                valid_from)
+        else:
+            logits, cache = self._prefill(self.params, tokens, positions, cache, valid_from)
         first_logits = np.asarray(logits) if return_logits else None
 
         key = jax.random.PRNGKey(seed)

@@ -944,3 +944,100 @@ def build_t5_gguf(
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
+
+
+def build_mmproj_gguf(
+    path: str,
+    proj: str = "mlp",
+    n_embd: int = 32,
+    n_ff: int = 48,
+    n_layer: int = 2,
+    n_head: int = 4,
+    image_size: int = 24,
+    patch_size: int = 8,
+    lm_embd: int = 64,
+    n_merge: int = 1,
+    class_embd: bool | None = None,
+    seed: int = 7,
+) -> str:
+    """Fabricate a vision mmproj GGUF (tools/mtmd/clip-impl.h schema)."""
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return rng.normal(0, 0.05, shape).astype(np.float32)
+
+    if class_embd is None:
+        class_embd = proj in ("mlp", "mlp_norm")  # CLIP-style towers
+    w = GGUFWriter(path, arch="clip")
+    w.add_kv("clip.projector_type", proj)
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_uint32("clip.vision.embedding_length", n_embd)
+    w.add_uint32("clip.vision.feed_forward_length", n_ff)
+    w.add_uint32("clip.vision.block_count", n_layer)
+    w.add_uint32("clip.vision.attention.head_count", n_head)
+    w.add_uint32("clip.vision.image_size", image_size)
+    w.add_uint32("clip.vision.patch_size", patch_size)
+    w.add_uint32("clip.vision.projection_dim", lm_embd)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.use_gelu", proj in ("mlp", "mlp_norm"))
+    if n_merge > 1:
+        w.add_uint32("clip.vision.projector.scale_factor", n_merge)
+    w.add_array("clip.vision.image_mean", np.float32([0.5, 0.5, 0.5]))
+    w.add_array("clip.vision.image_std", np.float32([0.5, 0.5, 0.5]))
+
+    side = image_size // patch_size
+    n_pos = side * side + (1 if class_embd else 0)
+    w.add_tensor("v.patch_embd.weight", rand(n_embd, 3, patch_size, patch_size))
+    w.add_tensor("v.patch_embd.bias", rand(n_embd))
+    if class_embd:
+        w.add_tensor("v.class_embd", rand(n_embd))
+    w.add_tensor("v.position_embd.weight", rand(n_pos, n_embd))
+    w.add_tensor("v.pre_ln.weight", 1 + rand(n_embd))
+    w.add_tensor("v.pre_ln.bias", rand(n_embd))
+    w.add_tensor("v.post_ln.weight", 1 + rand(n_embd))
+    w.add_tensor("v.post_ln.bias", rand(n_embd))
+    for i in range(n_layer):
+        p = f"v.blk.{i}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", rand(n_embd, n_embd))
+            w.add_tensor(p + nm + ".bias", rand(n_embd))
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", 1 + rand(n_embd))
+            w.add_tensor(p + nm + ".bias", rand(n_embd))
+        w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+        w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+        w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+        w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+
+    if proj == "mlp":
+        w.add_tensor("mm.0.weight", rand(lm_embd, n_embd))
+        w.add_tensor("mm.0.bias", rand(lm_embd))
+        w.add_tensor("mm.2.weight", rand(lm_embd, lm_embd))
+        w.add_tensor("mm.2.bias", rand(lm_embd))
+    elif proj == "mlp_norm":
+        w.add_tensor("mm.0.weight", rand(lm_embd, n_embd))
+        w.add_tensor("mm.0.bias", rand(lm_embd))
+        w.add_tensor("mm.1.weight", 1 + rand(lm_embd))
+        w.add_tensor("mm.1.bias", rand(lm_embd))
+        w.add_tensor("mm.3.weight", rand(lm_embd, lm_embd))
+        w.add_tensor("mm.3.bias", rand(lm_embd))
+        w.add_tensor("mm.4.weight", 1 + rand(lm_embd))
+        w.add_tensor("mm.4.bias", rand(lm_embd))
+    elif proj == "gemma3":
+        w.add_tensor("mm.soft_emb_norm.weight", 1 + rand(n_embd))
+        w.add_tensor("mm.input_projection.weight", rand(n_embd, lm_embd))
+    elif proj == "idefics3":
+        w.add_tensor("mm.model.fc.weight",
+                     rand(lm_embd, n_embd * n_merge * n_merge))
+    elif proj == "internvl":
+        m = n_embd * n_merge * n_merge
+        w.add_tensor("mm.0.weight", 1 + rand(m))
+        w.add_tensor("mm.0.bias", rand(m))
+        w.add_tensor("mm.1.weight", rand(lm_embd, m))
+        w.add_tensor("mm.1.bias", rand(lm_embd))
+        w.add_tensor("mm.3.weight", rand(lm_embd, lm_embd))
+        w.add_tensor("mm.3.bias", rand(lm_embd))
+    else:
+        raise ValueError(proj)
+    w.write()
+    return path
