@@ -151,7 +151,7 @@ def test_image_generate_end_to_end(lm, mmproj_mlp):
             add_bos = False
             bos_id = None
 
-        def encode(self, text, add_special=True):
+        def encode(self, text, add_special=True, parse_special=False):
             return [ord(c) % 90 for c in text]
 
     cfg, params, _ = lm
@@ -175,6 +175,68 @@ def test_image_generate_end_to_end(lm, mmproj_mlp):
     r3 = eng.generate([ids], max_new_tokens=6)
     assert np.asarray(r1.logits if r1.logits is not None else 0) is not None
     assert embeds[4].std() > 0
+
+
+def test_server_vision_chat(tmp_path_factory=None, tmp_path=None):
+    """HTTP chat completion with a data-URI image (tools/server vision)."""
+    import base64
+    import io
+    import json
+    import socket
+    import urllib.request
+
+    import tempfile
+
+    from PIL import Image
+    from tpullm.gguf.constants import GGMLType
+    from tpullm.runtime.loader import load_model
+    from tpullm.server.context import ServerContext
+    from tpullm.server.http import serve
+    from tpullm.tokenizer import Tokenizer
+    from tpullm.utils.synth import build_llama_gguf
+
+    d = tempfile.mkdtemp()
+    lm_path = build_llama_gguf(f"{d}/lm.gguf", vocab_size=512, n_embd=128,
+                               n_layer=2, n_head=4, n_head_kv=2, n_ff=256,
+                               qtype=GGMLType.Q4_0, with_vocab=True)
+    mm_path = build_mmproj_gguf(f"{d}/mm.gguf", proj="mlp", lm_embd=128)
+    cfg, params, g = load_model(lm_path)
+    tok = Tokenizer.from_gguf(g)
+    ctx = ServerContext(cfg, params, tok, n_slots=1, max_seq_len=256,
+                        decode_chunk=4, prefill_chunk=64,
+                        mmproj_path=mm_path)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    srv = serve(ctx, "127.0.0.1", port, block=False)
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.random.default_rng(1).integers(
+            0, 255, (20, 30, 3), np.uint8)).save(buf, format="PNG")
+        uri = "data:image/png;base64," + base64.b64encode(
+            buf.getvalue()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            json.dumps({
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "what is "},
+                    {"type": "image_url", "image_url": {"url": uri}},
+                ]}],
+                "max_tokens": 4, "temperature": 0,
+            }).encode(), {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"] is not None
+        assert out["usage"]["prompt_tokens"] > ctx.mtmd.n_tokens_per_image
+        # determinism across identical requests (no prefix-cache confusion)
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out2 = json.loads(r.read())
+        assert out2["choices"][0]["message"]["content"] == \
+            out["choices"][0]["message"]["content"]
+    finally:
+        srv.shutdown()
+        ctx.stop()
 
 
 def test_marker_count_mismatch(mmproj_mlp):

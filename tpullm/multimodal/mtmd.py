@@ -41,7 +41,8 @@ class MtmdContext:
         return self.cfg.n_output_tokens
 
     def tokenize(self, tokenizer, text: str, n_images: int,
-                 add_special: bool = True) -> list[Chunk]:
+                 add_special: bool = True,
+                 parse_special: bool = False) -> list[Chunk]:
         """Split on markers; text parts tokenize normally (mtmd.cpp:972)."""
         parts = text.split(self.marker)
         if len(parts) - 1 != n_images:
@@ -51,7 +52,8 @@ class MtmdContext:
         chunks: list[Chunk] = []
         for i, part in enumerate(parts):
             if part:
-                ids = tokenizer.encode(part, add_special=add_special and i == 0)
+                ids = tokenizer.encode(part, add_special=add_special and i == 0,
+                                       parse_special=parse_special)
                 if ids:
                     chunks.append(Chunk("text", tokens=list(ids)))
             elif i == 0 and add_special and tokenizer.vocab.add_bos:

@@ -31,6 +31,8 @@ def build_args():
                 "(endpoints disabled when unset)")
     ap.add("--log-level", default=None,
            help="debug|info|warn|error|none (TPULLM_LOG_LEVEL)")
+    ap.add("--mmproj", default=None,
+           help="vision mmproj GGUF; enables image content parts")
     return ap
 
 
@@ -73,6 +75,7 @@ def main(argv=None):
         model_name=args.alias or args.model.rsplit("/", 1)[-1],
         kv_dtype=kv_dtype,
         slot_save_path=args.slot_save_path,
+        mmproj_path=args.mmproj,
     )
     log.info("serving %s on http://%s:%s (%d slots, ctx %d)",
              cfg.arch, args.host, args.port, args.parallel, args.ctx_size)

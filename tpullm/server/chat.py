@@ -126,5 +126,18 @@ def apply_chat_template(ctx, messages: list[dict], tools=None) -> str:
 def _content_str(m: dict) -> str:
     c = m.get("content", "")
     if isinstance(c, list):  # OpenAI content-parts form
-        return "".join(p.get("text", "") for p in c if isinstance(p, dict))
+        out = []
+        for p in c:
+            if not isinstance(p, dict):
+                continue
+            if p.get("type") in ("image_url", "input_image") or "image_url" in p:
+                # media parts render as the mtmd marker; the vision encoder
+                # replaces these positions with projector embeddings
+                # (reference: tools/server prompt handling + mtmd.h:208)
+                from ..multimodal import DEFAULT_MARKER
+
+                out.append(DEFAULT_MARKER)
+            else:
+                out.append(p.get("text", ""))
+        return "".join(out)
     return str(c)

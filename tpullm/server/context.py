@@ -92,8 +92,11 @@ class GenParams:
 
 @dataclass
 class Task:
-    tokens: list  # prompt token ids
+    tokens: list  # prompt token ids (0 placeholders at media positions)
     params: GenParams
+    # multimodal: full-prompt embedding matrix (len(tokens), n_embd) f32;
+    # when set, prefill feeds embeddings instead of token lookups
+    embeds: "object | None" = None
     id: str = field(default_factory=lambda: f"task-{uuid.uuid4().hex[:12]}")
     out: queue.Queue = field(default_factory=queue.Queue)
     cancelled: threading.Event = field(default_factory=threading.Event)
@@ -145,6 +148,7 @@ class ServerContext:
         kv_dtype=None,
         model_name: str = "tpullm",
         slot_save_path: str | None = None,
+        mmproj_path: str | None = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -158,6 +162,11 @@ class ServerContext:
         # base dir for /slots/{id}?action=save|restore; None disables the
         # endpoints (reference: --slot-save-path, tools/server)
         self.slot_save_path = slot_save_path
+        self.mtmd = None
+        if mmproj_path:  # vision tower (reference: --mmproj, tools/server)
+            from ..multimodal import MtmdContext
+
+            self.mtmd = MtmdContext(mmproj_path)
         from ..models.mamba import is_recurrent
 
         self.recurrent = is_recurrent(cfg)
@@ -200,6 +209,18 @@ class ServerContext:
             return logits[:, 0, :], cache
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
+
+        def _prefill_e(params, tokens, embeds, positions, cache, slot0, pos0,
+                       last_idx):
+            logits, cache = fwd(
+                params, tokens=tokens, positions=positions, cache=cache,
+                cache_pos=pos0, valid_from=jnp.zeros((1,), jnp.int32),
+                slot0=slot0, logits_idx=last_idx, embeds=embeds,
+            )
+            return logits[:, 0, :], cache
+
+        # multimodal prompts: rows arrive pre-embedded (vision projector)
+        self._prefill_e = jax.jit(_prefill_e, donate_argnums=(4,))
 
         def _decode(params, logits0, pos0, active, cache, sparams, bias, pen,
                     mu, key, forced, use_forced, n_steps):
@@ -364,7 +385,9 @@ class ServerContext:
             r.sent_text = ""
             r.n_prompt = len(toks)
             r.started_at = time.time()
-            reuse = self.memory.prefix_match(i, toks)
+            # embed tasks: placeholder ids are not content-addressable (two
+            # images share id 0), so prefix reuse is disabled for them
+            reuse = 0 if task.embeds is not None else self.memory.prefix_match(i, toks)
             r.reused = reuse
             self.memory.truncate(i, reuse)
             r.pending = toks[reuse:]
@@ -415,10 +438,20 @@ class ServerContext:
         toks[0, :Tc] = chunk
         pos = st.n_past + np.arange(Tb, dtype=np.int32)[None]
         t0 = time.time()
-        logits, self.memory.cache = self._prefill(
-            self.params, jnp.asarray(toks), jnp.asarray(pos), self.memory.cache,
-            jnp.int32(i), jnp.int32(st.n_past), jnp.int32(Tc - 1),
-        )
+        if r.task is not None and r.task.embeds is not None:
+            off = r.n_prompt - len(r.pending)
+            emb = np.zeros((1, Tb, self.cfg.n_embd), np.float32)
+            emb[0, :Tc] = np.asarray(r.task.embeds)[off: off + Tc]
+            logits, self.memory.cache = self._prefill_e(
+                self.params, jnp.asarray(toks), jnp.asarray(emb),
+                jnp.asarray(pos), self.memory.cache,
+                jnp.int32(i), jnp.int32(st.n_past), jnp.int32(Tc - 1),
+            )
+        else:
+            logits, self.memory.cache = self._prefill(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), self.memory.cache,
+                jnp.int32(i), jnp.int32(st.n_past), jnp.int32(Tc - 1),
+            )
         self.metrics["prefill_seconds_total"] += time.time() - t0
         self.metrics["prompt_tokens_total"] += Tc
         st.tokens.extend(chunk)

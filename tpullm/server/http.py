@@ -489,7 +489,28 @@ class Handler(BaseHTTPRequestHandler):
                 prompt_text = apply_chat_template(ctx, msgs, tools=tools)
             else:
                 prompt_text = apply_chat_template(ctx, msgs)
-            tokens = ctx.tok.encode(prompt_text, add_special=True, parse_special=True)
+            import binascii
+
+            try:
+                images = _extract_images(msgs)
+            except (ValueError, binascii.Error) as e:  # remote URL / bad base64
+                return self._error(400, f"bad image: {e}")
+            if images:
+                if ctx.mtmd is None:
+                    return self._error(
+                        400, "request has images but no --mmproj is loaded")
+                try:
+                    chunks = ctx.mtmd.tokenize(
+                        ctx.tok, prompt_text, len(images),
+                        add_special=True, parse_special=True)
+                    task_embeds, tokens = ctx.mtmd.embed_prompt(
+                        ctx.params, chunks, images)
+                except ValueError as e:
+                    return self._error(400, str(e))
+            else:
+                task_embeds = None
+                tokens = ctx.tok.encode(prompt_text, add_special=True,
+                                        parse_special=True)
         else:
             prompt = body.get("prompt", "")
             if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
@@ -497,8 +518,9 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 tokens = ctx.tok.encode(str(prompt), add_special=True,
                                         parse_special=bool(body.get("parse_special", True)))
+            task_embeds = None
 
-        task = Task(tokens=tokens, params=params)
+        task = Task(tokens=tokens, params=params, embeds=task_embeds)
         ctx.submit(task)
         model = body.get("model") or ctx.model_name
 
@@ -567,6 +589,35 @@ class Handler(BaseHTTPRequestHandler):
                 "choices": [{"index": 0, "finish_reason": result["reason"],
                              "text": result["text"], "logprobs": lp}],
             })
+
+
+def _extract_images(msgs: list) -> list:
+    """Collect image bytes from OpenAI content parts, in marker order.
+
+    Only ``data:`` URIs (base64) and raw base64 strings are accepted —
+    the serving host has no egress; remote URLs are a client-side concern
+    (the reference downloads them in tools/server; here they 400)."""
+    import base64
+
+    out = []
+    for m in msgs:
+        c = m.get("content")
+        if not isinstance(c, list):
+            continue
+        for p in c:
+            if not isinstance(p, dict):
+                continue
+            if p.get("type") in ("image_url", "input_image") or "image_url" in p:
+                u = p.get("image_url") or p.get("image") or ""
+                if isinstance(u, dict):
+                    u = u.get("url", "")
+                if u.startswith("data:"):
+                    u = u.split(",", 1)[-1]
+                elif u.startswith(("http://", "https://")):
+                    raise ValueError("remote image URLs unsupported; "
+                                     "send a data: URI")
+                out.append(base64.b64decode(u))
+    return out
 
 
 def _anth_to_openai(body: dict, msgs: list) -> list:
