@@ -141,13 +141,17 @@ class RecurrentSlotMemory:
     and context never fills, so context_shift is a no-op."""
 
     def __init__(self, cfg: ModelConfig, n_slots: int,
-                 max_seq_len: int = 1 << 30, kv_dtype=None):
+                 max_seq_len: int = 1 << 30, kv_dtype=None,
+                 family: str = "ssm"):
+        from ..models.family import recurrent_ops
         from .memory import SlotState
 
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_seq_len = max_seq_len
-        self.cache = RecurrentState.create(cfg, n_slots)
+        self.family = family
+        state_create, _ = recurrent_ops(family)
+        self.cache = state_create(cfg, n_slots)
         self.slots = [SlotState() for _ in range(n_slots)]
 
         def _reset(state, i):
@@ -193,22 +197,24 @@ class RecurrentSlotMemory:
 
     def save_slot(self, slot: int) -> dict:
         st = self.slots[slot]
-        return {
+        leaves, _ = jax.tree_util.tree_flatten(self.cache)
+        blob = {
             "version": 1,
             "kind": "recurrent",
             "tokens": np.asarray(st.tokens, np.int32),
             "n_past": np.int64(st.n_past),
-            "conv": np.asarray(self.cache.conv[:, slot], np.float32),
-            "ssm": np.asarray(self.cache.ssm[:, slot], np.float32),
         }
+        # state leaves generically (batch is axis 1 for every recurrent
+        # family: RecurrentState (L,B,...), RwkvState (L,B,...))
+        for j, a in enumerate(leaves):
+            blob[f"leaf{j}"] = np.asarray(a[:, slot], np.float32)
+        return blob
 
     def load_slot(self, slot: int, blob: dict) -> int:
-        conv = jnp.asarray(blob["conv"], self.cache.conv.dtype)
-        ssm = jnp.asarray(blob["ssm"], self.cache.ssm.dtype)
-        self.cache = RecurrentState(
-            self.cache.conv.at[:, slot].set(conv),
-            self.cache.ssm.at[:, slot].set(ssm),
-        )
+        leaves, treedef = jax.tree_util.tree_flatten(self.cache)
+        new = [a.at[:, slot].set(jnp.asarray(blob[f"leaf{j}"], a.dtype))
+               for j, a in enumerate(leaves)]
+        self.cache = jax.tree_util.tree_unflatten(treedef, new)
         st = self.slots[slot]
         st.tokens = [int(t) for t in blob["tokens"]]
         st.n_past = int(blob["n_past"])
@@ -227,9 +233,10 @@ class RecurrentSlotMemory:
         """All slots' recurrent states + token prefixes in one blob
         (whole-context llama_state_get_data analogue for the recurrent
         memory, src/llama-memory-recurrent state IO)."""
-        blob = {"version": 2, "n_slots": np.int32(self.n_slots),
-                "conv": np.asarray(self.cache.conv),
-                "ssm": np.asarray(self.cache.ssm)}
+        leaves, _ = jax.tree_util.tree_flatten(self.cache)
+        blob = {"version": 2, "n_slots": np.int32(self.n_slots)}
+        for j, a in enumerate(leaves):
+            blob[f"leaf{j}"] = np.asarray(a, np.float32)
         for i, st in enumerate(self.slots):
             blob[f"slot{i}_tokens"] = np.asarray(st.tokens, np.int32)
             blob[f"slot{i}_n_past"] = np.int32(st.n_past)
@@ -238,8 +245,10 @@ class RecurrentSlotMemory:
     def load_state(self, blob: dict) -> None:
         assert int(blob["version"]) == 2, "unsupported state version"
         assert int(blob["n_slots"]) == self.n_slots, "slot count mismatch"
-        self.cache = RecurrentState(jnp.asarray(blob["conv"]),
-                                    jnp.asarray(blob["ssm"]))
+        leaves, treedef = jax.tree_util.tree_flatten(self.cache)
+        self.cache = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(blob[f"leaf{j}"], a.dtype)
+                      for j, a in enumerate(leaves)])
         for i, st in enumerate(self.slots):
             st.tokens = [int(t) for t in blob[f"slot{i}_tokens"]]
             st.n_past = int(blob[f"slot{i}_n_past"])

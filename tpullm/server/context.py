@@ -167,13 +167,15 @@ class ServerContext:
             from ..multimodal import MtmdContext
 
             self.mtmd = MtmdContext(mmproj_path)
-        from ..models.mamba import is_recurrent
+        from ..models.family import model_family
 
-        self.recurrent = is_recurrent(cfg)
+        self.family = model_family(cfg)
+        self.recurrent = self.family in ("ssm", "rwkv")
         if self.recurrent:
             from ..runtime.recurrent import RecurrentSlotMemory
 
-            self.memory = RecurrentSlotMemory(cfg, n_slots, max_seq_len)
+            self.memory = RecurrentSlotMemory(cfg, n_slots, max_seq_len,
+                                              family=self.family)
         else:
             self.memory = SlotMemory(cfg, n_slots, max_seq_len,
                                      kv_dtype or compute_dtype)
@@ -264,10 +266,13 @@ class ServerContext:
 
         if self.recurrent:
             # overwrite prefill/decode with the recurrent-state equivalents
-            # (same signatures: "cache" is the RecurrentState slot bank,
-            # positions/cache_pos are ignored — the state is positionless)
-            from ..models.mamba import forward as rec_forward
+            # (same signatures: "cache" is the recurrent slot bank,
+            # positions/cache_pos are ignored — the state is positionless).
+            # mamba and rwkv share this path: both forwards take
+            # (params, tokens, state, n_valid, logits_idx)
+            from ..models.family import recurrent_ops
 
+            _, rec_forward = recurrent_ops(self.family)
             rfwd = functools.partial(rec_forward, cfg=cfg, dtype=compute_dtype)
 
             def _prefill_r(params, tokens, positions, cache, slot0, pos0,
