@@ -99,3 +99,68 @@ def test_mamba_server_still_works(tmp_path):
     info = ctx.generate(prompt, GenParams(max_tokens=5, temperature=0.0))
     assert info["tokens"] == want
     ctx.stop()
+
+
+def test_jamba_server_matches_oracle(tmp_path):
+    """Hybrid (attention+recurrent) through the slot loop: chunked prefill
+    with per-slot state slicing + per-row cache positions in decode must
+    reproduce the model's own stepwise greedy exactly."""
+    from tpullm.models.hybrid import HybridState, forward
+    from tpullm.utils.synth import build_jamba_gguf
+
+    path = str(tmp_path / "j.gguf")
+    build_jamba_gguf(path, vocab_size=96, n_embd=32, n_layer=4,
+                     n_head=4, n_head_kv=2, n_ff=64)
+    cfg, params, _ = load_model(path)
+    assert model_family(cfg) == "hybrid"
+
+    prompt = [3, 9, 4, 17, 6, 2, 11, 5, 1]
+    n_new = 6
+
+    # oracle: full prefill + stepwise decode with the raw forward
+    st = HybridState.create(cfg, 1, 64, jnp.float32)
+    zeros = jnp.zeros((1,), jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    lg, st = forward(params, cfg, jnp.asarray([prompt], jnp.int32), pos, st,
+                     0, zeros, dtype=jnp.float32)
+    want = [int(np.asarray(lg[0, -1]).argmax())]
+    for k in range(n_new - 1):
+        p = len(prompt) + k
+        lg, st = forward(params, cfg,
+                         jnp.asarray([[want[-1]]], jnp.int32),
+                         jnp.asarray([[p]], jnp.int32), st, p, zeros,
+                         dtype=jnp.float32)
+        want.append(int(np.asarray(lg[0, -1]).argmax()))
+
+    ctx = ServerContext(cfg, params, None, n_slots=2, max_seq_len=64,
+                        decode_chunk=3, prefill_chunk=4,
+                        compute_dtype=jnp.float32)
+    assert ctx.family == "hybrid"
+    ctx.start()
+    info = ctx.generate(prompt, GenParams(max_tokens=n_new, temperature=0.0))
+    assert info["tokens"] == want, (info["tokens"], want)
+    # reuse: exact continuation skips the shared-prefix prefill
+    info2 = ctx.generate(prompt + want + [7],
+                         GenParams(max_tokens=2, temperature=0.0))
+    assert info2["stats"]["cached_tokens"] == len(prompt) + len(want)
+    ctx.stop()
+
+
+def test_jamba_context_full_finishes(tmp_path):
+    """Hybrid memory cannot context-shift: overflow ends the generation."""
+    from tpullm.utils.synth import build_jamba_gguf
+
+    path = str(tmp_path / "j2.gguf")
+    build_jamba_gguf(path, vocab_size=96, n_embd=32, n_layer=4,
+                     n_head=4, n_head_kv=2, n_ff=64)
+    cfg, params, _ = load_model(path)
+    ctx = ServerContext(cfg, params, None, n_slots=1, max_seq_len=48,
+                        decode_chunk=4, prefill_chunk=8,
+                        compute_dtype=jnp.float32)
+    ctx.start()
+    info = ctx.generate([1, 2, 3, 4, 5, 6],
+                        GenParams(max_tokens=64, temperature=0.0))
+    # finished by context, not by max_tokens
+    assert info["stats"]["completion_tokens"] < 64
+    assert info["reason"] == "length"
+    ctx.stop()

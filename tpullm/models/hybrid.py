@@ -75,20 +75,27 @@ class HybridState:
 
 
 def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
-            cache_pos, valid_from, dtype=jnp.bfloat16, logits_idx=None):
+            cache_pos, valid_from, dtype=jnp.bfloat16, logits_idx=None,
+            n_valid=None):
     """Returns (logits (B,T',V) f32, new HybridState).
 
     Layout contract matches llama.forward's batch-engine mode (uniform
-    scalar cache_pos; left-padded rows share slot indices)."""
+    scalar cache_pos; left-padded rows share slot indices). Server mode:
+    cache_pos may be (B,) per-row write positions, and n_valid (B,) counts
+    real tokens per row — a row with n_valid=0 keeps its recurrent state
+    untouched (inactive decode slots; KV writes for such rows land beyond
+    the row's valid window and are never attended)."""
     B, T = tokens.shape
     x = params["tok_embd"].take_rows(tokens, dtype)
     S = state.max_len
-    cache_pos = jnp.asarray(cache_pos, jnp.int32)
-    q_slots = cache_pos + jnp.arange(T)[None, :]  # (1|B, T) -> broadcast
-    q_slots = jnp.broadcast_to(q_slots.reshape(-1, T)[:1], (B, T)) \
-        if q_slots.ndim == 1 else jnp.broadcast_to(q_slots, (B, T))
+    uniform = jnp.ndim(cache_pos) == 0
+    cache_pos = jnp.broadcast_to(
+        jnp.asarray(cache_pos, jnp.int32), (B,))
+    q_slots = cache_pos[:, None] + jnp.arange(T)[None, :]  # (B, T)
     kv_positions = jnp.arange(S)[None, :] - valid_from[:, None]
     pad_mask = jnp.arange(T)[None, :] < valid_from[:, None]
+    if n_valid is not None:
+        pad_mask = pad_mask | (jnp.arange(T)[None, :] >= n_valid[:, None])
 
     layers = params["layers"]
     groups = layers.get("__groups__") or [layers]
@@ -102,10 +109,15 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
         v = _mm(h, qw["wv"], dtype, li).reshape(B, T, hkv, cfg.head_dim_v)
         k_cache, v_cache = kv
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, cache_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, cache_pos, 0, 0))
+        if uniform:  # all rows share one write offset: contiguous update
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_pos[0], 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_pos[0], 0, 0))
+        else:  # per-row slot positions (server decode)
+            rows = jnp.arange(B)[:, None]
+            k_cache = k_cache.at[rows, q_slots].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, q_slots].set(v.astype(v_cache.dtype))
         att = attention(q, k_cache.astype(dtype), v_cache.astype(dtype),
                         q_slots, kv_positions, positions, valid_from, cfg)
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
@@ -132,7 +144,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             def step(x, inp, gl=gl):
                 li, ct, ss = inp
                 out, tail, ssm = mamba_layer(
-                    x, li, gl, cfg, ct, ss, dtype, pad_mask, None)
+                    x, li, gl, cfg, ct, ss, dtype, pad_mask, n_valid)
                 return x + out, (tail, ssm)
 
             x, (tails, ssms) = jax.lax.scan(

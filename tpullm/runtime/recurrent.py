@@ -207,7 +207,8 @@ class RecurrentSlotMemory:
         # state leaves generically (batch is axis 1 for every recurrent
         # family: RecurrentState (L,B,...), RwkvState (L,B,...))
         for j, a in enumerate(leaves):
-            blob[f"leaf{j}"] = np.asarray(a[:, slot], np.float32)
+            # via jnp: np.asarray lacks a direct bf16->f32 cast path
+            blob[f"leaf{j}"] = np.asarray(jnp.asarray(a[:, slot], jnp.float32))
         return blob
 
     def load_slot(self, slot: int, blob: dict) -> int:
@@ -236,7 +237,7 @@ class RecurrentSlotMemory:
         leaves, _ = jax.tree_util.tree_flatten(self.cache)
         blob = {"version": 2, "n_slots": np.int32(self.n_slots)}
         for j, a in enumerate(leaves):
-            blob[f"leaf{j}"] = np.asarray(a, np.float32)
+            blob[f"leaf{j}"] = np.asarray(jnp.asarray(a, jnp.float32))
         for i, st in enumerate(self.slots):
             blob[f"slot{i}_tokens"] = np.asarray(st.tokens, np.int32)
             blob[f"slot{i}_n_past"] = np.int32(st.n_past)
@@ -259,3 +260,41 @@ class RecurrentSlotMemory:
     def load_state_file(self, path: str) -> None:
         z = np.load(path)
         self.load_state({k: z[k] for k in z.files})
+
+
+class HybridSlotMemory(RecurrentSlotMemory):
+    """Slot memory for attention+recurrent hybrids (Jamba — the
+    llama_memory_hybrid composition, src/llama-memory-hybrid.*).
+
+    The state bank is a HybridState with batch axis 1 on every leaf, so
+    all the generic slot machinery (reset/copy/state IO as tree leaves)
+    is inherited. Prefix reuse stays all-or-nothing — the recurrent half
+    cannot rewind — and context cannot shift: when the KV half fills, the
+    generation ends (the reference refuses context-shift for hybrid
+    memory too)."""
+
+    def __init__(self, cfg, n_slots: int, max_seq_len: int, kv_dtype=None):
+        import jax.numpy as _jnp
+
+        from ..models.hybrid import HybridState
+        from .memory import SlotState
+
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_seq_len = max_seq_len
+        self.family = "hybrid"
+        self.cache = HybridState.create(cfg, n_slots, max_seq_len,
+                                        kv_dtype or _jnp.bfloat16)
+        self.slots = [SlotState() for _ in range(n_slots)]
+
+        def _reset(state, i):
+            return jax.tree_util.tree_map(
+                lambda a: a.at[:, i].set(jnp.zeros_like(a[:, i])), state)
+
+        self._reset = jax.jit(_reset, donate_argnums=(0,))
+
+        def _copy(state, src, dst):
+            return jax.tree_util.tree_map(
+                lambda a: a.at[:, dst].set(a[:, src]), state)
+
+        self._copy = jax.jit(_copy, donate_argnums=(0,))

@@ -176,6 +176,11 @@ class ServerContext:
 
             self.memory = RecurrentSlotMemory(cfg, n_slots, max_seq_len,
                                               family=self.family)
+        elif self.family == "hybrid":
+            from ..runtime.recurrent import HybridSlotMemory
+
+            self.memory = HybridSlotMemory(cfg, n_slots, max_seq_len,
+                                           kv_dtype or compute_dtype)
         else:
             self.memory = SlotMemory(cfg, n_slots, max_seq_len,
                                      kv_dtype or compute_dtype)
@@ -318,6 +323,62 @@ class ServerContext:
                 return ys, logits, pos, cache, pen, mu
 
             self._decode = jax.jit(_decode_r, donate_argnums=(1, 4),
+                                   static_argnames=("n_steps",))
+
+        if self.family == "hybrid":
+            # hybrid (Jamba): KV over attention layers + recurrent bank.
+            # Prefill runs per-slot on a sliced state (like the recurrent
+            # path); decode runs the full slot batch with per-row cache
+            # positions, recurrent updates gated by the active mask.
+            from ..models.hybrid import forward as hyb_forward
+
+            hfwd = functools.partial(hyb_forward, cfg=cfg, dtype=compute_dtype)
+
+            def _prefill_h(params, tokens, positions, cache, slot0, pos0,
+                           last_idx):
+                sub = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, slot0, 1, 1),
+                    cache)
+                logits, sub = hfwd(
+                    params, tokens=tokens, positions=positions, state=sub,
+                    cache_pos=pos0, valid_from=jnp.zeros((1,), jnp.int32),
+                    n_valid=jnp.full((1,), last_idx + 1, jnp.int32),
+                    logits_idx=last_idx)
+                cache = jax.tree_util.tree_map(
+                    lambda a, s: jax.lax.dynamic_update_slice_in_dim(
+                        a, s, slot0, 1), cache, sub)
+                return logits[:, 0, :], cache
+
+            self._prefill = jax.jit(_prefill_h, donate_argnums=(3,))
+
+            def _decode_h(params, logits0, pos0, active, cache, sparams, bias,
+                          pen, mu, key, forced, use_forced, n_steps):
+                def body(carry, step):
+                    logits, pos, cache, pen, mu, key = carry
+                    key, sub = jax.random.split(key)
+                    nxt, mu = sample_batch(logits, sparams, sub, pen.counts,
+                                           mu, dry_ctx=pen.ordered(), bias=bias)
+                    nxt = jnp.where(use_forced & (step == 0), forced, nxt)
+                    pen = pen.push(nxt)
+                    lp = jax.nn.log_softmax(logits, axis=-1)
+                    topv, topi = jax.lax.top_k(lp, 8)
+                    tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+                    logits, cache = hfwd(
+                        params, tokens=nxt[:, None], positions=pos[:, None],
+                        state=cache, cache_pos=pos,
+                        valid_from=jnp.zeros((pos.shape[0],), jnp.int32),
+                        n_valid=active.astype(jnp.int32))
+                    logits = logits[:, -1, :]
+                    pos = pos + jnp.where(active, 1, 0)
+                    return ((logits, pos, cache, pen, mu, key),
+                            (nxt, tok_lp, topv, topi))
+
+                (logits, pos, cache, pen, mu, key), ys = jax.lax.scan(
+                    body, (logits0, pos0, cache, pen, mu, key),
+                    jnp.arange(n_steps), length=n_steps)
+                return ys, logits, pos, cache, pen, mu
+
+            self._decode = jax.jit(_decode_h, donate_argnums=(1, 4),
                                    static_argnames=("n_steps",))
 
         def _set_row(buf, i, row):
@@ -588,6 +649,15 @@ class ServerContext:
         (update_slots' context-shift, tools/server/server-context.cpp:2168)."""
         if self.recurrent:
             return  # recurrent context is unbounded, nothing overflows
+        if self.family == "hybrid":
+            # the recurrent half cannot rewind, so hybrid memory cannot
+            # shift (the reference refuses context-shift there too):
+            # finish any slot that would overflow this chunk
+            for i in range(self.n_slots):
+                if (self._active[i]
+                        and self._pos[i] + n_steps + 1 >= self.max_seq_len):
+                    self._finish(i, "length")
+            return
         S = self.max_seq_len
         for i in range(self.n_slots):
             if not self._active[i]:
@@ -713,6 +783,9 @@ class ServerContext:
             return self._embed_encoder(token_lists, pooling)
         if self.recurrent:
             return self._embed_recurrent(token_lists, pooling)
+        if self.family == "hybrid":
+            raise NotImplementedError(
+                "embeddings for hybrid models are not supported")
         outs = []
         for toks in token_lists:
             Tc = len(toks)
