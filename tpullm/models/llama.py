@@ -24,6 +24,16 @@ from ..ops.qtensor import QTensor
 from .config import ModelConfig
 
 
+def swa_flags(cfg: ModelConfig) -> list:
+    """Per-layer is-SWA flags for interleaved local/global models
+    (src/llama-hparams.h:132 set_swa_pattern: every swa_pattern-th layer
+    is full attention)."""
+    if cfg.sliding_window and cfg.swa_pattern > 1:
+        return [((li + 1) % cfg.swa_pattern) != 0
+                for li in range(cfg.n_layer)]
+    return [False] * cfg.n_layer
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
@@ -31,22 +41,34 @@ class KVCache:
 
     Quantized mode (type_k/type_v q8 analogue, llama.h:357): k/v are int8
     with per-(pos, head) f32 row scales ks/vs — ~2x cache capacity; rows are
-    quantized on write and dequantized at attention time."""
+    quantized on write and dequantized at attention time.
+
+    iSWA dual mode (llama_kv_cache_iswa, src/llama-kv-cache-iswa.*): for
+    interleaved local/global models (gemma2/3 style), SWA layers keep only
+    a ring of ``ring`` recent rows in kw/vw while full-attention layers
+    keep the whole context in k/v — the reference's dual-cache memory win.
+    ``ring`` must be >= sliding_window + the largest T any single forward
+    writes (ring slots overwritten within one chunk are then provably
+    outside every query's window)."""
 
     k: Any
     v: Any
     ks: Any = None  # (L, B, S, H_kv) f32 row scales when quantized
     vs: Any = None
+    kw: Any = None  # (L_swa, B, ring, H_kv, D) iSWA ring bank
+    vw: Any = None
+    ring: int = 0  # static ring size (0 = single-cache mode)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.ks, self.vs), None
+        return (self.k, self.v, self.ks, self.vs, self.kw, self.vw), self.ring
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, ring=aux)
 
     @staticmethod
-    def create(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def create(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               iswa: bool = False, max_chunk: int = 0):
         if cfg.kv_lora_rank:
             # MLA (deepseek2): the cache holds the COMPRESSED per-token state
             # [c_kv (kv_lora); k_pe (rope_dim)] as a single MQA head — this
@@ -56,19 +78,36 @@ class KVCache:
             dv = cfg.kv_lora_rank
         else:
             hkv, dk, dv = cfg.n_head_kv, cfg.head_dim, cfg.head_dim_v
-        shape_k = (cfg.n_layer, batch, max_len, hkv, dk)
-        shape_v = (cfg.n_layer, batch, max_len, hkv, dv)
+        flags = swa_flags(cfg)
+        dual = (iswa and any(flags) and not cfg.swa_chunked
+                and not cfg.kv_lora_rank and dtype not in ("q8", "int8"))
+        n_full = cfg.n_layer - sum(flags) if dual else cfg.n_layer
+        shape_k = (n_full, batch, max_len, hkv, dk)
+        shape_v = (n_full, batch, max_len, hkv, dv)
         if dtype in ("q8", "int8"):
             return KVCache(
                 jnp.zeros(shape_k, jnp.int8), jnp.zeros(shape_v, jnp.int8),
                 jnp.zeros(shape_k[:-1], jnp.float32),
                 jnp.zeros(shape_v[:-1], jnp.float32),
             )
-        return KVCache(jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype))
+        if not dual:
+            return KVCache(jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype))
+        ring = min(cfg.sliding_window + max(max_chunk, 1), max_len)
+        n_swa = sum(flags)
+        return KVCache(
+            jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype),
+            kw=jnp.zeros((n_swa, batch, ring, hkv, dk), dtype),
+            vw=jnp.zeros((n_swa, batch, ring, hkv, dv), dtype),
+            ring=ring,
+        )
 
     @property
     def quantized(self) -> bool:
         return self.ks is not None
+
+    @property
+    def dual(self) -> bool:
+        return self.kw is not None
 
     @property
     def max_len(self) -> int:
@@ -180,7 +219,7 @@ def _mm(x, qt: QTensor, dtype, layer=None):
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
               cfg: ModelConfig, layer_is_swa=False, window=None, sinks=None,
-              scale=None):
+              scale=None, ring=0):
     """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
 
     Masking is slot-based: kv slot s is attendable by the query at slot
@@ -200,7 +239,8 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     from ..ops.flash_attention import flash_attention, flash_supported
     from ..ops.qmm import use_pallas
 
-    if (window is None and sinks is None and scale is None and use_pallas()
+    if (window is None and sinks is None and scale is None and not ring
+            and use_pallas()
             and flash_supported(T, S, Dk, v_all.shape[-1])):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
         # score materialization); decode/small-T keeps the XLA einsum path
@@ -216,8 +256,19 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
         scores = jnp.tanh(scores / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
     kv_slot = jnp.arange(S)[None, None, None, None, :]  # (1,1,1,1,S)
     q_slot = q_slots[:, None, None, :, None]  # (B,1,1,T,1)
-    mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None, None])
-    if layer_is_swa and (cfg.sliding_window or window is not None):
+    if ring:
+        # SWA ring bank (S == ring): slot j, as seen by the query at slot
+        # q, holds the newest cache position <= q congruent to j mod ring.
+        # With ring >= window + T, any slot overwritten inside this chunk
+        # held a position already outside the window — so the reconstructed
+        # position is exact and the window test is the whole mask.
+        win = window if window is not None else cfg.sliding_window
+        cand = q_slot - ((q_slot - kv_slot) % ring)  # (B,1,1,T,S)
+        mask = ((cand >= valid_from[:, None, None, None, None])
+                & (q_slot - cand < win))
+    else:
+        mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None, None])
+    if not ring and layer_is_swa and (cfg.sliding_window or window is not None):
         win = window if window is not None else cfg.sliding_window
         kv_pos = kv_positions[:, None, None, None, :]  # (B,1,1,1,S) real positions
         q_pos = positions[:, None, None, :, None]
@@ -453,8 +504,11 @@ def forward(
 
     kv_quant = cache.quantized
 
-    def _store(buf, val, bi=None, si=None):
-        if uniform:
+    # per-run free variables, rebound before each scan trace (iSWA dual)
+    ring_run = False
+
+    def _store(buf, val, bi=None, si=None, wrap=False):
+        if uniform and not wrap:  # wrap: ring writes may cross the ring end
             return jax.lax.dynamic_update_slice(
                 buf, val.astype(buf.dtype),
                 (0, cache_pos[0]) + (0,) * (buf.ndim - 2))
@@ -499,7 +553,7 @@ def forward(
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
         bi = slot0 + rows[:, None]
-        si = q_slots
+        si = q_slots % cache.ring if ring_run else q_slots
         if kv_quant:
             k_cache, v_cache, ks_c, vs_c = kv
             kq, k_sc = _kv_quant(k)
@@ -515,8 +569,8 @@ def forward(
             kv = (k_cache, v_cache, ks_c, vs_c)
         else:
             k_cache, v_cache = kv
-            k_cache = _store(k_cache, k, bi, si)
-            v_cache = _store(v_cache, v, bi, si)
+            k_cache = _store(k_cache, k, bi, si, wrap=ring_run)
+            v_cache = _store(v_cache, v, bi, si, wrap=ring_run)
             k_view = _view(k_cache).astype(dtype)
             v_view = _view(v_cache).astype(dtype)
             kv = (k_cache, v_cache)
@@ -525,7 +579,15 @@ def forward(
     def _attend(q, k, v, p, kv, li=None):
         q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv, li)
         sinks = p.get("attn_sinks")  # per-head sink logits (gpt-oss)
-        if cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
+        if dual:
+            # iSWA dual cache: the run's SWA-ness is static — ring-masked
+            # window attention over the small bank, or plain causal over
+            # the full bank (llama_kv_cache_iswa's two caches)
+            att = attention(q, k_view, v_view, q_slots, kv_positions,
+                            positions, valid_from, cfg, ring_run,
+                            sinks=sinks,
+                            ring=cache.ring if ring_run else 0)
+        elif cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
             # interleaved local/global layers (gemma2/3, cohere2 style:
             # every swa_pattern-th layer is full attention,
             # src/llama-hparams.h:132 set_swa_pattern) — the window is a
@@ -723,10 +785,20 @@ def forward(
         return x, kv
 
     groups = params["layers"].get("__groups__") or [params["layers"]]
-    new_kv, all_stats = [], []
+    all_stats = []
     off = 0
 
-    def _kv_slices(lo, hi):
+    # iSWA dual cache: segment each group's depth into maximal runs of
+    # uniform SWA-ness so every lax.scan reads ONE cache bank (full-context
+    # k/v or the small kw/vw ring) — the per-run bank choice is static,
+    # matching llama_kv_cache_iswa's two separate caches
+    dual = cache.dual
+    layer_swa = swa_flags(cfg)
+    assert not (dual and kv_quant), "iSWA dual cache excludes quantized KV"
+
+    def _kv_slices(lo, hi, run_swa=False):
+        if dual and run_swa:
+            return (cache.kw[lo:hi], cache.vw[lo:hi])
         parts = (cache.k[lo:hi], cache.v[lo:hi])
         if kv_quant:
             parts += (cache.ks[lo:hi], cache.vs[lo:hi])
@@ -740,6 +812,8 @@ def forward(
     # "splitk" = per-pool split-K calls; overridable for A/B perf runs
     path = _os.environ.get("TPULLM_DECODE_PATH", "mega")
 
+    new_full, new_swa = [], []
+    bank_off = {False: 0, True: 0}  # cumulative per-bank layer counts
     for gl in groups:
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
@@ -759,38 +833,64 @@ def forward(
         any_leaf = next(iter(gl.values()))
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
-        ids = jnp.arange(L_g)
+        # uniform-bank runs within this group (single run when not dual)
+        if dual:
+            runs = []
+            lo = 0
+            for j in range(1, L_g + 1):
+                if j == L_g or layer_swa[off + j] != layer_swa[off + lo]:
+                    runs.append((lo, j, layer_swa[off + lo]))
+                    lo = j
+        else:
+            runs = [(0, L_g, False)]
         use_fold = (
             use_block
             and "wqkv" in qw
             and len(groups) == 1
+            and len(runs) == 1
             and "attn_norm" in gl
             and not cfg.no_rope_interval
         )
-        if use_fold:
-            # prime the carry: layer 0's norm + fused qkv; thereafter each
-            # megakernel invocation emits the next layer's qkv
-            anrm_stacked = gl["attn_norm"]
-            h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
-            y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
-            (x, _), ys = jax.lax.scan(
-                layer_fold, (x, y0),
-                (fl, _kv_slices(off, off + L_g), ids),
-            )
-        else:
-            x, ys = jax.lax.scan(
-                layer, x, (fl, _kv_slices(off, off + L_g), ids)
-            )
-        nparts = 4 if kv_quant else 2
-        new_kv.append(ys[:nparts])
-        if collect_stats:
-            all_stats.append(ys[nparts])
+        for lo, hi, run_swa in runs:
+            ring_run = bool(dual and run_swa)
+            blo = bank_off[run_swa] if dual else off + lo
+            ids = jnp.arange(lo, hi)
+            fl_r = {k: v[lo:hi] for k, v in fl.items()} if len(runs) > 1 else fl
+            kv_in = _kv_slices(blo, blo + (hi - lo), run_swa)
+            if use_fold:
+                # prime the carry: layer 0's norm + fused qkv; thereafter
+                # each megakernel invocation emits the next layer's qkv
+                anrm_stacked = gl["attn_norm"]
+                h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
+                y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
+                (x, _), ys = jax.lax.scan(layer_fold, (x, y0),
+                                          (fl_r, kv_in, ids))
+            else:
+                x, ys = jax.lax.scan(layer, x, (fl_r, kv_in, ids))
+            nparts = 2 if ring_run else (4 if kv_quant else 2)
+            (new_swa if ring_run else new_full).append(ys[:nparts])
+            if collect_stats:
+                all_stats.append(ys[nparts])
+            if dual:
+                bank_off[run_swa] += hi - lo
         off += L_g
     def _cat(parts):
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    new_cache = KVCache(*(_cat([g[i] for g in new_kv])
-                          for i in range(len(new_kv[0]))))
+    def _rebuild(parts, i, old):
+        # a bank can be empty (e.g. a tiny all-SWA model has no full
+        # layers): keep its zero-layer array untouched
+        return _cat([g[i] for g in parts]) if parts else old
+
+    if dual:
+        new_cache = KVCache(
+            _rebuild(new_full, 0, cache.k), _rebuild(new_full, 1, cache.v),
+            kw=_rebuild(new_swa, 0, cache.kw),
+            vw=_rebuild(new_swa, 1, cache.vw),
+            ring=cache.ring)
+    else:
+        new_cache = KVCache(*(_cat([g[i] for g in new_full])
+                              for i in range(len(new_full[0]))))
     if logits_idx is not None:
         # lm_head over one position only (prefill chunks need just the last
         # real token's logits; skips the vocab matmul for the other T-1 rows)

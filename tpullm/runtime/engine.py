@@ -50,6 +50,8 @@ class InferenceEngine:
         compute_dtype=jnp.bfloat16,
         kv_dtype=None,
         decode_chunk: int = 32,
+        iswa: bool = False,  # dual SWA/full KV cache (gemma2/3 style)
+        prefill_chunk: int = 128,  # iswa: bounds the ring size (W + chunk)
     ):
         self.cfg = cfg
         self.params = params
@@ -57,6 +59,11 @@ class InferenceEngine:
         self.dtype = compute_dtype
         self.kv_dtype = kv_dtype or compute_dtype
         self.decode_chunk = decode_chunk
+        from ..models.llama import swa_flags
+
+        self.iswa = bool(iswa and any(swa_flags(cfg))
+                         and self.kv_dtype not in ("q8", "int8"))
+        self.prefill_chunk = prefill_chunk
 
         fwd = functools.partial(forward, cfg=cfg, dtype=compute_dtype)
 
@@ -68,6 +75,17 @@ class InferenceEngine:
             return logits[:, -1, :], cache
 
         self._prefill = jax.jit(_prefill, donate_argnums=(3,))
+
+        def _prefill_at(params, tokens, positions, cache, valid_from, pos0):
+            logits, cache = fwd(
+                params, tokens=tokens, positions=positions, cache=cache,
+                cache_pos=pos0, valid_from=valid_from,
+            )
+            return logits[:, -1, :], cache
+
+        # iswa mode prefills in <= prefill_chunk pieces (the SWA ring only
+        # holds window + chunk rows, so no single forward may write more)
+        self._prefill_at = jax.jit(_prefill_at, donate_argnums=(3,))
 
         def _prefill_embeds(params, tokens, embeds, positions, cache, valid_from):
             logits, cache = fwd(
@@ -119,7 +137,8 @@ class InferenceEngine:
         return fn
 
     def new_cache(self, batch: int) -> KVCache:
-        return KVCache.create(self.cfg, batch, self.max_seq_len, self.kv_dtype)
+        return KVCache.create(self.cfg, batch, self.max_seq_len, self.kv_dtype,
+                              iswa=self.iswa, max_chunk=self.prefill_chunk)
 
     def prepare_batch(self, prompts: list[list[int]]):
         """Left-pad to a power-of-two bucket; returns device inputs."""
@@ -153,7 +172,16 @@ class InferenceEngine:
                 f"prompt bucket {T} + {max_new_tokens} new > max_seq_len {self.max_seq_len}"
             )
         cache = self.new_cache(B)
-        if embeds is not None:
+        if self.iswa and embeds is None and T > self.prefill_chunk:
+            # chunked prefill: each piece writes <= prefill_chunk rows so
+            # the SWA ring (window + chunk) never wraps within one forward
+            C = self.prefill_chunk
+            logits = None
+            for o in range(0, T, C):
+                logits, cache = self._prefill_at(
+                    self.params, tokens[:, o:o + C], positions[:, o:o + C],
+                    cache, valid_from, jnp.int32(o))
+        elif embeds is not None:
             emb = np.zeros((B, T, self.cfg.n_embd), np.float32)
             for i, e in enumerate(embeds):
                 if e is None:  # text-only row: gather its rows host-side
@@ -212,5 +240,14 @@ class InferenceEngine:
         """Logits after the prompt's last token (testing/perplexity)."""
         tokens, positions, valid_from, T, lens = self.prepare_batch(prompts)
         cache = self.new_cache(tokens.shape[0])
-        logits, _ = self._prefill(self.params, tokens, positions, cache, valid_from)
+        if self.iswa and T > self.prefill_chunk:
+            C = self.prefill_chunk
+            logits = None
+            for o in range(0, T, C):
+                logits, cache = self._prefill_at(
+                    self.params, tokens[:, o:o + C], positions[:, o:o + C],
+                    cache, valid_from, jnp.int32(o))
+        else:
+            logits, _ = self._prefill(self.params, tokens, positions, cache,
+                                      valid_from)
         return np.asarray(logits)
