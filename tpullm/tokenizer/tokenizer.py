@@ -39,8 +39,8 @@ _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
 
 
 class Tokenizer:
-    """Facade dispatching on vocab.model; covers SPM + BPE + WPM + UGM
-    (RWKV trie: TODO)."""
+    """Facade dispatching on vocab.model; covers SPM + BPE + WPM + UGM +
+    RWKV (byte trie)."""
 
     def __init__(self, vocab: Vocab):
         self.vocab = vocab
@@ -52,6 +52,8 @@ class Tokenizer:
             self._session = _WPM(vocab)
         elif vocab.model == "t5":
             self._session = _UGM(vocab)
+        elif vocab.model == "rwkv":
+            self._session = _RWKV(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 
@@ -151,6 +153,14 @@ class Tokenizer:
                 buf.append(v.tokens[i].replace("▁", " "))
             s = "".join(buf)
             return s[1:] if s.startswith(" ") else s
+        if isinstance(self._session, _RWKV):
+            buf = bytearray()
+            for i in ids:
+                a = v.attrs[i]
+                if skip_special and (a & TokenAttr.CONTROL):
+                    continue
+                buf += _rwkv_unescape(v.tokens[i])
+            return buf.decode("utf-8", errors="replace")
         if isinstance(self._session, (_SPM, _UGM)):  # SPM-style pieces
             buf = bytearray()
             for i in ids:
@@ -556,3 +566,76 @@ class _UGM:
             pos = src
         out.reverse()
         out_list.extend(out)
+
+
+def _rwkv_unescape(text: str) -> bytes:
+    """RWKV vocab strings escape raw bytes as \\t \\n \\r \\xNN \\\\
+    (llama_unescape_rwkv_token, src/llama-vocab.cpp:1197)."""
+    out = bytearray()
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "\\" and i + 1 < n:
+            e = text[i + 1]
+            if e == "t":
+                out.append(9)
+            elif e == "n":
+                out.append(10)
+            elif e == "r":
+                out.append(13)
+            elif e == "x" and i + 3 < n:
+                out.append(int(text[i + 2: i + 4], 16))
+                i += 4
+                continue
+            else:
+                out += e.encode("utf-8")
+            i += 2
+        else:
+            out += c.encode("utf-8")
+            i += 1
+    return bytes(out)
+
+
+class _RWKV:
+    """RWKV World tokenizer: greedy longest-match over a byte trie built
+    from the unescaped vocab (llm_tokenizer_rwkv, src/llama-vocab.cpp:1251
+    + the _session loop at :1267). Arbitrary byte tokens are supported —
+    matching runs on the UTF-8 bytes of the input."""
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+        self.trie: dict = {}
+        for tid, text in enumerate(vocab.tokens):
+            b = _rwkv_unescape(text)
+            if not b:
+                continue
+            node = self.trie
+            for byte in b:
+                node = node.setdefault(byte, {})
+            node[-1] = tid  # -1 marks "token ends here"
+
+    def tokenize(self, text: str, out: list) -> None:
+        data = text.encode("utf-8")
+        n = len(data)
+        unk = self.vocab.unk_id if self.vocab.unk_id is not None else 0
+        pos = 0
+        while pos < n:
+            node = self.trie.get(data[pos])
+            if node is None:
+                out.append(unk)
+                pos += 1
+                continue
+            tid, end = None, pos + 1
+            p = pos + 1
+            while node is not None:
+                if -1 in node:
+                    tid, end = node[-1], p
+                node = node.get(data[p]) if p < n else None
+                p += 1
+            if tid is None:  # trie path exists but no token ends on it
+                out.append(unk)
+                pos += 1
+            else:
+                out.append(tid)
+                pos = end
