@@ -164,3 +164,47 @@ def test_jamba_context_full_finishes(tmp_path):
     assert info["stats"]["completion_tokens"] < 64
     assert info["reason"] == "length"
     ctx.stop()
+
+
+def test_t5_server_matches_engine(tmp_path):
+    """Enc-dec serving: the server's t5 loop must reproduce T5Engine's
+    greedy decode (the llama_encode + llama_decode flow)."""
+    import tpullm.models.t5 as T
+    from tpullm.utils.synth import build_t5_gguf
+
+    path = str(tmp_path / "t5.gguf")
+    build_t5_gguf(path, seed=7)
+    cfg, params, _ = load_model(path)
+    assert model_family(cfg) == "t5"
+
+    prompt = [4, 9, 3, 17, 6]
+    eng = T.T5Engine(cfg, params, max_seq_len=32)
+    want = eng.generate(prompt, max_new_tokens=8)
+
+    ctx = ServerContext(cfg, params, None, n_slots=1, max_seq_len=32,
+                        compute_dtype=jnp.float32)
+    assert ctx.family == "t5"
+    ctx.start()
+    info = ctx.generate(prompt, GenParams(max_tokens=8, temperature=0.0,
+                                          ignore_eos=True))
+    assert info["tokens"][: len(want)] == want, (info["tokens"], want)
+    assert info["stats"]["prompt_tokens"] == len(prompt)
+    ctx.stop()
+
+
+def test_t5_server_streaming(tmp_path):
+    from tpullm.server.context import Task
+    from tpullm.utils.synth import build_t5_gguf
+
+    path = str(tmp_path / "t5s.gguf")
+    build_t5_gguf(path, seed=7)
+    cfg, params, _ = load_model(path)
+    ctx = ServerContext(cfg, params, None, n_slots=1, max_seq_len=32,
+                        compute_dtype=jnp.float32)
+    ctx.start()
+    task = Task(tokens=[4, 9, 3], params=GenParams(
+        max_tokens=5, temperature=0.0, stream=True, ignore_eos=True))
+    ctx.submit(task)
+    kinds = [k for k, _ in task.events()]
+    assert kinds[-1] == "done" and "delta" in kinds
+    ctx.stop()

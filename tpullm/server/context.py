@@ -740,7 +740,97 @@ class ServerContext:
             except Exception as e:
                 done.put(("error", e))
 
+    def _t5_loop(self):
+        """Encoder-decoder serving (llama_encode + llama_decode flow for
+        enc-dec archs): tasks run one at a time — encode the prompt, then
+        step the decoder from decoder_start_token_id, streaming through
+        the shared _emit/_finish machinery on slot 0."""
+        import jax as _jax
+
+        from ..models.llama import KVCache
+        from ..models.t5 import cross_kv, decode_step, encode
+        from ..ops.sampling import make_sample_fn
+
+        cfg = self.cfg
+        if "dec_layers" not in self.params:  # t5encoder: embeddings only
+            while not self._stop.is_set():
+                try:
+                    task = self.queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                task.out.put(("error",
+                              "encoder-only model: use /v1/embeddings"))
+            return
+        enc_j = jax.jit(lambda p, t, n: encode(p, cfg, t, n, dtype=self.dtype))
+        cross_j = jax.jit(lambda p, e: cross_kv(p, cfg, e, dtype=self.dtype))
+        step_j = jax.jit(lambda p, t, pos, c, xk, xv, ev, cp: decode_step(
+            p, cfg, t, pos, c, xk, xv, ev, cp, dtype=self.dtype))
+        dec_n = next(iter(self.params["dec_layers"].values())).shape[0]
+        start = cfg.raw_kv.get(f"{cfg.arch}.decoder_start_token_id")
+        start = int(start) if start is not None else 0
+        samplers: dict = {}
+        while not self._stop.is_set():
+            try:
+                self._drain_ctrl()
+                try:
+                    task = self.queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                if task.cancelled.is_set():
+                    continue
+                r = self.rt[0]
+                r.task = task
+                r.gen, r.gen_probs, r.sent_text = [], [], ""
+                r.n_prompt = len(task.tokens)
+                r.reused = 0
+                r.started_at = time.time()
+                st = self.memory.slots[0]
+                st.tokens = list(task.tokens)
+                st.n_past = len(task.tokens)
+                toks = jnp.asarray(np.asarray(task.tokens, np.int32)[None])
+                n_valid = jnp.asarray([len(task.tokens)], jnp.int32)
+                enc = enc_j(self.params, toks, n_valid)
+                xk, xv = cross_j(self.params, enc)
+                cache = KVCache(
+                    jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+                               cfg.head_dim), self.dtype),
+                    jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+                               cfg.head_dim_v), self.dtype))
+                r.prefill_done_at = time.time()
+                self.metrics["prompt_tokens_total"] += r.n_prompt
+                scfg = task.params.sampler_config()
+                fn = samplers.get(scfg)
+                if fn is None:
+                    fn = samplers[scfg] = jax.jit(make_sample_fn(scfg))
+                seed = (task.params.seed if task.params.seed >= 0
+                        else int(time.time_ns() % (2 ** 31)))
+                key = _jax.random.PRNGKey(seed)
+                cur = start
+                for i in range(self.max_seq_len - 1):
+                    lg, cache = step_j(self.params,
+                                       jnp.asarray([[cur]], jnp.int32),
+                                       jnp.asarray([[i]], jnp.int32),
+                                       cache, xk, xv, n_valid, jnp.int32(i))
+                    key, sub = _jax.random.split(key)
+                    cur = int(np.asarray(fn(lg[:, -1, :], sub))[0])
+                    self.metrics["generated_tokens_total"] += 1
+                    self._emit(0, [cur])
+                    if r.task is None:  # _emit finished (eos/stop/length)
+                        break
+                if r.task is not None:
+                    self._finish(0, "length")
+            except Exception as e:  # keep serving; fail the affected task
+                import traceback
+
+                traceback.print_exc()
+                if self.rt[0].task is not None:
+                    self.rt[0].task.out.put(
+                        ("error", f"{type(e).__name__}: {e}"))
+                    self.rt[0].task = None
+
     def _loop(self):
+        if self.family == "t5":
+            return self._t5_loop()
         while not self._stop.is_set():
             try:
                 self._drain_ctrl()
