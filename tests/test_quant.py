@@ -270,3 +270,41 @@ def test_tq1_0_nvfp4_decode_vs_reference_oracle():
         ok = np.isfinite(theirs)
         assert (ours[ok] == theirs[ok]).all(), tname
         assert np.isnan(ours[~ok]).all() == np.isnan(theirs[~ok]).all(), tname
+
+
+def test_iq4_quantize_layout_and_quality():
+    """IQ4_NL/IQ4_XS quantizers: byte layout validated against the
+    reference's own gguf-py dequantizer; quality beats Q4_0."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/gguf-py")
+    import gguf
+    import gguf.quants as gq
+
+    rng = np.random.default_rng(0)
+    for t, n in ((GGMLType.IQ4_NL, 256), (GGMLType.IQ4_XS, 512)):
+        x = rng.normal(0, 1.0, (8, n)).astype(np.float32)
+        raw = quantize(x, t)
+        ours = dequantize(raw, t).reshape(x.shape)
+        ref = gq.dequantize(raw.reshape(8, -1),
+                            getattr(gguf.GGMLQuantizationType, t.name))
+        np.testing.assert_array_equal(ours, ref.reshape(x.shape))
+        assert np.sqrt(((ours - x) ** 2).mean()) < 0.085
+    x = rng.normal(0, 1.0, (8, 256)).astype(np.float32)
+    e_nl = ((dequantize(quantize(x, GGMLType.IQ4_NL), GGMLType.IQ4_NL)
+             .reshape(x.shape) - x) ** 2).mean()
+    e_40 = ((dequantize(quantize(x, GGMLType.Q4_0), GGMLType.Q4_0)
+             .reshape(x.shape) - x) ** 2).mean()
+    assert e_nl < e_40
+
+
+def test_iq4_imatrix_improves_weighted_error():
+    rng = np.random.default_rng(3)
+    for t, n in ((GGMLType.IQ4_NL, 256), (GGMLType.IQ4_XS, 512)):
+        x = rng.normal(0, 1.0, (16, n)).astype(np.float32)
+        im = np.linspace(0.1, 4.0, n).astype(np.float32)
+        r0 = dequantize(quantize(x, t), t).reshape(x.shape)
+        r1 = dequantize(quantize(x, t, imatrix=im), t).reshape(x.shape)
+        e0 = (im * (r0 - x) ** 2).sum()
+        e1 = (im * (r1 - x) ** 2).sum()
+        assert e1 <= e0, (t.name, e0, e1)

@@ -1099,6 +1099,98 @@ def _q_q3_K(x):
     return out
 
 
+def _iq4_search(x, w, kv):
+    """Weighted nearest-codebook scale search for the IQ4 non-linear
+    table (quantize_row_iq4_nl_impl's role, ggml-quants.c): candidate
+    scales around the signed-extreme anchor, each refined by one weighted
+    least-squares (Lloyd) step. x/w (R, G); returns d (R,), idx (R, G)."""
+    R, G = x.shape
+    amax_i = np.abs(x).argmax(-1)
+    mx = np.take_along_axis(x, amax_i[:, None], -1)[:, 0]
+    base = np.where(mx != 0, mx / kv[0], 0.0).astype(np.float32)  # kv[0]=-127
+    mids = (kv[1:] + kv[:-1]) / 2.0
+    best_err = np.full(R, np.inf, np.float32)
+    best_d = np.zeros(R, np.float32)
+    best_idx = np.zeros((R, G), np.uint8)
+    for t in np.linspace(0.7, 1.3, 13):
+        d = (base * t).astype(np.float32)
+        idd = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+        q = np.searchsorted(mids, x * idd[:, None]).astype(np.int64)
+        kvq = kv[q].astype(np.float32)
+        num = (w * x * kvq).sum(-1)
+        den = (w * kvq * kvq).sum(-1)
+        d2 = np.where(den > 0, num / np.where(den > 0, den, 1), d)
+        for dc in (d, d2.astype(np.float32)):
+            err = (w * (x - dc[:, None] * kvq) ** 2).sum(-1)
+            upd = err < best_err
+            best_err = np.where(upd, err, best_err)
+            best_d = np.where(upd, dc, best_d)
+            best_idx = np.where(upd[:, None], q, best_idx).astype(np.uint8)
+    return best_d, best_idx
+
+
+def _iq4_weights(x, qw):
+    if qw is not None:
+        return np.broadcast_to(np.asarray(qw, np.float32), x.shape)
+    sigma2 = (x * x).mean(-1, keepdims=True)
+    return np.sqrt(sigma2 + x * x)  # reference default importance proxy
+
+
+def _q_iq4_nl(x, qw=None):
+    x = x.reshape(-1, 32)
+    if qw is not None:
+        w = np.broadcast_to(np.asarray(qw, np.float32).reshape(1, 32),
+                            x.shape)
+    else:
+        w = _iq4_weights(x, None)
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    d, idx = _iq4_search(x, w, kv)
+    out = np.zeros((x.shape[0], 18), np.uint8)
+    _store_f16(out, 0, d)
+    out[:, 2:18] = idx[:, :16] | (idx[:, 16:] << 4)
+    return out
+
+
+def _q_iq4_xs(x, qw=None):
+    x = x.reshape(-1, 256)
+    R = x.shape[0]
+    xg = x.reshape(R * 8, 32)
+    if qw is not None:
+        wg = np.broadcast_to(
+            np.asarray(qw, np.float32).reshape(8, 32)[None], (R, 8, 32)
+        ).reshape(R * 8, 32)
+    else:
+        wg = _iq4_weights(xg, None)
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    dg, _ = _iq4_search(xg, wg, kv)
+    dg = dg.reshape(R, 8)
+    # superblock scale so 6-bit signed subscales cover every group scale
+    gmax_i = np.abs(dg).argmax(-1)
+    gmx = np.take_along_axis(dg, gmax_i[:, None], -1)[:, 0]
+    d = np.where(gmx != 0, gmx / -32.0, 0.0).astype(np.float32)
+    idd = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 0.0)
+    ls = np.clip(np.round(dg * idd[:, None]), -32, 31).astype(np.int32)
+    # re-assign indices against the representable effective scale d*ls
+    eff = (d[:, None] * ls.astype(np.float32)).reshape(R * 8)
+    mids = (kv[1:] + kv[:-1]) / 2.0
+    ie = np.where(eff != 0, 1.0 / np.where(eff != 0, eff, 1), 0.0)
+    idx = np.searchsorted(mids, xg * ie[:, None]).astype(np.uint8)
+    idx = idx.reshape(R, 8, 32)
+    lsu = (ls + 32).astype(np.uint32)  # [0, 63]
+    out = np.zeros((R, 136), np.uint8)
+    _store_f16(out, 0, d)
+    sh = np.zeros(R, np.uint32)
+    for ib in range(8):
+        sh |= ((lsu[:, ib] >> 4) & 3) << (2 * ib)
+    out[:, 2] = sh & 0xFF
+    out[:, 3] = (sh >> 8) & 0xFF
+    for ib in range(8):
+        out[:, 4 + ib // 2] |= ((lsu[:, ib] & 0xF) << (4 * (ib % 2))).astype(np.uint8)
+    qs = idx[..., :16] | (idx[..., 16:] << 4)  # (R, 8, 16)
+    out[:, 8:136] = qs.reshape(R, 128)
+    return out
+
+
 _QUANT = {
     GGMLType.Q4_0: _q_q4_0,
     GGMLType.Q4_1: _q_q4_1,
@@ -1114,6 +1206,8 @@ _QUANT = {
     GGMLType.Q6_K: _q_q6_K,
     GGMLType.MXFP4: _q_mxfp4,
     GGMLType.TQ2_0: _q_tq2_0,
+    GGMLType.IQ4_NL: _q_iq4_nl,
+    GGMLType.IQ4_XS: _q_iq4_xs,
 }
 
 
@@ -1143,12 +1237,16 @@ def quantize(x: np.ndarray, qtype: GGMLType, imatrix=None) -> np.ndarray:
     n = x.shape[-1]
     assert n % blk == 0, f"row length {n} not a multiple of block {blk}"
     fn = _QUANT[qtype]
-    if imatrix is not None and qtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K):
+    _IM_TYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                 GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+    if imatrix is not None and qtype in _IM_TYPES:
         im = np.asarray(imatrix, np.float32)
         assert im.shape == (n,), (im.shape, n)
         xr = x.reshape(-1, n)
-        # per-256-block slice of the row-wide importance vector
-        outs = [fn(xr[:, j:j + 256], qw=im[j:j + 256]) for j in range(0, n, 256)]
+        # per-block slice of the row-wide importance vector
+        seg = blk
+        outs = [fn(xr[:, j:j + seg], qw=im[j:j + seg])
+                for j in range(0, n, seg)]
         out = np.concatenate(outs, axis=-1)
         return out.reshape(*x.shape[:-1], n // blk * bs)
     out = fn(x.reshape(-1, n))

@@ -42,6 +42,8 @@ FTYPES: dict[str, dict] = {
     "Q5_K_M": dict(default=GGMLType.Q5_K, attn_v=GGMLType.Q6_K,
                    ffn_down_frac=(0.5, GGMLType.Q6_K), output=GGMLType.Q6_K),
     "Q6_K": dict(default=GGMLType.Q6_K, output=GGMLType.Q6_K),
+    "IQ4_NL": dict(default=GGMLType.IQ4_NL, output=GGMLType.Q6_K),
+    "IQ4_XS": dict(default=GGMLType.IQ4_XS, output=GGMLType.Q6_K),
     "F16": dict(default=GGMLType.F16),
     "BF16": dict(default=GGMLType.BF16),
 }
@@ -142,7 +144,8 @@ def quantize_gguf(src: str, dst: str, ftype: str, nthread: int = 8,
 _FTYPE_IDS = {
     "F16": 1, "Q4_0": 2, "Q4_1": 3, "Q8_0": 7, "Q5_0": 8, "Q5_1": 9,
     "Q2_K": 10, "Q3_K_S": 11, "Q3_K_M": 12, "Q4_K_S": 14, "Q4_K_M": 15,
-    "Q5_K_S": 16, "Q5_K_M": 17, "Q6_K": 18, "BF16": 32,
+    "Q5_K_S": 16, "Q5_K_M": 17, "Q6_K": 18, "IQ4_NL": 25, "IQ4_XS": 30,
+    "BF16": 32,
 }
 
 
