@@ -37,6 +37,15 @@ def build_args():
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor an explicit platform choice even when a sitecustomize
+        # plugin overrides jax_platforms at interpreter startup (makes
+        # spawned child servers — router mode, tests — hermetic)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_args().parse(argv)
 
     from ..runtime.loader import load_model
