@@ -106,15 +106,38 @@ class _Pool:
             out.extend([qt.data[key]] * self.P)
         return out
 
-    def tile(self, refs, j):
-        """Dequant plane j of the current tile -> (kq, tn) bf16."""
-        q = refs[0][0].astype(jnp.int32)
+    @property
+    def hoist(self):
+        """Hoist the (linear-in-x) bias term out of the per-element dequant
+        chain: w+b contributes b_g * sum_{k in g} x_k, a tiny per-step
+        (M, groups) x (groups, tn) MXU matmul instead of a per-element
+        VPU repeat+add over the whole tile."""
+        return (self.spec.bias != "none"
+                and os.environ.get("TPULLM_MEGA_HOIST", "1") == "1")
+
+    def _md(self, refs, j):
         md = {}
         pos = 1
         for key in self.md_keys:
             md[key] = refs[pos + j][0]
             pos += self.P
-        return _plane_tile(self.spec, q, md, j)
+        return md
+
+    def tile(self, refs, j):
+        """Dequant plane j of the current tile -> (kq, tn) bf16."""
+        q = refs[0][0].astype(jnp.int32)
+        return _plane_tile(self.spec, q, self._md(refs, j), j,
+                           lite=self.hoist)
+
+    def bias_tile(self, refs, j):
+        """Plane j's per-group bias rows (kq/gs, tn) f32 for the hoist."""
+        md = self._md(refs, j)
+        if self.spec.bias == "i8d":
+            rep = md["m8"].shape[-2] // md["dmin"].shape[-2]
+            dmin = (jnp.repeat(md["dmin"], rep, axis=-2) if rep > 1
+                    else md["dmin"])
+            return -(md["m8"].astype(jnp.int32).astype(jnp.float32) * dmin)
+        return md["bm"]
 
 
 def _wargs(qt):
@@ -194,6 +217,10 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
     qkp = pools[3] if fold else None
     total = start
     nffp = _pad256(n_ff)
+    # group-aggregation matrices for the bias hoist: Mosaic cannot split
+    # the lane dim of x, so group sums run as xj @ A with a 0/1 constant
+    # built once into VMEM scratch (one per distinct (kq, gs))
+    combos = sorted({(p.kq, p.spec.gs) for p in pools if p.hoist})
 
     def kernel(lr, att_ref, res_ref, nrm_ref, *refs):
         # split weight refs per pool
@@ -206,13 +233,36 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
         if fold:
             (anrm_ref, o_ref, qkv_o, x2_ref, h2_ref, gu_acc, hmid_ref,
              d_acc, hq_ref, qk_acc) = refs[o: o + 10]
+            o += 10
         else:
             o_ref, x2_ref, h2_ref, gu_acc, hmid_ref, d_acc = refs[o: o + 6]
+            o += 6
+        a_refs = dict(zip(combos, refs[o: o + len(combos)]))
         s = pl.program_id(0)
+
+        def pool_dot(p_, refs_, xj, j):
+            """x-tile x dequantized plane (+ hoisted bias correction)."""
+            w = p_.tile(refs_, j)
+            acc = jax.lax.dot_general(xj, w, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if p_.hoist:
+                corr = p_.bias_tile(refs_, j)
+                A = a_refs[(p_.kq, p_.spec.gs)][...]
+                xg = jax.lax.dot_general(
+                    xj, A, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc += jax.lax.dot_general(
+                    xg, corr, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return acc
 
         @pl.when(s == 0)
         def _():
             d_acc[...] = jnp.zeros_like(d_acc)
+            for (kq_, gs_), ar in a_refs.items():
+                r = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 0)
+                c = jax.lax.broadcasted_iota(jnp.int32, ar.shape, 1)
+                ar[...] = (r // gs_ == c).astype(ar.dtype)
 
         # ---- phase boundaries ------------------------------------------
         @pl.when(s == wo.end)
@@ -238,10 +288,8 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
             i, k = wo.local(s)
             acc = jnp.zeros((M_pad, tn), jnp.float32)
             for j in range(wo.P):
-                w = wo.tile(prefs[0], j)
                 xj = att_ref[j, :, pl.ds(k * wo.kq, wo.kq)]
-                acc += jax.lax.dot_general(xj, w, (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+                acc += pool_dot(wo, prefs[0], xj, j)
             d_acc[:, pl.ds(i * tn, tn)] += acc
 
         @pl.when((s >= gu.start) & (s < gu.end))
@@ -249,11 +297,9 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
             i, k = gu.local(s)
             acc = jnp.zeros((M_pad, tn), jnp.float32)
             for j in range(gu.P):
-                w = gu.tile(prefs[1], j)
                 off = j * (D // gu.P) + k * gu.kq
                 xj = h2_ref[:, pl.ds(off, gu.kq)]
-                acc += jax.lax.dot_general(xj, w, (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+                acc += pool_dot(gu, prefs[1], xj, j)
             gu_acc[:, pl.ds(i * tn, tn)] += acc
 
         @pl.when((s >= dn.start) & (s < dn.end))
@@ -261,11 +307,9 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
             i, k = dn.local(s)
             acc = jnp.zeros((M_pad, tn), jnp.float32)
             for j in range(dn.P):
-                w = dn.tile(prefs[2], j)
                 off = j * (n_ff // dn.P) + k * dn.kq
                 xj = hmid_ref[:, pl.ds(off, dn.kq)]
-                acc += jax.lax.dot_general(xj, w, (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+                acc += pool_dot(dn, prefs[2], xj, j)
             d_acc[:, pl.ds(i * tn, tn)] += acc
 
         if not fold:
@@ -289,12 +333,9 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
                 i, k = qkp.local(s)
                 acc = jnp.zeros((M_pad, tn), jnp.float32)
                 for j in range(qkp.P):
-                    w = qkp.tile(prefs[3], j)
                     off = j * (D // qkp.P) + k * qkp.kq
                     xj = hq_ref[:, pl.ds(off, qkp.kq)]
-                    acc += jax.lax.dot_general(
-                        xj, w, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    acc += pool_dot(qkp, prefs[3], xj, j)
                 qk_acc[:, pl.ds(i * tn, tn)] += acc
 
             @pl.when(s == total - 1)
@@ -333,6 +374,8 @@ def _build(M_pad: int, D: int, Hd: int, n_ff: int,
     else:
         out_shape = jax.ShapeDtypeStruct((M_pad, D), jnp.bfloat16)
         out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch += [pltpu.VMEM((kq_, kq_ // gs_), jnp.bfloat16)
+                for kq_, gs_ in combos]  # bias-hoist group aggregators
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -27,6 +27,7 @@ weight slices (another ~2x for decode).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,7 +107,15 @@ def _plane_tile(spec: KmSpec, q, md, j, lite: bool = False):
                * (jnp.repeat(md["d"], rep, axis=-2) if rep > 1 else md["d"]))
     else:
         scf = md["d"]
-    w = val * jnp.repeat(scf, spec.gs, axis=0)
+    if (os.environ.get("TPULLM_SCALE_BCAST", "0") == "1"
+            and val.ndim == 2 and val.shape[0] % spec.gs == 0):
+        # A/B variant: sublane-split 3D broadcast instead of jnp.repeat
+        # (probes whether Mosaic materializes the repeat as a copy)
+        kq, tn = val.shape
+        w = (val.reshape(kq // spec.gs, spec.gs, tn)
+             * scf[:, None, :]).reshape(kq, tn)
+    else:
+        w = val * jnp.repeat(scf, spec.gs, axis=0)
     if lite:
         return w.astype(jnp.bfloat16)
     if spec.bias == "i8d":
