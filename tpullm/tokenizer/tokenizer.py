@@ -338,6 +338,15 @@ class _WPM:
                 out.append(v.unk_id)
 
 
+# pre types whose tokenizers set ignore_merges: a whole word already in the
+# vocab is emitted directly without running merges (llama-vocab.cpp:585 +
+# the per-pre flags at :1969,1987,2077)
+_IGNORE_MERGES_PRES = frozenset({
+    "llama3", "llama-v3", "llama-bpe", "falcon3", "falcon-h1", "pixtral",
+    "midm-2.0", "lfm2", "jina-v5-nano", "youtu", "tekken",
+})
+
+
 class _BPE:
     """Rank-greedy byte-level BPE (llm_tokenizer_bpe, llama-vocab.cpp:279)."""
 
@@ -345,11 +354,17 @@ class _BPE:
         self.v = vocab
         self.ranks = {tuple(m.split(" ", 1)): r for r, m in enumerate(vocab.merges)}
         self.patterns = get_pre_regexes(vocab.pre)
+        self.ignore_merges = vocab.pre in _IGNORE_MERGES_PRES
 
     def tokenize(self, text: str, out: list[int]) -> None:
         v = self.v
         for word in regex_split(text, self.patterns):
             enc = "".join(_BYTE_ENC[b] for b in word.encode("utf-8"))
+            if self.ignore_merges:
+                tid = v.token_to_id.get(enc)
+                if tid is not None:
+                    out.append(tid)
+                    continue
             parts = self._merge(enc)
             for p in parts:
                 tid = v.token_to_id.get(p)
