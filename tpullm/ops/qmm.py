@@ -107,15 +107,11 @@ def _plane_tile(spec: KmSpec, q, md, j, lite: bool = False):
                * (jnp.repeat(md["d"], rep, axis=-2) if rep > 1 else md["d"]))
     else:
         scf = md["d"]
-    if (os.environ.get("TPULLM_SCALE_BCAST", "0") == "1"
-            and val.ndim == 2 and val.shape[0] % spec.gs == 0):
-        # A/B variant: sublane-split 3D broadcast instead of jnp.repeat
-        # (probes whether Mosaic materializes the repeat as a copy)
-        kq, tn = val.shape
-        w = (val.reshape(kq // spec.gs, spec.gs, tn)
-             * scf[:, None, :]).reshape(kq, tn)
-    else:
-        w = val * jnp.repeat(scf, spec.gs, axis=0)
+    # measured dead ends (8B Q4_K decode, same-session A/B): an all-bf16
+    # chain (i32->bf16 convert + bf16 multiply) is ~23% SLOWER than the f32
+    # chain, and a sublane-split 3D broadcast is byte-identical in speed to
+    # jnp.repeat — Mosaic already lowers the repeat as a broadcast.
+    w = val * jnp.repeat(scf, spec.gs, axis=0)
     if lite:
         return w.astype(jnp.bfloat16)
     if spec.bias == "i8d":
