@@ -37,8 +37,9 @@ def test_flash_matches_einsum_causal(T, S):
     positions = q_slots
     vf = jnp.zeros((B,), jnp.int32)
 
-    ref = attention(q, k, v, q_slots, kv_positions, positions, vf, cfg, False)
-    got = flash_attention(q, k, v, q_slots, kv_positions, positions, vf, cfg,
+    kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)  # head-major
+    ref = attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg, False)
+    got = flash_attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg,
                           False, interpret=True)
     assert got.shape == ref.shape
     assert _nmse(got, ref) < 2e-4, _nmse(got, ref)
@@ -54,8 +55,9 @@ def test_flash_valid_from_window():
     kv_positions = jnp.arange(S, dtype=jnp.int32)[None] - 16
     positions = q_slots - 16
     vf = jnp.full((B,), 16, jnp.int32)  # first 16 slots invalid
-    ref = attention(q, k, v, q_slots, kv_positions, positions, vf, cfg, False)
-    got = flash_attention(q, k, v, q_slots, kv_positions, positions, vf, cfg,
+    kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)  # head-major
+    ref = attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg, False)
+    got = flash_attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg,
                           False, interpret=True)
     assert _nmse(got, ref) < 2e-4
 
@@ -70,8 +72,9 @@ def test_flash_swa_and_softcap():
     kv_positions = jnp.arange(S, dtype=jnp.int32)[None]
     positions = q_slots
     vf = jnp.zeros((B,), jnp.int32)
-    ref = attention(q, k, v, q_slots, kv_positions, positions, vf, cfg, True)
-    got = flash_attention(q, k, v, q_slots, kv_positions, positions, vf, cfg,
+    kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)  # head-major
+    ref = attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg, True)
+    got = flash_attention(q, kh, vh, q_slots, kv_positions, positions, vf, cfg,
                           True, interpret=True)
     assert _nmse(got, ref) < 3e-4
 

@@ -57,10 +57,14 @@ def test_q8_kv_memory_ops():
     kf = jnp.asarray(rng.standard_normal((2, 2, 8, 2, 8)), jnp.float32)
     kq, ks = _kv_quant(kf.reshape(-1, 8, 2, 8))
     m.cache = KVCache(
-        m.cache.k.at[:, :, :8].set(kq.reshape(2, 2, 8, 2, 8)),
-        m.cache.v.at[:, :, :8].set(kq.reshape(2, 2, 8, 2, 8)),
-        m.cache.ks.at[:, :, :8].set(ks.reshape(2, 2, 8, 2)),
-        m.cache.vs.at[:, :, :8].set(ks.reshape(2, 2, 8, 2)),
+        m.cache.k.at[:, :, :, :8].set(
+            kq.reshape(2, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)),
+        m.cache.v.at[:, :, :, :8].set(
+            kq.reshape(2, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)),
+        m.cache.ks.at[:, :, :, :8].set(
+            ks.reshape(2, 2, 8, 2).transpose(0, 1, 3, 2)),
+        m.cache.vs.at[:, :, :, :8].set(
+            ks.reshape(2, 2, 8, 2).transpose(0, 1, 3, 2)),
     )
     m.slots[0].tokens = list(range(8))
     m.slots[0].n_past = 8

@@ -48,8 +48,8 @@ def test_context_shift_rope_consistency():
     k_rot = apply_rope(jnp.asarray(base), cos, sin, cfg.rope_type, cfg.rope_dim)
     k_full = jnp.tile(k_rot[None], (cfg.n_layer, 1, 1, 1, 1))  # (L,1,n,H,D)
     m.cache = type(m.cache)(
-        m.cache.k.at[:, :, :n].set(k_full.transpose(0, 1, 2, 3, 4)),
-        m.cache.v.at[:, :, :n].set(1.0),
+        m.cache.k.at[:, :, :, :n].set(k_full.transpose(0, 1, 3, 2, 4)),
+        m.cache.v.at[:, :, :, :n].set(1.0),
     )
     m.slots[0].tokens = list(range(n))
     m.slots[0].n_past = n
@@ -65,8 +65,9 @@ def test_context_shift_rope_consistency():
     cos2, sin2 = rope_cache(cfg, new_pos)
     expect = apply_rope(jnp.asarray(base[:, 5:8]), cos2, sin2,
                         cfg.rope_type, cfg.rope_dim)
-    got = np.asarray(m.cache.k[0, 0, 2:5], np.float32)
+    got = np.asarray(m.cache.k[0, 0, :, 2:5], np.float32).transpose(1, 0, 2)
     np.testing.assert_allclose(got, np.asarray(expect)[0], rtol=2e-2, atol=2e-2)
     # kept prefix untouched
-    np.testing.assert_allclose(np.asarray(m.cache.k[0, 0, :2], np.float32),
-                               np.asarray(k_rot)[0, :2], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m.cache.k[0, 0, :, :2], np.float32).transpose(1, 0, 2),
+        np.asarray(k_rot)[0, :2], rtol=1e-5)

@@ -32,8 +32,8 @@ def test_config_and_cache_shape(ds2):
     assert cfg.head_dim == 64 and cfg.head_dim_v == 32 and cfg.rope_dim == 16
     cache = KVCache.create(cfg, 1, 32)
     # compressed cache: one MQA head of [c_kv; k_pe] / c_kv
-    assert cache.k.shape == (cfg.n_layer, 1, 32, 1, 64 + 16)
-    assert cache.v.shape == (cfg.n_layer, 1, 32, 1, 64)
+    assert cache.k.shape == (cfg.n_layer, 1, 1, 32, 64 + 16)
+    assert cache.v.shape == (cfg.n_layer, 1, 1, 32, 64)
 
 
 def test_absorbed_matches_decompressed(ds2):

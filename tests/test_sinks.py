@@ -24,7 +24,8 @@ def test_attention_sink_math():
     pos = q_slots
     vf = jnp.zeros((B,), jnp.int32)
 
-    out = np.asarray(attention(q, k, v, q_slots, kv_pos, pos, vf, cfg,
+    kh, vh = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)  # head-major
+    out = np.asarray(attention(q, kh, vh, q_slots, kv_pos, pos, vf, cfg,
                                sinks=sinks))
 
     qn, kn, vn, sk = (np.asarray(q), np.asarray(k), np.asarray(v),
@@ -42,7 +43,7 @@ def test_attention_sink_math():
             want[0, t, h] = (p / denom) @ vn[0, :, h]
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
     # and the sink must actually bite (output differs from plain softmax)
-    plain = np.asarray(attention(q, k, v, q_slots, kv_pos, pos, vf, cfg))
+    plain = np.asarray(attention(q, kh, vh, q_slots, kv_pos, pos, vf, cfg))
     assert not np.allclose(out, plain, atol=1e-4)
 
 

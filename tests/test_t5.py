@@ -46,8 +46,8 @@ def test_forward_matches_numpy_oracle(t5):
     xk, xv = T.cross_kv(params, cfg, enc, dtype=jnp.float32)
     dec_n = next(iter(params["dec_layers"].values())).shape[0]
     cache = KVCache(
-        jnp.zeros((dec_n, 1, 16, cfg.n_head_kv, cfg.head_dim), jnp.float32),
-        jnp.zeros((dec_n, 1, 16, cfg.n_head_kv, cfg.head_dim_v), jnp.float32))
+        jnp.zeros((dec_n, 1, cfg.n_head_kv, 16, cfg.head_dim), jnp.float32),
+        jnp.zeros((dec_n, 1, cfg.n_head_kv, 16, cfg.head_dim_v), jnp.float32))
     lg, _ = T.decode_step(params, cfg, jnp.asarray([[1]], jnp.int32),
                           jnp.asarray([[0]], jnp.int32), cache, xk, xv,
                           jnp.asarray([len(ids)]), 0, dtype=jnp.float32)
@@ -153,8 +153,8 @@ def test_engine_incremental(t5):
     xk, xv = eng._cross(params, enc)
     dec_n = next(iter(params["dec_layers"].values())).shape[0]
     cache = KVCache(
-        jnp.zeros((dec_n, 1, 32, cfg.n_head_kv, cfg.head_dim), jnp.float32),
-        jnp.zeros((dec_n, 1, 32, cfg.n_head_kv, cfg.head_dim_v), jnp.float32))
+        jnp.zeros((dec_n, 1, cfg.n_head_kv, 32, cfg.head_dim), jnp.float32),
+        jnp.zeros((dec_n, 1, cfg.n_head_kv, 32, cfg.head_dim_v), jnp.float32))
     seq = [1] + out[:-1]
     lg, _ = T.decode_step(params, cfg, jnp.asarray([seq], jnp.int32),
                           jnp.asarray([list(range(len(seq)))], jnp.int32),

@@ -60,6 +60,14 @@ class ModelConfig:
     final_logit_softcap: float = 0.0
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
     clamp_kqv: float = 0.0
+    # ALiBi position bias (mpt/bloom/jais/baichuan-13b families): slope_h *
+    # (kv_pos - q_pos) added to scores (ggml_soft_max_ext max_bias semantics)
+    alibi_max_bias: float = 0.0
+    use_rope: bool = True  # gpt2/starcoder/bloom/mpt: no rotary embedding
+    # q/k norm over the FLATTENED projection (n_embd rows) instead of
+    # per-head (mpt qk_ln, olmoe): build_norm on the 2-D Qcur/Kcur
+    attn_qk_norm_flat: bool = False
+    logit_scale: float = 1.0  # final logits multiplier (command-r, jais)
     # structure flags
     parallel_residual: bool = False
     tie_embeddings: bool = False
@@ -193,7 +201,22 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     cfg.rope_scaling = str(scaling)
     cfg.rope_scale = float(_k(g, "{arch}.rope.scaling.factor", 1.0))
     cfg.rope_orig_ctx = int(_k(g, "{arch}.rope.scaling.original_context_length", 0))
+    cfg.alibi_max_bias = float(
+        _k(g, "{arch}.attention.max_alibi_bias", 0.0) or 0.0)
+    cl = _k(g, "{arch}.attention.clamp_kqv")
+    if cl is not None:
+        cfg.clamp_kqv = float(cl)
+    ls = _k(g, "{arch}.logit_scale")
+    if ls is not None:
+        cfg.logit_scale = float(ls)
+    asc = _k(g, "{arch}.attention.scale")
+    if asc is not None:
+        cfg.attn_scale = float(asc)
+    if arch == "qwen":  # qwen-v1 GGUF stores DOUBLE the ffn width
+        cfg.n_ff //= 2
     from .registry import apply_arch_defaults
 
     apply_arch_defaults(cfg)
+    if cfg.alibi_max_bias > 0:  # ALiBi replaces rope (baichuan-13b etc.)
+        cfg.use_rope = False
     return cfg

@@ -44,7 +44,7 @@ class HybridState:
     """KV cache over attention layers + recurrent bank over mamba layers
     (the llama_memory_hybrid composition)."""
 
-    k: Any  # (L_attn, B, S, Hkv, Dk)
+    k: Any  # head-major (L_attn, B, Hkv, S, Dk)
     v: Any
     conv: Any  # (L_rec, B, d_conv-1, C)
     ssm: Any   # (L_rec, B, ...) per mamba family
@@ -58,7 +58,7 @@ class HybridState:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
@@ -66,8 +66,8 @@ class HybridState:
         n_attn = len(attn_layer_ids(cfg))
         n_rec = cfg.n_layer - n_attn
         hkv = max(cfg.kv_head_pattern)
-        k = jnp.zeros((n_attn, batch, max_len, hkv, cfg.head_dim), dtype)
-        v = jnp.zeros((n_attn, batch, max_len, hkv, cfg.head_dim_v), dtype)
+        k = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim), dtype)
+        v = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim_v), dtype)
         rec = RecurrentState.create(
             ModelConfig(**{**cfg.__dict__, "n_layer": n_rec,
                            "raw_kv": {}}), batch)
@@ -108,16 +108,21 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         q = _mm(h, qw["wq"], dtype, li).reshape(B, T, cfg.n_head, cfg.head_dim)
         k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
         v = _mm(h, qw["wv"], dtype, li).reshape(B, T, hkv, cfg.head_dim_v)
-        k_cache, v_cache = kv
+        k_cache, v_cache = kv  # head-major (B, Hkv, S, D)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
         if uniform:  # all rows share one write offset: contiguous update
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_pos[0], 0, 0))
+                k_cache, kt.astype(k_cache.dtype), (0, 0, cache_pos[0], 0))
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_pos[0], 0, 0))
+                v_cache, vt.astype(v_cache.dtype), (0, 0, cache_pos[0], 0))
         else:  # per-row slot positions (server decode)
-            rows = jnp.arange(B)[:, None]
-            k_cache = k_cache.at[rows, q_slots].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[rows, q_slots].set(v.astype(v_cache.dtype))
+            rows = jnp.arange(B)[:, None, None]
+            hh = jnp.arange(hkv)[None, :, None]
+            k_cache = k_cache.at[rows, hh, q_slots[:, None, :]].set(
+                kt.astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, hh, q_slots[:, None, :]].set(
+                vt.astype(v_cache.dtype))
         att = attention(q, k_cache.astype(dtype), v_cache.astype(dtype),
                         q_slots, kv_positions, positions, valid_from, cfg)
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)

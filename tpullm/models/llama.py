@@ -37,10 +37,15 @@ def swa_flags(cfg: ModelConfig) -> list:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    """Per-model KV cache: k/v shaped (L, B, S_max, H_kv, D).
+    """Per-model KV cache: k/v HEAD-MAJOR (L, B, H_kv, S_max, D).
+
+    Head-major is the TPU-native layout: each head's (S, D) plane is a
+    contiguous HBM stream, so the decode flash-attention kernel
+    (ops/flash_decode.py) reads KV tiles as free outer-dim slices (no
+    sublane relayout) and the prefill kernel needs no per-call transpose.
 
     Quantized mode (type_k/type_v q8 analogue, llama.h:357): k/v are int8
-    with per-(pos, head) f32 row scales ks/vs — ~2x cache capacity; rows are
+    with per-(head, pos) f32 row scales ks/vs — ~2x cache capacity; rows are
     quantized on write and dequantized at attention time.
 
     iSWA dual mode (llama_kv_cache_iswa, src/llama-kv-cache-iswa.*): for
@@ -53,9 +58,9 @@ class KVCache:
 
     k: Any
     v: Any
-    ks: Any = None  # (L, B, S, H_kv) f32 row scales when quantized
+    ks: Any = None  # (L, B, H_kv, S) f32 row scales when quantized
     vs: Any = None
-    kw: Any = None  # (L_swa, B, ring, H_kv, D) iSWA ring bank
+    kw: Any = None  # (L_swa, B, H_kv, ring, D) iSWA ring bank
     vw: Any = None
     ring: int = 0  # static ring size (0 = single-cache mode)
 
@@ -82,8 +87,8 @@ class KVCache:
         dual = (iswa and any(flags) and not cfg.swa_chunked
                 and not cfg.kv_lora_rank and dtype not in ("q8", "int8"))
         n_full = cfg.n_layer - sum(flags) if dual else cfg.n_layer
-        shape_k = (n_full, batch, max_len, hkv, dk)
-        shape_v = (n_full, batch, max_len, hkv, dv)
+        shape_k = (n_full, batch, hkv, max_len, dk)
+        shape_v = (n_full, batch, hkv, max_len, dv)
         if dtype in ("q8", "int8"):
             return KVCache(
                 jnp.zeros(shape_k, jnp.int8), jnp.zeros(shape_v, jnp.int8),
@@ -96,8 +101,8 @@ class KVCache:
         n_swa = sum(flags)
         return KVCache(
             jnp.zeros(shape_k, dtype), jnp.zeros(shape_v, dtype),
-            kw=jnp.zeros((n_swa, batch, ring, hkv, dk), dtype),
-            vw=jnp.zeros((n_swa, batch, ring, hkv, dv), dtype),
+            kw=jnp.zeros((n_swa, batch, hkv, ring, dk), dtype),
+            vw=jnp.zeros((n_swa, batch, hkv, ring, dv), dtype),
             ring=ring,
         )
 
@@ -111,7 +116,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def _kv_quant(x):
@@ -127,7 +132,9 @@ def rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)
-    return (y * w.astype(jnp.float32)).astype(x.dtype)
+    if w is not None:  # olmo-style weightless norm (build_norm NULL weight)
+        y = y * w.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(x, w, b, eps):
@@ -135,7 +142,8 @@ def layer_norm(x, w, b, eps):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * w.astype(jnp.float32)
+    if w is not None:
+        y = y * w.astype(jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -219,8 +227,9 @@ def _mm(x, qt: QTensor, dtype, layer=None):
 
 def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
               cfg: ModelConfig, layer_is_swa=False, window=None, sinks=None,
-              scale=None, ring=0):
-    """q: (B,T,H,Dk), k_all/v_all: (B,S,Hkv,D*). Returns (B,T,H,Dv).
+              scale=None, ring=0, kv_q8=None):
+    """q: (B,T,H,Dk), k_all/v_all HEAD-MAJOR: (B,Hkv,S,D*). Returns
+    (B,T,H,Dv).
 
     Masking is slot-based: kv slot s is attendable by the query at slot
     ``q_slots[b, t]`` iff ``valid_from[b] <= s <= q_slots[b, t]``. This
@@ -232,26 +241,61 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     the softmax as a virtual extra key (max and denominator corrections,
     ggml_compute_forward_soft_max, ops.cpp:5369) without a value row — the
     output is scaled by 1 - p_sink.
+
+    kv_q8: optional (k_int8, v_int8, k_scales, v_scales) raw quantized cache
+    views (head-major); when the decode kernel path is taken it consumes the
+    int8 rows directly (halved cache stream) instead of the XLA-dequantized
+    k_all/v_all — the unused dequant is dead-code-eliminated.
     """
     B, T, H, Dk = q.shape
-    S, Hkv = k_all.shape[1], k_all.shape[2]
+    Hkv, S = k_all.shape[1], k_all.shape[2]
     G = H // Hkv
+    Dv = v_all.shape[-1]
     from ..ops.flash_attention import flash_attention, flash_supported
+    from ..ops.flash_decode import flash_decode, flash_decode_supported
     from ..ops.qmm import use_pallas
 
     if (window is None and sinks is None and scale is None and not ring
-            and use_pallas()
-            and flash_supported(T, S, Dk, v_all.shape[-1])):
+            and cfg.alibi_max_bias == 0 and use_pallas()
+            and flash_supported(T, S, Dk, Dv)):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
-        # score materialization); decode/small-T keeps the XLA einsum path
+        # score materialization)
         return flash_attention(q, k_all, v_all, q_slots, kv_positions,
                                positions, valid_from, cfg, layer_is_swa)
+    static_swa = isinstance(layer_is_swa, bool) and (
+        window is None or isinstance(window, int))
+    if (not ring and use_pallas() and static_swa
+            and cfg.alibi_max_bias == 0
+            and flash_decode_supported(B, T, S, Dk, Dv, Hkv)):
+        # decode / short verify bursts: KV-resident online-softmax kernel —
+        # reads only ceil(pos/TS) cache tiles instead of the full padded S.
+        # Falls through to XLA when the window is a traced per-layer value
+        # (interleaved SWA inside one scan) — that path uses the dual cache
+        # or the einsum fallback.
+        win = 0
+        if layer_is_swa and (cfg.sliding_window or window is not None):
+            win = int(window if window is not None else cfg.sliding_window)
+        if kv_q8 is not None:
+            kq, vq, ksc, vsc = kv_q8
+            return flash_decode(q, kq, vq, q_slots, positions, valid_from,
+                                cfg, window=win, sinks=sinks, scale=scale,
+                                k_scales=ksc, v_scales=vsc)
+        return flash_decode(q, k_all, v_all, q_slots, positions, valid_from,
+                            cfg, window=win, sinks=sinks, scale=scale)
     if scale is None:
         scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
     qf = q.reshape(B, T, Hkv, G, Dk)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, k_all,
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, k_all,
                         preferred_element_type=jnp.float32)
     scores = scores * scale
+    if cfg.alibi_max_bias > 0:
+        # ALiBi: scores += slope_h * (kv_pos - q_pos); slope schedule per
+        # ggml_compute_forward_soft_max (ops.cpp) max_bias semantics
+        sl = jnp.asarray(alibi_slopes(H, cfg.alibi_max_bias)
+                         ).reshape(1, Hkv, G, 1, 1)
+        delta = (kv_positions[:, None, None, None, :].astype(jnp.float32)
+                 - positions[:, None, None, :, None].astype(jnp.float32))
+        scores = scores + sl * delta
     if cfg.attn_logit_softcap:
         scores = jnp.tanh(scores / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
     kv_slot = jnp.arange(S)[None, None, None, None, :]  # (1,1,1,1,S)
@@ -289,9 +333,23 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     else:
         probs = jax.nn.softmax(scores, axis=-1)
         probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
-    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(q.dtype), v_all,
+    # merge (g, t) into one free dim: a two-free-dim lhs dot is unsupported
+    # by the CPU runtime's bf16 DotThunk (TPU is fine either way)
+    pm = probs.astype(q.dtype).reshape(B, Hkv, G * T, S)
+    out = jnp.einsum("bhrs,bhsd->bhrd", pm, v_all,
                      preferred_element_type=jnp.float32)
+    out = out.reshape(B, Hkv, G, T, Dv).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, T, H, -1).astype(q.dtype)
+
+
+def alibi_slopes(n_head: int, max_bias: float) -> np.ndarray:
+    """Per-head ALiBi slopes (ggml_compute_forward_soft_max schedule)."""
+    n2 = 1 << int(np.floor(np.log2(n_head)))
+    m0 = 2.0 ** (-max_bias / n2)
+    m1 = 2.0 ** (-(max_bias / 2.0) / n2)
+    return np.asarray(
+        [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1)
+         for h in range(n_head)], np.float32)
 
 
 def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
@@ -411,6 +469,10 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
             u = _mm(x, qw["ffn_up"], dtype, li)
         g = _lora_add(g, x, p, "ffn_gate", dtype)
         u = _lora_add(u, x, p, "ffn_up", dtype)
+        if "ffn_gate_b" in p:
+            g = g + p["ffn_gate_b"].astype(dtype)
+        if "ffn_up_b" in p:
+            u = u + p["ffn_up_b"].astype(dtype)
         if cfg.act_fn == "silu":
             h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
         elif cfg.act_fn == "gelu":
@@ -425,9 +487,13 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
     else:
         u = _mm(x, qw["ffn_up"], dtype, li)
         u = _lora_add(u, x, p, "ffn_up", dtype)
+        if "ffn_up_b" in p:
+            u = u + p["ffn_up_b"].astype(dtype)
         uf = u.astype(jnp.float32)
         h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
     out = _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
+    if "ffn_down_b" in p:
+        out = out + p["ffn_down_b"].astype(dtype)
     return (out, h) if want_mid else out
 
 
@@ -473,6 +539,12 @@ def forward(
         x = params["tok_embd"].take_rows(tokens, dtype)  # gather-then-dequant
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
+    if "pos_embd" in params:
+        # learned absolute positions (gpt2/starcoder: LLM_TENSOR_POS_EMBD)
+        x = x + jnp.take(params["pos_embd"], positions, axis=0).astype(dtype)
+    if "tok_norm" in params:
+        # bloom: layernorm directly on the embedding (tok_norm)
+        x = _norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg)
     cos, sin = rope_cache(cfg, positions)
 
     S = cache.max_len
@@ -508,11 +580,14 @@ def forward(
     ring_run = False
 
     def _store(buf, val, bi=None, si=None, wrap=False):
+        # buf head-major (B, Hkv, S[, D]); val (B, T, Hkv[, D])
+        vt = (val.transpose(0, 2, 1, 3) if val.ndim == 4
+              else val.transpose(0, 2, 1)).astype(buf.dtype)
         if uniform and not wrap:  # wrap: ring writes may cross the ring end
             return jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype),
-                (0, cache_pos[0]) + (0,) * (buf.ndim - 2))
-        return buf.at[(bi, si)].set(val.astype(buf.dtype))
+                buf, vt, (0, 0, cache_pos[0]) + (0,) * (buf.ndim - 3))
+        hh = jnp.arange(buf.shape[1])[None, :, None]
+        return buf.at[(bi[:, None, :], hh, si[:, None, :])].set(vt)
 
     def _view(buf):
         if uniform:
@@ -521,14 +596,21 @@ def forward(
 
     def _attend_qkv(q, k, v, p, kv, li=None):
         """Flat q/k/v rows -> (q heads, kv views, updated cache parts)."""
+        if cfg.attn_qk_norm_flat:
+            # mpt qk_ln / olmoe: norm over the FLATTENED projection rows
+            q = _norm(q, p.get("q_norm"), p.get("q_norm_b"), cfg)
+            k = _norm(k, p.get("k_norm"), p.get("k_norm_b"), cfg)
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
         if cfg.attn_qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
-        q_r = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
-        k_r = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+        if not cfg.use_rope:
+            q_r, k_r = q, k
+        else:
+            q_r = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
+            k_r = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
         if cfg.qk_l2_norm:  # llama4 Llama4TextL2Norm on rope layers
             ones = jnp.ones((cfg.head_dim,), jnp.float32)
             q_r = rms_norm(q_r, ones, cfg.rms_eps)
@@ -554,6 +636,7 @@ def forward(
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
         bi = slot0 + rows[:, None]
         si = q_slots % cache.ring if ring_run else q_slots
+        kv_q8 = None
         if kv_quant:
             k_cache, v_cache, ks_c, vs_c = kv
             kq, k_sc = _kv_quant(k)
@@ -566,6 +649,8 @@ def forward(
                       * _view(ks_c)[..., None]).astype(dtype)
             v_view = (_view(v_cache).astype(jnp.float32)
                       * _view(vs_c)[..., None]).astype(dtype)
+            kv_q8 = (_view(k_cache), _view(v_cache),
+                     _view(ks_c), _view(vs_c))
             kv = (k_cache, v_cache, ks_c, vs_c)
         else:
             k_cache, v_cache = kv
@@ -574,10 +659,10 @@ def forward(
             k_view = _view(k_cache).astype(dtype)
             v_view = _view(v_cache).astype(dtype)
             kv = (k_cache, v_cache)
-        return q, k_view, v_view, kv
+        return q, k_view, v_view, kv, kv_q8
 
     def _attend(q, k, v, p, kv, li=None):
-        q, k_view, v_view, kv = _attend_qkv(q, k, v, p, kv, li)
+        q, k_view, v_view, kv, kv_q8 = _attend_qkv(q, k, v, p, kv, li)
         sinks = p.get("attn_sinks")  # per-head sink logits (gpt-oss)
         if dual:
             # iSWA dual cache: the run's SWA-ness is static — ring-masked
@@ -586,7 +671,8 @@ def forward(
             att = attention(q, k_view, v_view, q_slots, kv_positions,
                             positions, valid_from, cfg, ring_run,
                             sinks=sinks,
-                            ring=cache.ring if ring_run else 0)
+                            ring=cache.ring if ring_run else 0,
+                            kv_q8=kv_q8)
         elif cfg.sliding_window and cfg.swa_pattern > 1 and li is not None:
             # interleaved local/global layers (gemma2/3, cohere2 style:
             # every swa_pattern-th layer is full attention,
@@ -600,7 +686,8 @@ def forward(
         else:
             is_swa = bool(cfg.sliding_window) and cfg.swa_pattern <= 1
             att = attention(q, k_view, v_view, q_slots, kv_positions,
-                            positions, valid_from, cfg, is_swa, sinks=sinks)
+                            positions, valid_from, cfg, is_swa, sinks=sinks,
+                            kv_q8=kv_q8)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
     def _attend_mla(h, p, kv, li):
@@ -691,7 +778,7 @@ def forward(
     def layer(carry, inp):
         x = carry
         p, kv, li = inp
-        h = _norm(x, p["attn_norm"], p.get("attn_norm_b"), cfg)
+        h = _norm(x, p.get("attn_norm"), p.get("attn_norm_b"), cfg)
         if cfg.kv_lora_rank > 0 and "wkv_a" in qw:
             att, kv = _attend_mla(h, p, kv, li)
             att_in = att
@@ -699,7 +786,7 @@ def forward(
             if tp_axis:
                 att = jax.lax.psum(att.astype(jnp.float32), tp_axis).astype(dtype)
             x = x + att
-            h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            h2 = _norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
             if cfg.n_expert > 0 and "moe_gate_inp" in qw:
                 f, hmid = moe_ffn(h2, p, qw, li, cfg, dtype), None
             else:
@@ -746,6 +833,8 @@ def forward(
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
+        if "bo" in p:
+            att = att + p["bo"].astype(dtype)
         if tp_axis:  # Megatron row-parallel wo: partial sums -> all-reduce
             att = jax.lax.psum(att.astype(jnp.float32), tp_axis).astype(dtype)
         if cfg.post_norms and "post_attn_norm" in p:
@@ -756,14 +845,19 @@ def forward(
             return ffn(inp, qw, li, cfg, dtype, p, want_mid=True)
 
         if cfg.parallel_residual:
-            f, hmid = _ffn(h)
-            h2 = h
+            if "attn_norm_2" in p:  # falcon-40B: separate parallel ffn norm
+                h2 = _norm(x, p["attn_norm_2"], p.get("attn_norm_2_b"), cfg)
+            elif "ffn_norm" in p:  # gptneox: ln_2 over the layer input
+                h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            else:  # phi2 / falcon-7B: ffn shares the attention norm
+                h2 = h
+            f, hmid = _ffn(h2)
             if tp_axis:
                 f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
             x = x + att + f
         else:
             x = x + att
-            h2 = _norm(x, p["ffn_norm"], p.get("ffn_norm_b"), cfg)
+            h2 = _norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
             f, hmid = _ffn(h2)
             if tp_axis:  # row-parallel ffn_down partials
                 f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
@@ -825,7 +919,10 @@ def forward(
             and _use_pallas()
             and "ffn_norm" in gl
             and "ffn_norm_b" not in gl
+            and not any(k in gl for k in ("bo", "ffn_up_b", "ffn_down_b",
+                                          "ffn_gate_b", "attn_norm_2"))
             and not cfg.attn_bias
+            and not cfg.attn_qk_norm_flat
             and cfg.kv_lora_rank == 0
             and not any(k.startswith("lora_") for k in gl)
             and _block_supported(cfg, qw)
@@ -895,9 +992,11 @@ def forward(
         # lm_head over one position only (prefill chunks need just the last
         # real token's logits; skips the vocab matmul for the other T-1 rows)
         x = jax.lax.dynamic_slice_in_dim(x, jnp.asarray(logits_idx, jnp.int32), 1, axis=1)
-    x = _norm(x, params["output_norm"], params.get("output_norm_b"), cfg)
+    x = _norm(x, params.get("output_norm"), params.get("output_norm_b"), cfg)
     hidden = x
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:  # command-r/jais f_logit_scale
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     if collect_stats:

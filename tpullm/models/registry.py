@@ -62,6 +62,46 @@ ARCH_REGISTRY: dict[str, dict] = {
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),
     "command-r": dict(rope_type="norm", norm_type="layernorm", parallel_residual=True),
+    # ---- legacy GPT family (layernorm + biases, learned/ALiBi positions,
+    # src/models/{gpt2,starcoder,bloom,mpt,jais,codeshell}.cpp) ----
+    "gpt2": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
+                 attn_bias=True, use_rope=False),
+    "starcoder": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
+                      attn_bias=True, use_rope=False),
+    "codeshell": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu",
+                      ffn_gate=False, attn_bias=True),
+    "bloom": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
+                  attn_bias=True, use_rope=False),
+    "mpt": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
+                use_rope=False, attn_qk_norm_flat=True),
+    "jais": dict(norm_type="layernorm", act_fn="silu", attn_bias=True,
+                 use_rope=False),
+    # falcon (src/models/falcon.cpp): parallel attention+FFN off the attn
+    # norm (7B) or a second norm (40B, attn_norm_2)
+    "falcon": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu",
+                   ffn_gate=False, parallel_residual=True),
+    # olmo-1 (src/models/olmo.cpp): weightless layernorm, optional clamp
+    "olmo": dict(rope_type="norm", norm_type="layernorm"),
+    "olmoe": dict(rope_type="neox", attn_qk_norm_flat=True),
+    "dbrx": dict(rope_type="neox", norm_type="layernorm",
+                 expert_weights_norm=True),
+    "nemotron": dict(rope_type="neox", norm_type="layernorm", act_fn="relu2",
+                     ffn_gate=False, attn_bias=True),
+    # chatglm/glm4 (src/models/{chatglm,glm4}.cpp): partial rope; glm4 adds
+    # gemma2-style post norms
+    "chatglm": dict(rope_type="norm", attn_bias=True),
+    "glm4": dict(rope_type="norm", post_norms=True),
+    "orion": dict(rope_type="neox", norm_type="layernorm"),
+    "baichuan": dict(rope_type="norm"),
+    "xverse": dict(rope_type="norm"),
+    "qwen": dict(rope_type="neox", attn_bias=True),
+    "plamo": dict(rope_type="neox", parallel_residual=True),
+    # llama-shaped singles (src/models/{arcee,ernie4-5,seed-oss,...}.cpp)
+    "arcee": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
+    "ernie4.5": dict(rope_type="norm"),
+    "seed_oss": dict(rope_type="neox"),
+    "hunyuan-dense": dict(rope_type="neox", attn_qk_norm=True),
+    "granitemoe": dict(rope_type="norm"),
 }
 
 

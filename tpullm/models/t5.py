@@ -144,13 +144,13 @@ def _pos_bias(rel_b, kv_pos, q_pos, n_buckets, bidirectional):
 # ----------------------------------------------------------------- graphs
 
 def _attn(q, k, v, bias, mask, cfg, dtype):
-    """q (B,T,H,D), k/v (B,S,Hkv,D), bias (H,T,S)|None, mask (B,1,T,S)|None.
-    Scale 1.0 (T5 convention)."""
+    """q (B,T,H,D), k/v HEAD-MAJOR (B,Hkv,S,D), bias (H,T,S)|None,
+    mask (B,1,T,S)|None. Scale 1.0 (T5 convention)."""
     B, T, H, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
     G = H // Hkv
     qf = q.reshape(B, T, Hkv, G, D)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, k,
+    scores = jnp.einsum("bthgd,bhsd->bhgts", qf, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias.reshape(Hkv, G, *bias.shape[1:])[None]
@@ -158,9 +158,13 @@ def _attn(q, k, v, bias, mask, cfg, dtype):
         scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     p = jnp.where(jnp.isnan(p), 0.0, p)
-    out = jnp.einsum("bhgts,bshd->bthgd", p.astype(dtype), v,
+    # merged free dim (see models.llama.attention: CPU bf16 DotThunk)
+    S = k.shape[2]
+    pm = p.astype(dtype).reshape(B, Hkv, G * T, S)
+    out = jnp.einsum("bhrs,bhsd->bhrd", pm, v,
                      preferred_element_type=jnp.float32)
-    return out.reshape(B, T, H * D).astype(dtype)
+    out = out.reshape(B, Hkv, G, T, -1).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, T, H, -1).reshape(B, T, -1).astype(dtype)
 
 
 def _ffn(h, p, qw, li, cfg, dtype):
@@ -201,7 +205,8 @@ def encode(params, cfg: ModelConfig, tokens, n_valid=None,
         k = _mm(h, qw["wk"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = _mm(h, qw["wv"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
         bias = _pos_bias(rel_b0, pos, pos, cfg.n_rel_attn_bkts, True)
-        att = _attn(q, k, v, bias, mask, cfg, dtype)
+        att = _attn(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                    bias, mask, cfg, dtype)
         x = x + _mm(att, qw["wo"], dtype, li)
         h2 = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
         return x + _ffn(h2, p, qw, li, cfg, dtype), ()
@@ -214,7 +219,7 @@ def encode(params, cfg: ModelConfig, tokens, n_valid=None,
 
 def cross_kv(params, cfg: ModelConfig, enc_out, dtype=jnp.bfloat16):
     """Precompute every decoder layer's cross K/V from the encoder output:
-    (L, B, S_enc, Hkv, D) pair (computed once per request)."""
+    head-major (L, B, Hkv, S_enc, D) pair (computed once per request)."""
     gl = params["dec_layers"]
     qw, fl = _split(gl)
     B, S, _ = enc_out.shape
@@ -225,7 +230,7 @@ def cross_kv(params, cfg: ModelConfig, enc_out, dtype=jnp.bfloat16):
             B, S, cfg.n_head_kv, cfg.head_dim)
         v = _mm(enc_out, qw["wv_x"], dtype, li).reshape(
             B, S, cfg.n_head_kv, cfg.head_dim_v)
-        return (), (k, v)
+        return (), (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     L = next(iter(gl.values())).shape[0]
     _, (ks, vs) = jax.lax.scan(layer, (), jnp.arange(L))
@@ -236,7 +241,7 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
                 cross_k, cross_v, enc_valid, cache_pos, dtype=jnp.bfloat16,
                 logits_idx=None):
     """Decoder forward over (B, T) new tokens with a standard self KV cache
-    (k/v (L, B, S, Hkv, D)) + the precomputed cross K/V. Returns
+    (k/v head-major (L, B, Hkv, S, D)) + the precomputed cross K/V. Returns
     (logits f32, new cache)."""
     from .llama import KVCache
 
@@ -250,7 +255,7 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
     q_slots = cache_pos + jnp.arange(T)  # (T,)
     kv_slot = jnp.arange(S)
     self_mask = (kv_slot[None, :] <= q_slots[:, None])[None, None]  # (1,1,T,S)
-    enc_mask = (jnp.arange(cross_k.shape[2])[None, :]
+    enc_mask = (jnp.arange(cross_k.shape[3])[None, :]
                 < enc_valid[:, None])[:, None, None]  # (B,1,1,S_enc)
     rel_b0 = params["dec_rel_b"]
 
@@ -261,10 +266,12 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
         q = _mm(h, qw["wq"], dtype, li).reshape(B, T, H, cfg.head_dim)
         k = _mm(h, qw["wk"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = _mm(h, qw["wv"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype),
-                                          (0, cache_pos, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype),
-                                          (0, cache_pos, 0, 0))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.transpose(0, 2, 1, 3).astype(kc.dtype),
+            (0, 0, cache_pos, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.transpose(0, 2, 1, 3).astype(vc.dtype),
+            (0, 0, cache_pos, 0))
         bias = _pos_bias(rel_b0, kv_slot, q_slots, cfg.n_rel_attn_bkts, False)
         att = _attn(q, kc.astype(dtype), vc.astype(dtype), bias,
                     jnp.broadcast_to(self_mask, (B, 1, T, S)), cfg, dtype)
@@ -273,7 +280,7 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
         hc = rms_norm(x, p["cross_norm"], cfg.rms_eps)
         qx = _mm(hc, qw["wq_x"], dtype, li).reshape(B, T, H, cfg.head_dim)
         attx = _attn(qx, xk, xv, None,
-                     jnp.broadcast_to(enc_mask, (B, 1, T, xk.shape[1])),
+                     jnp.broadcast_to(enc_mask, (B, 1, T, xk.shape[2])),
                      cfg, dtype)
         x = x + _mm(attx, qw["wo_x"], dtype, li)
         h2 = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
@@ -318,9 +325,9 @@ class T5Engine:
         xk, xv = self._cross(self.params, enc)
         dec_n = next(iter(self.params["dec_layers"].values())).shape[0]
         cache = KVCache(
-            jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+            jnp.zeros((dec_n, 1, cfg.n_head_kv, self.max_seq_len,
                        cfg.head_dim), self.dtype),
-            jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+            jnp.zeros((dec_n, 1, cfg.n_head_kv, self.max_seq_len,
                        cfg.head_dim_v), self.dtype))
         start = cfg.raw_kv.get(f"{cfg.arch}.decoder_start_token_id")
         cur = int(start) if start is not None else 0

@@ -141,10 +141,12 @@ def flash_attention(q, k_all, v_all, q_slots, kv_positions, positions,
                     valid_from, cfg, layer_is_swa: bool = False,
                     interpret: bool = False):
     """Same contract as models.llama.attention: q (B,T,H,Dk),
-    k/v (B,S,Hkv,D*) -> (B,T,H,Dv)."""
+    k/v HEAD-MAJOR (B,Hkv,S,D*) -> (B,T,H,Dv). The head-major cache layout
+    means K/V stream into the kernel exactly as stored — no per-call
+    transpose copies."""
     B, T, H, Dk = q.shape
-    S = k_all.shape[1]
-    Hkv = k_all.shape[2]
+    Hkv = k_all.shape[1]
+    S = k_all.shape[2]
     Dv = v_all.shape[-1]
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / float(np.sqrt(cfg.head_dim))
     window = cfg.sliding_window if layer_is_swa else 0
@@ -154,8 +156,8 @@ def flash_attention(q, k_all, v_all, q_slots, kv_positions, positions,
     assert TQ and TS, (T, S)
 
     qh = q.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # (B, H, T, Dk)
-    kh = k_all.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
-    vh = v_all.transpose(0, 2, 1, 3).astype(jnp.bfloat16)
+    kh = k_all.astype(jnp.bfloat16)
+    vh = v_all.astype(jnp.bfloat16)
 
     fn = _build(B, H, Hkv, T, S, Dk, Dv, TQ, TS, float(scale),
                 float(cfg.attn_logit_softcap), int(window), interpret)

@@ -83,7 +83,7 @@ class TPEngine:
         self.pspecs = _pspec_tree(params, mesh)
 
         cfgl = self.cfg_local
-        kv_spec = P(None, None, None, "tp", None)  # heads sharded
+        kv_spec = P(None, None, "tp", None, None)  # heads sharded
 
         def step(params, tokens, positions, cache, cache_pos, valid_from):
             logits, cache = forward(

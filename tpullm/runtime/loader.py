@@ -34,6 +34,8 @@ LAYER_TENSORS = {
     "attn_v.bias": "bv",
     "attn_output.bias": "bo",
     "attn_q_norm.weight": "q_norm",
+    "attn_q_norm.bias": "q_norm_b",
+    "attn_k_norm.bias": "k_norm_b",
     "attn_k_norm.weight": "k_norm",
     # MLA (deepseek2 family, src/models/deepseek2.cpp load_arch_tensors)
     "attn_q_a.weight": "wq_a",
@@ -273,6 +275,11 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 layers[key] = _stack_qtensors(seg, device_put=False)
             else:
                 layers[key] = np.stack(seg)
+        if cfg.arch == "dbrx" and "attn_out_norm" in layers:
+            # dbrx's attn_output_norm plays the ffn_norm role
+            # (src/models/dbrx.cpp: build_norm(ffn_inp, attn_out_norm))
+            layers["ffn_norm"] = layers.pop("attn_out_norm")
+            layers.pop("attn_out_norm_b", None)
         if cfg.kv_lora_rank > 0:
             layers = _mla_prepare(layers, cfg)
         if fuse:

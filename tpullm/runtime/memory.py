@@ -91,12 +91,12 @@ class SlotMemory:
             "version": 1,
             "tokens": np.asarray(st.tokens[:n], np.int32),
             # f32 on disk: npz cannot round-trip ml_dtypes bfloat16
-            "k": np.asarray(self.cache.k[:, slot, :n], np.float32),
-            "v": np.asarray(self.cache.v[:, slot, :n], np.float32),
+            "k": np.asarray(self.cache.k[:, slot, :, :n], np.float32),
+            "v": np.asarray(self.cache.v[:, slot, :, :n], np.float32),
         }
         if self.cache.quantized:  # store dequantized rows (portable)
-            blob["k"] = blob["k"] * np.asarray(self.cache.ks[:, slot, :n])[..., None]
-            blob["v"] = blob["v"] * np.asarray(self.cache.vs[:, slot, :n])[..., None]
+            blob["k"] = blob["k"] * np.asarray(self.cache.ks[:, slot, :, :n])[..., None]
+            blob["v"] = blob["v"] * np.asarray(self.cache.vs[:, slot, :, :n])[..., None]
         return blob
 
     def load_slot(self, slot: int, blob: dict) -> int:
@@ -112,17 +112,17 @@ class SlotMemory:
             kq, ksc = _kv_quant(jnp.asarray(blob["k"], jnp.float32))
             vq, vsc = _kv_quant(jnp.asarray(blob["v"], jnp.float32))
             self.cache = KVCache(
-                self.cache.k.at[:, slot, :n].set(kq),
-                self.cache.v.at[:, slot, :n].set(vq),
-                self.cache.ks.at[:, slot, :n].set(ksc),
-                self.cache.vs.at[:, slot, :n].set(vsc),
+                self.cache.k.at[:, slot, :, :n].set(kq),
+                self.cache.v.at[:, slot, :, :n].set(vq),
+                self.cache.ks.at[:, slot, :, :n].set(ksc),
+                self.cache.vs.at[:, slot, :, :n].set(vsc),
             )
         else:
             k = jnp.asarray(blob["k"], self.cache.k.dtype)
             v = jnp.asarray(blob["v"], self.cache.v.dtype)
             self.cache = KVCache(
-                self.cache.k.at[:, slot, :n].set(k),
-                self.cache.v.at[:, slot, :n].set(v),
+                self.cache.k.at[:, slot, :, :n].set(k),
+                self.cache.v.at[:, slot, :, :n].set(v),
             )
         st = self.slots[slot]
         st.tokens = toks
@@ -143,7 +143,7 @@ class SlotMemory:
         llama_state_get_data analogue, include/llama.h:770-800). Quantized
         caches save raw int8 + scales (no dequant round-trip)."""
         blob = {
-            "version": 2,
+            "version": 3,  # v3: head-major (L, B, Hkv, S, D) cache layout
             "n_slots": np.int32(self.n_slots),
             "max_len": np.int32(self.max_seq_len),
             "k": np.asarray(self.cache.k.astype(jnp.float32)
@@ -162,9 +162,11 @@ class SlotMemory:
     def load_state(self, blob: dict) -> None:
         """Restore a save_state() blob (llama_state_set_data). Shapes must
         match the running configuration."""
-        assert int(blob["version"]) == 2, "unsupported state version"
+        assert int(blob["version"]) == 3, "unsupported state version"
         assert int(blob["n_slots"]) == self.n_slots, "slot count mismatch"
         assert int(blob["max_len"]) == self.max_seq_len, "context size mismatch"
+        assert tuple(blob["k"].shape) == tuple(self.cache.k.shape), \
+            "cache layout mismatch"
         k = jnp.asarray(blob["k"], self.cache.k.dtype)
         v = jnp.asarray(blob["v"], self.cache.v.dtype)
         if self.cache.quantized:
@@ -213,19 +215,27 @@ def _copy_slot(cache: KVCache, src, dst):
 
 def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
     """Roll rows [n_keep+nd, n_past) to [n_keep, n_past-nd) for one slot and
-    apply the RoPE delta rotation theta(-nd) to the moved K rows."""
+    apply the RoPE delta rotation theta(-nd) to the moved K rows.
+
+    The cache is head-major (L, B, Hkv, S, D); the slot slice is transposed
+    to seq-major here (a rare maintenance op — the shift itself is the
+    expensive part) so the roll/rotate logic runs on (L, 1, S, H, D)."""
     S = cache.max_len
     idx = jnp.arange(S)
     moved = (idx >= n_keep) & (idx < n_past - n_discard)
     src = jnp.where(moved, idx + n_discard, idx)
 
-    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)  # (L,1,S,H,D)
-    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    def _slot_sm(buf):  # (L, B, Hkv, S, D) -> seq-major (L, 1, S, Hkv, D)
+        return jax.lax.dynamic_slice_in_dim(
+            buf, slot, 1, axis=1).transpose(0, 1, 3, 2, 4)
+
+    k_slot = _slot_sm(cache.k)
+    v_slot = _slot_sm(cache.v)
     if cache.quantized:  # dequantize this slot, shift in float, requantize
-        ks = jnp.take(jax.lax.dynamic_slice_in_dim(cache.ks, slot, 1, axis=1),
-                      src, axis=2)
-        vs = jnp.take(jax.lax.dynamic_slice_in_dim(cache.vs, slot, 1, axis=1),
-                      src, axis=2)
+        ks = jnp.take(jax.lax.dynamic_slice_in_dim(
+            cache.ks, slot, 1, axis=1).transpose(0, 1, 3, 2), src, axis=2)
+        vs = jnp.take(jax.lax.dynamic_slice_in_dim(
+            cache.vs, slot, 1, axis=1).transpose(0, 1, 3, 2), src, axis=2)
         k_slot = (k_slot.astype(jnp.float32))
         v_slot = (v_slot.astype(jnp.float32))
     k_rolled = jnp.take(k_slot, src, axis=2)
@@ -246,6 +256,12 @@ def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
     def rot_layer(k_l):
         return apply_rope(k_l[None], cosS, sinS, cfg.rope_type, cfg.rope_dim)[0]
 
+    def upd(buf, val):
+        # val seq-major (L, S, H, ...) -> head-major slot row
+        vt = (val.transpose(0, 2, 1, 3) if val.ndim == 4
+              else val.transpose(0, 2, 1))[:, None]
+        return jax.lax.dynamic_update_slice_in_dim(buf, vt, slot, axis=1)
+
     if cache.quantized:
         from ..models.llama import _kv_quant
 
@@ -254,13 +270,11 @@ def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):
                           k_rolled.reshape(L, S, H, D))
         kq, ksc = _kv_quant(k_new)
         vq, vsc = _kv_quant(v_rolled.reshape(L, S, H, -1))
-        upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
-            buf, val[:, None], slot, axis=1)
         return KVCache(upd(cache.k, kq), upd(cache.v, vq),
                        upd(cache.ks, ksc), upd(cache.vs, vsc))
     k_shifted = jax.vmap(rot_layer)(kr).astype(cache.k.dtype)
     k_new = jnp.where(moved[None, :, None, None], k_shifted, k_rolled.reshape(L, S, H, D))
     return KVCache(
-        jax.lax.dynamic_update_slice_in_dim(cache.k, k_new[:, None], slot, axis=1),
-        jax.lax.dynamic_update_slice_in_dim(cache.v, v_rolled, slot, axis=1),
+        upd(cache.k, k_new),
+        upd(cache.v, v_rolled.reshape(L, S, H, -1).astype(cache.v.dtype)),
     )

@@ -792,9 +792,9 @@ class ServerContext:
                 enc = enc_j(self.params, toks, n_valid)
                 xk, xv = cross_j(self.params, enc)
                 cache = KVCache(
-                    jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+                    jnp.zeros((dec_n, 1, cfg.n_head_kv, self.max_seq_len,
                                cfg.head_dim), self.dtype),
-                    jnp.zeros((dec_n, 1, self.max_seq_len, cfg.n_head_kv,
+                    jnp.zeros((dec_n, 1, cfg.n_head_kv, self.max_seq_len,
                                cfg.head_dim_v), self.dtype))
                 r.prefill_done_at = time.time()
                 self.metrics["prompt_tokens_total"] += r.n_prompt

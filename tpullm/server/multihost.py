@@ -82,7 +82,7 @@ class MultiHostEngine:
 
         cache = KVCache.create(self.cfg, 1, self.max_seq_len, self.dtype)
         # single-sequence serving: KV heads shard over tp, batch replicated
-        spec = P(None, None, None, "tp", None)
+        spec = P(None, None, "tp", None, None)
         return jax.tree_util.tree_map(
             lambda a: self._g(np.asarray(a), spec), cache)
 

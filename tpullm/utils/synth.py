@@ -575,6 +575,32 @@ def build_deepseek2_gguf(
     return path
 
 
+# per-arch structural hints for the synthetic fixture generator — the
+# tensor-set quirks the registry's ModelConfig flags don't encode (what the
+# reference declares in each src/models/<arch>.cpp load_arch_tensors)
+SYNTH_HINTS: dict[str, dict] = {
+    "gpt2": dict(pos_embd=True, fused_qkv="bias", dense_bias=True),
+    "starcoder": dict(pos_embd=True, fused_qkv="bias", dense_bias=True),
+    "codeshell": dict(fused_qkv="bias", dense_bias=True, rope_frac=2),
+    "bloom": dict(tok_norm=True, fused_qkv="bias", dense_bias=True,
+                  alibi=8.0),
+    "mpt": dict(fused_qkv=True, qk_norm_flat=True, alibi=8.0),
+    "jais": dict(fused_qkv="bias", dense_bias=True, gate_bias=True,
+                 alibi=8.0, logit_scale=0.45),
+    "falcon": dict(fused_qkv=True, attn_norm_2=True),
+    "olmo": dict(weightless_norm=True, clamp=8.0),
+    "olmoe": dict(qk_norm_flat=True),
+    "dbrx": dict(fused_qkv=True, clamp=8.0, ffn_norm_name="attn_output_norm",
+                 norm_weight_only=True),
+    "nemotron": dict(dense_bias=True, rope_frac=2),
+    "chatglm": dict(fused_qkv="bias", combined_gateup=True, rope_frac=2),
+    "glm4": dict(rope_frac=2, norm_weight_only=True),
+    "qwen": dict(fused_qkv="bias", double_ff=True),
+    "gptneox": dict(ffn_norm_parallel=True),
+    "arcee": dict(attn_scale_kv=0.125),
+}
+
+
 def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                     n_embd: int = 64, n_layer: int = 2, n_head: int = 4,
                     n_head_kv: int = 2, n_ff: int = 96,
@@ -582,13 +608,15 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                     scale: float = 0.05) -> str:
     """Structurally-correct tiny checkpoint for ANY registry arch.
 
-    Consults ARCH_REGISTRY flags and writes exactly the tensors that arch's
-    graph needs (biases, qk-norms, post-norms, MoE experts, sinks, ...) —
-    the per-arch synthetic fixture behind the snapshot harness, mirroring
-    the reference's tests/gguf-model-data.h + test-llama-archs.cpp."""
+    Consults ARCH_REGISTRY flags + SYNTH_HINTS and writes exactly the
+    tensors that arch's graph needs (biases, qk-norms, post-norms, MoE
+    experts, sinks, ...) — the per-arch synthetic fixture behind the
+    snapshot harness, mirroring the reference's tests/gguf-model-data.h +
+    test-llama-archs.cpp."""
     from ..models.registry import get_arch
 
     flags = get_arch(arch)
+    hints = SYNTH_HINTS.get(arch, {})
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_head
     w = GGUFWriter(path, arch=arch)
@@ -596,19 +624,29 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
     w.add_uint32(f"{arch}.context_length", 512)
     w.add_uint32(f"{arch}.embedding_length", n_embd)
     w.add_uint32(f"{arch}.block_count", n_layer)
-    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.feed_forward_length",
+                 2 * n_ff if hints.get("double_ff") else n_ff)
     w.add_uint32(f"{arch}.attention.head_count", n_head)
     w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
     w.add_uint32(f"{arch}.attention.key_length", head_dim)
     w.add_uint32(f"{arch}.attention.value_length", head_dim)
-    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count",
+                 head_dim // hints.get("rope_frac", 1))
     w.add_float32(f"{arch}.rope.freq_base", 10000.0)
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
     if flags.get("swa_pattern", 1) > 1 or arch == "cohere2":
         w.add_uint32(f"{arch}.attention.sliding_window", 32)
-    moe = arch.endswith("moe") or arch in ("mixtral",)
+    if hints.get("alibi"):
+        w.add_float32(f"{arch}.attention.max_alibi_bias", hints["alibi"])
+    if hints.get("clamp"):
+        w.add_float32(f"{arch}.attention.clamp_kqv", hints["clamp"])
+    if hints.get("logit_scale"):
+        w.add_float32(f"{arch}.logit_scale", hints["logit_scale"])
+    if hints.get("attn_scale_kv"):
+        w.add_float32(f"{arch}.attention.scale", hints["attn_scale_kv"])
+    moe = arch.endswith("moe") or arch in ("mixtral", "dbrx")
     n_expert = 4 if moe else 0
     if moe:
         w.add_uint32(f"{arch}.expert_count", n_expert)
@@ -624,32 +662,66 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
     def addq(name, arr):
         _add_quant_tensor(w, name, arr, qtype)
 
+    weightless = hints.get("weightless_norm", False)
+
     def norm_pair(name, n):
+        if weightless:  # olmo: build_norm with NULL weight/bias
+            return
         w.add_tensor(name + ".weight", np.ones(n, np.float32) + rand(n))
-        if norm_type == "layernorm":
+        if norm_type == "layernorm" and not hints.get("norm_weight_only"):
             w.add_tensor(name + ".bias", rand(n))
 
     addq("token_embd.weight", rand(vocab_size, n_embd))
     addq("output.weight", rand(vocab_size, n_embd))
     norm_pair("output_norm", n_embd)
+    if hints.get("pos_embd"):
+        w.add_tensor("position_embd.weight", rand(512, n_embd))
+    if hints.get("tok_norm"):
+        w.add_tensor("token_embd_norm.weight",
+                     np.ones(n_embd, np.float32) + rand(n_embd))
+        w.add_tensor("token_embd_norm.bias", rand(n_embd))
+    nqkv = (n_head + 2 * n_head_kv) * head_dim
     for i in range(n_layer):
         p = f"blk.{i}."
         norm_pair(p + "attn_norm", n_embd)
-        if not flags.get("parallel_residual"):
-            norm_pair(p + "ffn_norm", n_embd)
-        addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
-        addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
-        addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
-        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
-        if flags.get("attn_bias"):
-            w.add_tensor(p + "attn_q.bias", rand(n_head * head_dim))
-            w.add_tensor(p + "attn_k.bias", rand(n_head_kv * head_dim))
-            w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
+        if hints.get("attn_norm_2"):
+            norm_pair(p + "attn_norm_2", n_embd)
+        if not flags.get("parallel_residual") or hints.get("ffn_norm_parallel"):
+            norm_pair(p + (hints.get("ffn_norm_name", "ffn_norm")) , n_embd)
+        if hints.get("fused_qkv"):
+            addq(p + "attn_qkv.weight", rand(nqkv, n_embd))
+            if hints["fused_qkv"] == "bias":
+                w.add_tensor(p + "attn_qkv.bias", rand(nqkv))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        else:
+            # order matters: rand() consumption must match the committed
+            # snapshots (q/k/v, output, THEN biases)
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+            if flags.get("attn_bias"):
+                w.add_tensor(p + "attn_q.bias", rand(n_head * head_dim))
+                w.add_tensor(p + "attn_k.bias", rand(n_head_kv * head_dim))
+                w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
+        if hints.get("dense_bias"):
+            w.add_tensor(p + "attn_output.bias", rand(n_embd))
         if flags.get("attn_qk_norm"):
             w.add_tensor(p + "attn_q_norm.weight",
                          np.ones(head_dim, np.float32) + rand(head_dim))
             w.add_tensor(p + "attn_k_norm.weight",
                          np.ones(head_dim, np.float32) + rand(head_dim))
+        if hints.get("qk_norm_flat"):  # mpt qk_ln / olmoe: flat-row norms
+            w.add_tensor(p + "attn_q_norm.weight",
+                         np.ones(n_head * head_dim, np.float32)
+                         + rand(n_head * head_dim))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones(n_head_kv * head_dim, np.float32)
+                         + rand(n_head_kv * head_dim))
+            if norm_type == "layernorm":
+                w.add_tensor(p + "attn_q_norm.bias", rand(n_head * head_dim))
+                w.add_tensor(p + "attn_k_norm.bias",
+                             rand(n_head_kv * head_dim))
         if flags.get("post_norms"):
             norm_pair(p + "post_attention_norm", n_embd)
             norm_pair(p + "post_ffw_norm", n_embd)
@@ -663,13 +735,21 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                               rand(n_expert, n_ff, n_embd), qtype)
             _add_quant_tensor(w, p + "ffn_down_exps.weight",
                               rand(n_expert, n_embd, n_ff), qtype)
+        elif hints.get("combined_gateup"):  # chatglm: one [gate;up] tensor
+            addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
         elif ffn_gate:
             addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
             addq(p + "ffn_up.weight", rand(n_ff, n_embd))
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+            if hints.get("gate_bias"):
+                w.add_tensor(p + "ffn_gate.bias", rand(n_ff))
         else:
             addq(p + "ffn_up.weight", rand(n_ff, n_embd))
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        if hints.get("dense_bias"):
+            w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+            w.add_tensor(p + "ffn_down.bias", rand(n_embd))
     w.write()
     return path
 
