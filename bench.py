@@ -162,6 +162,29 @@ def main():
     # subtract one prefill
     tg_tok_s = (N_TG - 1) / max(tg_s - pp_s, 1e-9)
 
+    # decode-at-depth sweep (tg32 @ d{1024,4096,16384}): the reference's
+    # llama-bench depth rows (benches/mac-m2-ultra/mac-m2-ultra.md:47-55).
+    # The decode flash-attention kernel reads only ceil(pos/TS) KV tiles, so
+    # throughput should degrade with actual depth, not with S_max.
+    depth_tg = {}
+    depths = [int(d) for d in os.environ.get(
+        "BENCH_DEPTHS", "1024,4096,16384").split(",") if d]
+    if depths:
+        S_max = max(depths) + 256
+        eng_d = InferenceEngine(cfg, params, max_seq_len=S_max,
+                                compute_dtype=jnp.bfloat16, decode_chunk=32)
+        for d in sorted(depths):
+            dp = [list(range(2, 2 + d))]
+            eng_d.generate(dp, max_new_tokens=2)  # compile + warm
+            t0 = time.time()
+            eng_d.logits_for(dp)
+            pp_d = time.time() - t0
+            t0 = time.time()
+            eng_d.generate(dp, max_new_tokens=33)
+            tg_d = time.time() - t0 - pp_d
+            depth_tg[f"tg32_d{d}"] = round(32 / max(tg_d, 1e-9), 2)
+        del eng_d
+
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown")
     bw_spec = next((v for k, v in HBM_GBPS.items() if k in str(kind).lower()), 819.0)
@@ -183,6 +206,7 @@ def main():
         "synth_s": round(gen_s, 1),
         "parity_nmse": parity_nmse,
         "parity_ok": (parity_nmse is not None and parity_nmse < 1e-4),
+        **depth_tg,
     }
     print(json.dumps(result))
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from tpullm.models.registry import ARCH_REGISTRY
 from tpullm.runtime.engine import InferenceEngine
 from tpullm.runtime.loader import load_model
-from tpullm.utils.synth import build_arch_gguf
+from tpullm.utils.synth import build_arch_gguf, build_deepseek2_gguf
 
 SNAP_DIR = os.path.join(os.path.dirname(__file__), "snapshots")
 UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
@@ -35,7 +35,10 @@ ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 @pytest.mark.parametrize("arch", ARCHS)
 def test_arch_snapshot(arch, tmp_path):
     path = str(tmp_path / f"{arch}.gguf")
-    build_arch_gguf(path, arch, seed=11)
+    if arch in ("minicpm3",):  # MLA family: deepseek2-style tensor set
+        build_deepseek2_gguf(path, arch, seed=11)
+    else:
+        build_arch_gguf(path, arch, seed=11)
     cfg, params, _ = load_model(path)
     assert cfg.arch == arch
 

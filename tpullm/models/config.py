@@ -70,11 +70,15 @@ class ModelConfig:
     logit_scale: float = 1.0  # final logits multiplier (command-r, jais)
     # structure flags
     parallel_residual: bool = False
+    residual_scale: float = 1.0  # granite/minicpm f_residual_scale
     tie_embeddings: bool = False
     norm_type: str = "rmsnorm"  # rmsnorm | layernorm
     act_fn: str = "silu"  # silu | gelu | relu2 | swiglu_oai
     ffn_gate: bool = True  # gated (SwiGLU-style) FFN
     attn_qk_norm: bool = False
+    # maincoder (src/models/maincoder.cpp): per-head q/k RMS applied AFTER
+    # rope instead of the usual pre-rope placement (qwen3 et al.)
+    qk_norm_post_rope: bool = False
     attn_bias: bool = False
     post_norms: bool = False  # gemma-style post-attn/post-ffn norms
     embedding_scale: float = 1.0
@@ -164,11 +168,18 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
             cfg.head_dim = int(k_mla)
         if v_mla:
             cfg.head_dim_v = int(v_mla)
-        cfg.n_layer_dense_lead = int(_k(g, "{arch}.leading_dense_block_count", 0))
         # stored value is 0.1*log_mul (convert-script factor); reference
         # divides it back out ([TAG_DEEPSEEK2_YARN_LOG_MUL_FIX])
         cfg.rope_yarn_log_mul = float(
             _k(g, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0) / 0.1
+    cfg.n_layer_dense_lead = int(
+        _k(g, "{arch}.leading_dense_block_count", 0) or 0)
+    es = _k(g, "{arch}.embedding_scale")
+    if es is not None:
+        cfg.embedding_scale = float(es)
+    rs = _k(g, "{arch}.residual_scale")
+    if rs is not None:
+        cfg.residual_scale = float(rs)
     ew_scale = _k(g, "{arch}.expert_weights_scale")
     if ew_scale is not None:
         cfg.expert_weights_scale = float(ew_scale)

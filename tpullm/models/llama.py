@@ -603,7 +603,7 @@ def forward(
         q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
-        if cfg.attn_qk_norm:
+        if cfg.attn_qk_norm and not cfg.qk_norm_post_rope:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if not cfg.use_rope:
@@ -611,6 +611,9 @@ def forward(
         else:
             q_r = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
             k_r = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+        if cfg.attn_qk_norm and cfg.qk_norm_post_rope:  # maincoder
+            q_r = rms_norm(q_r, p["q_norm"], cfg.rms_eps)
+            k_r = rms_norm(k_r, p["k_norm"], cfg.rms_eps)
         if cfg.qk_l2_norm:  # llama4 Llama4TextL2Norm on rope layers
             ones = jnp.ones((cfg.head_dim,), jnp.float32)
             q_r = rms_norm(q_r, ones, cfg.rms_eps)
@@ -844,6 +847,8 @@ def forward(
                 return moe_ffn(inp, p, qw, li, cfg, dtype), None
             return ffn(inp, qw, li, cfg, dtype, p, want_mid=True)
 
+        if cfg.residual_scale != 1.0:  # granite/minicpm f_residual_scale
+            att = (att.astype(jnp.float32) * cfg.residual_scale).astype(dtype)
         if cfg.parallel_residual:
             if "attn_norm_2" in p:  # falcon-40B: separate parallel ffn norm
                 h2 = _norm(x, p["attn_norm_2"], p.get("attn_norm_2_b"), cfg)
@@ -863,6 +868,8 @@ def forward(
                 f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
             if cfg.post_norms and "post_ffn_norm" in p:
                 f = _norm(f, p["post_ffn_norm"], None, cfg)
+            if cfg.residual_scale != 1.0:
+                f = (f.astype(jnp.float32) * cfg.residual_scale).astype(dtype)
             x = x + f
         if collect_stats:
             # per-column sum(x^2) of each matmul's input over the ubatch

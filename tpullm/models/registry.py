@@ -98,10 +98,36 @@ ARCH_REGISTRY: dict[str, dict] = {
     "plamo": dict(rope_type="neox", parallel_residual=True),
     # llama-shaped singles (src/models/{arcee,ernie4-5,seed-oss,...}.cpp)
     "arcee": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
-    "ernie4.5": dict(rope_type="norm"),
+    "ernie4_5": dict(rope_type="norm"),
     "seed_oss": dict(rope_type="neox"),
     "hunyuan-dense": dict(rope_type="neox", attn_qk_norm=True),
     "granitemoe": dict(rope_type="norm"),
+    # ---- MoE family batch (src/models/{ernie4-5-moe,glm4-moe,phimoe,
+    # exaone-moe,dots1,bailingmoe,hunyuan-moe}.cpp) ----
+    "ernie4_5-moe": dict(rope_type="norm"),
+    "glm4moe": dict(rope_type="neox", attn_qk_norm=True),
+    "phimoe": dict(rope_type="neox", norm_type="layernorm"),
+    "exaone-moe": dict(rope_type="neox", attn_qk_norm=True),
+    "dots1": dict(rope_type="neox", attn_qk_norm=True),
+    "bailingmoe": dict(rope_type="norm"),
+    "hunyuan-moe": dict(rope_type="neox", attn_qk_norm=True),
+    # minicpm3 (src/models/minicpm3.cpp): MLA attention like deepseek2
+    "minicpm3": dict(rope_type="neox"),
+    # refact (src/models/refact.cpp): ALiBi hardcoded to 8.0 (no GGUF KV),
+    # which also disables rope (llama_model_rope_type -> NONE)
+    "refact": dict(alibi_max_bias=8.0),
+    # jais2 (src/models/jais2.cpp): layernorm + relu2 no-gate MLP, biases on
+    # attention and FFN projections
+    "jais2": dict(rope_type="neox", norm_type="layernorm", act_fn="relu2",
+                  ffn_gate=False, attn_bias=True),
+    # pangu-embedded (src/models/pangu-embed.cpp): llama-shape, wo bias
+    "pangu-embedded": dict(rope_type="neox"),
+    # maincoder (src/models/maincoder.cpp): per-head qk norm AFTER rope
+    "maincoder": dict(rope_type="norm", attn_qk_norm=True,
+                      qk_norm_post_rope=True),
+    # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
+    # rope, every layer MoE with router probs bias
+    "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),
 }
 
 

@@ -280,6 +280,11 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             # (src/models/dbrx.cpp: build_norm(ffn_inp, attn_out_norm))
             layers["ffn_norm"] = layers.pop("attn_out_norm")
             layers.pop("attn_out_norm_b", None)
+        if (cfg.arch == "glm4moe" and "post_attn_norm" in layers
+                and "ffn_norm" not in layers):
+            # glm4moe's post_attention_norm IS the pre-ffn norm
+            # (src/models/glm4-moe.cpp: build_norm(ffn_inp, attn_post_norm))
+            layers["ffn_norm"] = layers.pop("post_attn_norm")
         if cfg.kv_lora_rank > 0:
             layers = _mla_prepare(layers, cfg)
         if fuse:

@@ -497,6 +497,7 @@ def build_mamba2_gguf(
 
 def build_deepseek2_gguf(
     path: str,
+    arch: str = "deepseek2",
     *,
     vocab_size: int = 512,
     n_embd: int = 128,
@@ -522,9 +523,8 @@ def build_deepseek2_gguf(
     differential tests cross-check the MLA algebra end to end."""
     rng = np.random.default_rng(seed)
     head_dim = qk_nope + qk_rope
-    arch = "deepseek2"
     w = GGUFWriter(path, arch=arch)
-    w.add_string("general.name", "synth-deepseek2")
+    w.add_string("general.name", f"synth-{arch}")
     w.add_uint32(f"{arch}.context_length", n_ctx)
     w.add_uint32(f"{arch}.embedding_length", n_embd)
     w.add_uint32(f"{arch}.block_count", n_layer)
@@ -598,6 +598,27 @@ SYNTH_HINTS: dict[str, dict] = {
     "qwen": dict(fused_qkv="bias", double_ff=True),
     "gptneox": dict(ffn_norm_parallel=True),
     "arcee": dict(attn_scale_kv=0.125),
+    # MoE family quirks: router probs bias, always-on shared experts,
+    # leading dense layers, sigmoid gating (build_moe_ffn contract A.6)
+    "ernie4_5-moe": dict(moe=True, moe_probs_b=True, moe_shexp=True,
+                         dense_lead=1, gating=2, ew_scale=1.5, ew_norm=True),
+    "glm4moe": dict(moe=True, moe_probs_b=True, moe_shexp=True, dense_lead=1,
+                    gating=2, ffn_norm_name="post_attention_norm"),
+    "phimoe": dict(moe=True),
+    "exaone-moe": dict(moe=True, moe_probs_b=True, moe_shexp=True,
+                       dense_lead=1, gating=2),
+    "dots1": dict(moe=True, moe_probs_b=True, dense_lead=1, ew_norm=True),
+    "bailingmoe": dict(moe=True, moe_shexp=True, dense_lead=1,
+                       ew_scale=2.0, ew_norm=True),
+    "hunyuan-moe": dict(moe=True, moe_shexp=True),
+    "granitemoe": dict(moe=True, residual_scale=0.5),
+    # jais2: biases on attn output + up/down MLP (src/models/jais2.cpp)
+    "jais2": dict(dense_bias=True),
+    # pangu-embedded: only the attention output projection has a bias
+    "pangu-embedded": dict(wo_bias=True),
+    # minimax-m2: all-MoE, sigmoid routing with probs bias, flat qk norms
+    "minimax-m2": dict(moe=True, moe_probs_b=True, gating=2,
+                       qk_norm_flat=True),
 }
 
 
@@ -646,11 +667,22 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
         w.add_float32(f"{arch}.logit_scale", hints["logit_scale"])
     if hints.get("attn_scale_kv"):
         w.add_float32(f"{arch}.attention.scale", hints["attn_scale_kv"])
-    moe = arch.endswith("moe") or arch in ("mixtral", "dbrx")
+    if hints.get("residual_scale"):
+        w.add_float32(f"{arch}.residual_scale", hints["residual_scale"])
+    moe = hints.get("moe", arch.endswith("moe") or arch in ("mixtral", "dbrx"))
     n_expert = 4 if moe else 0
+    dense_lead = hints.get("dense_lead", 0)
     if moe:
         w.add_uint32(f"{arch}.expert_count", n_expert)
         w.add_uint32(f"{arch}.expert_used_count", 2)
+        if dense_lead:
+            w.add_uint32(f"{arch}.leading_dense_block_count", dense_lead)
+        if hints.get("gating"):
+            w.add_uint32(f"{arch}.expert_gating_func", hints["gating"])
+        if hints.get("ew_scale"):
+            w.add_float32(f"{arch}.expert_weights_scale", hints["ew_scale"])
+        if hints.get("ew_norm"):
+            w.add_bool(f"{arch}.expert_weights_norm", True)
     add_spm_toy_vocab(w, vocab_size)
 
     norm_type = flags.get("norm_type", "rmsnorm")
@@ -704,7 +736,7 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 w.add_tensor(p + "attn_q.bias", rand(n_head * head_dim))
                 w.add_tensor(p + "attn_k.bias", rand(n_head_kv * head_dim))
                 w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
-        if hints.get("dense_bias"):
+        if hints.get("dense_bias") or hints.get("wo_bias"):
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
         if flags.get("attn_qk_norm"):
             w.add_tensor(p + "attn_q_norm.weight",
@@ -727,7 +759,7 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
             norm_pair(p + "post_ffw_norm", n_embd)
         if arch == "gpt-oss":
             w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
-        if moe:
+        if moe and i >= dense_lead:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             _add_quant_tensor(w, p + "ffn_gate_exps.weight",
                               rand(n_expert, n_ff, n_embd), qtype)
@@ -735,6 +767,12 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                               rand(n_expert, n_ff, n_embd), qtype)
             _add_quant_tensor(w, p + "ffn_down_exps.weight",
                               rand(n_expert, n_embd, n_ff), qtype)
+            if hints.get("moe_probs_b"):
+                w.add_tensor(p + "exp_probs_b.bias", rand(n_expert))
+            if hints.get("moe_shexp"):
+                addq(p + "ffn_gate_shexp.weight", rand(n_ff, n_embd))
+                addq(p + "ffn_up_shexp.weight", rand(n_ff, n_embd))
+                addq(p + "ffn_down_shexp.weight", rand(n_embd, n_ff))
         elif hints.get("combined_gateup"):  # chatglm: one [gate;up] tensor
             addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
