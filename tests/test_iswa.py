@@ -82,6 +82,88 @@ def test_dual_long_context_past_window(model):
     assert ra.tokens == rb.tokens
 
 
+def _serve_greedy(cfg, params, prompts, iswa, max_seq_len=256, n_new=12,
+                  **kw):
+    from tpullm.server.context import GenParams, ServerContext, Task
+
+    ctx = ServerContext(cfg, params, None, n_slots=2,
+                        max_seq_len=max_seq_len, decode_chunk=4,
+                        prefill_chunk=32, compute_dtype=jnp.float32,
+                        iswa=iswa, **kw)
+    ctx.start()
+    try:
+        tasks = [Task(tokens=list(p), params=GenParams(
+            max_tokens=n_new, temperature=0.0, ignore_eos=True))
+            for p in prompts]
+        for t in tasks:
+            ctx.submit(t)
+        outs = []
+        for t in tasks:
+            done = [p for k, p in t.events() if k == "done"]
+            assert done, "task errored"
+            outs.append(done[0]["tokens"])
+        return outs, ctx
+    finally:
+        ctx.stop()
+
+
+def test_server_iswa_matches_full(model):
+    """VERDICT #8: server slots on the dual cache — same greedy output as
+    full-context slots, with the SWA layers' KV actually window-sized."""
+    cfg, params, _ = model
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 90, 60)), list(rng.integers(1, 90, 9))]
+    full, ctx_f = _serve_greedy(cfg, params, prompts, iswa=False)
+    dual, ctx_d = _serve_greedy(cfg, params, prompts, iswa=True)
+    assert dual == full
+    assert ctx_d.memory.cache.dual and not ctx_f.memory.cache.dual
+    nb = lambda c: sum(a.size * a.dtype.itemsize for a in
+                       (c.k, c.v, c.kw, c.vw) if a is not None)
+    assert nb(ctx_d.memory.cache) < nb(ctx_f.memory.cache)
+
+
+def test_server_iswa_prefix_reuse_and_reprocess(model):
+    """Back-to-back requests sharing a prefix: reuse must stay correct on
+    the ring (or fall back to reprocessing) — outputs equal either way."""
+    from tpullm.server.context import GenParams, ServerContext, Task
+
+    cfg, params, _ = model
+    rng = np.random.default_rng(5)
+    base = list(rng.integers(1, 90, 50))
+    ctx = ServerContext(cfg, params, None, n_slots=1, max_seq_len=256,
+                        decode_chunk=4, prefill_chunk=32,
+                        compute_dtype=jnp.float32, iswa=True)
+    ctx.start()
+    try:
+        outs = []
+        for tail in ([7, 3], [7, 3], [11]):  # 2nd reuses, 3rd truncates
+            t = Task(tokens=base + tail, params=GenParams(
+                max_tokens=8, temperature=0.0, ignore_eos=True))
+            ctx.submit(t)
+            done = [p for k, p in t.events() if k == "done"][0]
+            outs.append(done["tokens"])
+    finally:
+        ctx.stop()
+    assert outs[0] == outs[1]
+    # oracle: the engine on a single cache
+    eng = InferenceEngine(cfg, params, max_seq_len=256,
+                          compute_dtype=jnp.float32, decode_chunk=4)
+    ra = eng.generate([base + [11]], max_new_tokens=8)
+    assert outs[2] == list(ra.tokens[0])
+
+
+def test_server_iswa_context_shift_reprocesses(model):
+    """Overflowing an iSWA server slot must reprocess (ring cannot shift)
+    and keep generating rather than erroring out."""
+    cfg, params, _ = model
+    rng = np.random.default_rng(8)
+    prompts = [list(rng.integers(1, 90, 40))]
+    outs, ctx = _serve_greedy(cfg, params, prompts, iswa=True,
+                              max_seq_len=64, n_new=40)
+    assert len(outs[0]) == 40
+    assert ctx.metrics.get("context_shifts_total", 0) >= 1
+
+
 def test_chunked_prefill_logits_match(model):
     cfg, params, _ = model
     prompt = list(np.random.default_rng(1).integers(1, 90, 50))

@@ -44,11 +44,15 @@ class SlotMemory:
     """Host bookkeeping + device KV arrays for n_slots sequences."""
 
     def __init__(self, cfg: ModelConfig, n_slots: int, max_seq_len: int,
-                 kv_dtype=jnp.bfloat16):
+                 kv_dtype=jnp.bfloat16, iswa: bool = False,
+                 max_chunk: int = 0):
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_seq_len = max_seq_len
-        self.cache = KVCache.create(cfg, n_slots, max_seq_len, kv_dtype)
+        # iswa: SWA layers get a (window + max_chunk) ring bank instead of
+        # full-context rows (llama_kv_cache_iswa, src/llama-kv-cache-iswa.h:14)
+        self.cache = KVCache.create(cfg, n_slots, max_seq_len, kv_dtype,
+                                    iswa=iswa, max_chunk=max_chunk)
         self.slots = [SlotState() for _ in range(n_slots)]
         self._shift_fn = jax.jit(
             functools.partial(_context_shift, cfg=cfg), donate_argnums=(0,))
@@ -64,6 +68,15 @@ class SlotMemory:
         hist = st.tokens
         while n < limit and n < len(hist) and hist[n] == tokens[n]:
             n += 1
+        if n and self.cache.dual:
+            # iSWA ring validity: continuing from n reads SWA window rows
+            # [n-W, n); a ring row for position p survives only while no
+            # later position p+ring has been written (reference analogue:
+            # llama_kv_cache_iswa::seq_rm fails on non-suffix removal and
+            # the server falls back to reprocessing)
+            oldest = max(0, n - self.cfg.sliding_window)
+            if oldest + self.cache.ring < st.n_past:
+                return 0
         return n
 
     def truncate(self, slot: int, n_keep: int):
@@ -97,6 +110,10 @@ class SlotMemory:
         if self.cache.quantized:  # store dequantized rows (portable)
             blob["k"] = blob["k"] * np.asarray(self.cache.ks[:, slot, :, :n])[..., None]
             blob["v"] = blob["v"] * np.asarray(self.cache.vs[:, slot, :, :n])[..., None]
+        if self.cache.dual:  # iSWA: the SWA layers' ring plane, raw
+            blob["kw"] = np.asarray(self.cache.kw[:, slot], np.float32)
+            blob["vw"] = np.asarray(self.cache.vw[:, slot], np.float32)
+            blob["ring"] = np.int32(self.cache.ring)
         return blob
 
     def load_slot(self, slot: int, blob: dict) -> int:
@@ -120,9 +137,16 @@ class SlotMemory:
         else:
             k = jnp.asarray(blob["k"], self.cache.k.dtype)
             v = jnp.asarray(blob["v"], self.cache.v.dtype)
+            kw, vw, ring = self.cache.kw, self.cache.vw, self.cache.ring
+            if self.cache.dual:
+                if "kw" not in blob or int(blob["ring"]) != ring:
+                    raise ValueError("snapshot iSWA ring mismatch")
+                kw = kw.at[:, slot].set(jnp.asarray(blob["kw"], kw.dtype))
+                vw = vw.at[:, slot].set(jnp.asarray(blob["vw"], vw.dtype))
             self.cache = KVCache(
                 self.cache.k.at[:, slot, :, :n].set(k),
                 self.cache.v.at[:, slot, :, :n].set(v),
+                kw=kw, vw=vw, ring=ring,
             )
         st = self.slots[slot]
         st.tokens = toks
@@ -154,6 +178,10 @@ class SlotMemory:
         if self.cache.quantized:
             blob["ks"] = np.asarray(self.cache.ks)
             blob["vs"] = np.asarray(self.cache.vs)
+        if self.cache.dual:
+            blob["kw"] = np.asarray(self.cache.kw.astype(jnp.float32))
+            blob["vw"] = np.asarray(self.cache.vw.astype(jnp.float32))
+            blob["ring"] = np.int32(self.cache.ring)
         for i, st in enumerate(self.slots):
             blob[f"slot{i}_tokens"] = np.asarray(st.tokens, np.int32)
             blob[f"slot{i}_n_past"] = np.int32(st.n_past)
@@ -172,6 +200,14 @@ class SlotMemory:
         if self.cache.quantized:
             self.cache = KVCache(k, v, jnp.asarray(blob["ks"]),
                                  jnp.asarray(blob["vs"]))
+        elif self.cache.dual:
+            if "kw" not in blob or int(blob["ring"]) != self.cache.ring:
+                raise ValueError("state iSWA ring mismatch")
+            self.cache = KVCache(
+                k, v,
+                kw=jnp.asarray(blob["kw"], self.cache.kw.dtype),
+                vw=jnp.asarray(blob["vw"], self.cache.vw.dtype),
+                ring=self.cache.ring)
         else:
             self.cache = KVCache(k, v)
         for i, st in enumerate(self.slots):
@@ -194,6 +230,11 @@ class SlotMemory:
         st = self.slots[slot]
         n_past = st.n_past
         assert n_keep + n_discard <= n_past
+        if self.cache.dual:
+            # iSWA ring rows are keyed by pos % ring; a shift changes every
+            # kept position, so the ring cannot be rolled in place — callers
+            # must reprocess (the reference refuses SWA-cache seq_add too)
+            raise RuntimeError("context_shift unsupported on an iSWA cache")
         self.cache = self._shift_fn(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
             jnp.int32(n_discard), jnp.int32(n_past),
@@ -210,7 +251,8 @@ def _copy_slot(cache: KVCache, src, dst):
         row = jax.lax.dynamic_slice_in_dim(buf, src, 1, axis=1)
         return jax.lax.dynamic_update_slice_in_dim(buf, row, dst, axis=1)
 
-    return KVCache(cp(cache.k), cp(cache.v), cp(cache.ks), cp(cache.vs))
+    return KVCache(cp(cache.k), cp(cache.v), cp(cache.ks), cp(cache.vs),
+                   cp(cache.kw), cp(cache.vw), ring=cache.ring)
 
 
 def _context_shift(cache: KVCache, slot, n_keep, n_discard, n_past, *, cfg):

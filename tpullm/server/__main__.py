@@ -23,6 +23,9 @@ def build_args():
     ap.add("--lora-scale", type=float, default=1.0)
     ap.add("--kv-type", default="bf16", choices=("bf16", "f32", "q8"),
            help="KV cache storage type")
+    ap.add("--swa-full", action="store_true",
+           help="allocate full-context KV for SWA layers instead of the "
+                "window-sized iSWA ring (reference --swa-full)")
     ap.add("--override-kv", action="append", default=[],
            metavar="KEY=TYPE:VALUE",
            help="metadata override, e.g. llama.rope.freq_base=float:1e6")
@@ -85,6 +88,7 @@ def main(argv=None):
         kv_dtype=kv_dtype,
         slot_save_path=args.slot_save_path,
         mmproj_path=args.mmproj,
+        iswa=not args.swa_full,
     )
     log.info("serving %s on http://%s:%s (%d slots, ctx %d)",
              cfg.arch, args.host, args.port, args.parallel, args.ctx_size)

@@ -149,6 +149,7 @@ class ServerContext:
         model_name: str = "tpullm",
         slot_save_path: str | None = None,
         mmproj_path: str | None = None,
+        iswa: bool = False,  # dual SWA/full KV banks (gemma2/3 memory win)
     ):
         self.cfg = cfg
         self.params = params
@@ -183,7 +184,8 @@ class ServerContext:
                                            kv_dtype or compute_dtype)
         else:
             self.memory = SlotMemory(cfg, n_slots, max_seq_len,
-                                     kv_dtype or compute_dtype)
+                                     kv_dtype or compute_dtype,
+                                     iswa=iswa, max_chunk=prefill_chunk)
         self.rt = [_SlotRt() for _ in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
         # control closures executed on the loop thread between decode steps
@@ -249,7 +251,12 @@ class ServerContext:
                 lp = jax.nn.log_softmax(logits, axis=-1)
                 topv, topi = jax.lax.top_k(lp, 8)
                 tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-                pos_eff = jnp.where(active, pos, S - 1).astype(jnp.int32)
+                # parked rows write their garbage K/V at their OWN n_past
+                # (the next row a continuation would overwrite anyway) —
+                # writing at S-1 would clobber a live iSWA ring row of the
+                # parked slot and break its prefix reuse
+                pos_eff = jnp.where(active, pos,
+                                    jnp.minimum(pos, S - 1)).astype(jnp.int32)
                 logits, cache = fwd(
                     params, tokens=nxt[:, None], positions=pos_eff[:, None],
                     cache=cache, cache_pos=pos_eff,
@@ -458,6 +465,11 @@ class ServerContext:
             self.memory.truncate(i, reuse)
             r.pending = toks[reuse:]
             self.memory.slots[i].tokens = toks[:reuse]
+            # keep the device-side position current even while this slot is
+            # parked mid-prefill: a parked row's decode-step scratch write
+            # lands at its own n_past (see pos_eff in _decode), so _pos must
+            # never lag behind the cache content
+            self._pos[i] = reuse
             cfg = task.params.sampler_config()
             self.sparams = self.sparams.with_row(i, cfg)
             row = self._bias_row(task.params.logit_bias)
@@ -522,6 +534,7 @@ class ServerContext:
         self.metrics["prompt_tokens_total"] += Tc
         st.tokens.extend(chunk)
         st.n_past += Tc
+        self._pos[i] = st.n_past  # see admission note: parked-row writes
         r.pending = r.pending[Tc:]
         if is_last:
             self._logits_buf = self._set_row(self._logits_buf, jnp.int32(i), logits)
@@ -668,8 +681,21 @@ class ServerContext:
             st = self.memory.slots[i]
             keep = r.task.params.n_keep or min(r.n_prompt, S // 4)
             nd = max((st.n_past - keep) // 2, n_steps + 1)
-            self.memory.context_shift(i, keep, nd)
-            self._pos[i] = st.n_past
+            if self.memory.cache.dual:
+                # iSWA ring rows are position-keyed; an in-place shift is
+                # impossible (memory.context_shift refuses), so reprocess
+                # the kept tokens through the normal prefill path instead
+                if r.task.embeds is not None:
+                    self._finish(i, "length")
+                    continue
+                kept = st.tokens[:keep] + st.tokens[keep + nd:]
+                self.memory.clear_slot(i)
+                self._active[i] = False
+                self._pos[i] = 0
+                r.pending = kept
+            else:
+                self.memory.context_shift(i, keep, nd)
+                self._pos[i] = st.n_past
             self.metrics["context_shifts_total"] = (
                 self.metrics.get("context_shifts_total", 0) + 1)
 
