@@ -175,13 +175,16 @@ def main():
                                 compute_dtype=jnp.bfloat16, decode_chunk=32)
         for d in sorted(depths):
             dp = [list(range(2, 2 + d))]
-            eng_d.generate(dp, max_new_tokens=2)  # compile + warm
-            t0 = time.time()
-            eng_d.logits_for(dp)
-            pp_d = time.time() - t0
-            t0 = time.time()
+            # paired difference: t(33 new) - t(1 new) isolates one 32-step
+            # decode chunk — the (large, jittery) prefill cancels exactly,
+            # and warming with the same shapes avoids in-measurement compiles
             eng_d.generate(dp, max_new_tokens=33)
-            tg_d = time.time() - t0 - pp_d
+            eng_d.generate(dp, max_new_tokens=1)
+            t0 = time.time()
+            eng_d.generate(dp, max_new_tokens=1)
+            t1 = time.time()
+            eng_d.generate(dp, max_new_tokens=33)
+            tg_d = (time.time() - t1) - (t1 - t0)
             depth_tg[f"tg32_d{d}"] = round(32 / max(tg_d, 1e-9), 2)
         del eng_d
 

@@ -23,6 +23,11 @@ def build_args():
     ap.add("--lora-scale", type=float, default=1.0)
     ap.add("--kv-type", default="bf16", choices=("bf16", "f32", "q8"),
            help="KV cache storage type")
+    ap.add("--spec", default=None, choices=("ngram",),
+           help="speculative decoding mode inside continuous batching "
+                "(self-drafting n-gram map; greedy slots only)")
+    ap.add("--spec-k", type=int, default=8,
+           help="max draft tokens per verify forward")
     ap.add("--swa-full", action="store_true",
            help="allocate full-context KV for SWA layers instead of the "
                 "window-sized iSWA ring (reference --swa-full)")
@@ -89,6 +94,7 @@ def main(argv=None):
         slot_save_path=args.slot_save_path,
         mmproj_path=args.mmproj,
         iswa=not args.swa_full,
+        spec=args.spec, spec_k=args.spec_k,
     )
     log.info("serving %s on http://%s:%s (%d slots, ctx %d)",
              cfg.arch, args.host, args.port, args.parallel, args.ctx_size)

@@ -125,6 +125,11 @@ class _SlotRt:
     prefill_done_at: float = 0.0
     constraint: object = None  # GrammarConstraint for constrained slots
     rng: object = None  # per-task numpy RNG (host-side grammar sampling)
+    # speculative decoding (spec mode): the last emitted token whose KV has
+    # NOT been written yet (it is the next verify forward's first input),
+    # and the slot's self-drafting n-gram map
+    spec_prev: "int | None" = None
+    spec_map: object = None
 
 
 def _bucket(n: int, minimum: int = 32) -> int:
@@ -150,6 +155,8 @@ class ServerContext:
         slot_save_path: str | None = None,
         mmproj_path: str | None = None,
         iswa: bool = False,  # dual SWA/full KV banks (gemma2/3 memory win)
+        spec: str | None = None,  # "ngram": self-speculative continuous batching
+        spec_k: int = 8,  # max draft tokens per verify forward
     ):
         self.cfg = cfg
         self.params = params
@@ -275,6 +282,25 @@ class ServerContext:
         self._decode = jax.jit(_decode, donate_argnums=(1, 4),
                                static_argnames=("n_steps",))
         self._mu = jnp.zeros((n_slots,), jnp.float32)
+
+        # speculative decoding inside the CB loop (VERDICT #4; reference
+        # integrates draft+verify per slot with KV checkpoints,
+        # tools/server/server-context.cpp:313-384 — here the position-keyed
+        # cache makes rollback free: rejected rows are overwritten in place)
+        self.spec = spec if self.family == "attn" else None
+        self.spec_k = int(spec_k)
+
+        def _spec_verify(params, toks, positions, cache, pos0):
+            """Batched verify: greedy target tokens at every draft position.
+            toks (B, K+1) = [prev, drafts...] per row; writes their KV."""
+            logits, cache = fwd(
+                params, tokens=toks, positions=positions, cache=cache,
+                cache_pos=pos0,
+                valid_from=jnp.zeros((toks.shape[0],), jnp.int32),
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        self._spec_verify = jax.jit(_spec_verify, donate_argnums=(3,))
 
         if self.recurrent:
             # overwrite prefill/decode with the recurrent-state equivalents
@@ -562,6 +588,8 @@ class ServerContext:
             task.out.put(("done", done))
         r.task = None
         r.pending = []
+        r.spec_prev = None
+        r.spec_map = None
 
     def _emit(self, i: int, new_tokens: list[int], probs=None):
         """Detokenize incrementally, check stops, stream deltas."""
@@ -693,11 +721,110 @@ class ServerContext:
                 self._active[i] = False
                 self._pos[i] = 0
                 r.pending = kept
+                self._clear_spec(i)  # prev re-enters via the reprocess
             else:
                 self.memory.context_shift(i, keep, nd)
                 self._pos[i] = st.n_past
             self.metrics["context_shifts_total"] = (
                 self.metrics.get("context_shifts_total", 0) + 1)
+
+    def _spec_eligible(self) -> bool:
+        """Spec iterations require every active slot to be plain-greedy:
+        the batched verify samples argmax only. Any sampler/grammar/
+        penalty state sends the whole batch down the plain chunked path
+        (slots carrying an unwritten spec_prev transition via `forced`)."""
+        if not self.spec:
+            return False
+        any_spec = False
+        for i in range(self.n_slots):
+            if not self._active[i]:
+                continue
+            r = self.rt[i]
+            p = r.task.params
+            if (r.constraint is not None or p.temperature > 0 or p.mirostat
+                    or p.logit_bias or p.penalty_repeat != 1.0
+                    or p.penalty_freq or p.penalty_present
+                    or p.dry_multiplier or p.n_probs > 0):
+                return False
+            any_spec = True
+        return any_spec
+
+    def _spec_step(self):
+        """One speculative iteration over all active slots: host n-gram
+        drafts, ONE batched device forward verifies [prev, d1..dK] per row,
+        the longest target-matching prefix plus the correction token is
+        emitted. No KV rollback: rejected rows sit beyond the advanced
+        position and are rewritten by the next iteration."""
+        from ..runtime.speculative import NgramMap
+
+        K = self.spec_k
+        self._context_shift_overdue(K + 1)
+        B, S = self.n_slots, self.max_seq_len
+        # bootstrap: fresh-from-prefill rows sample their first token from
+        # the stashed prefill logits and seed the drafter from the history
+        boot = [i for i in range(B)
+                if self._active[i] and self.rt[i].spec_prev is None]
+        if boot:
+            lg = np.asarray(self._logits_buf)
+            for i in boot:
+                r = self.rt[i]
+                r.spec_map = NgramMap()
+                r.spec_map.begin(self.memory.slots[i].tokens)
+                r.spec_prev = int(lg[i].argmax())
+                self.metrics["generated_tokens_total"] += 1
+                self._emit(i, [r.spec_prev])
+                if r.task is None:  # finished on the bootstrap token
+                    self._clear_spec(i)
+        if not self._active.any():
+            return
+        toks = np.zeros((B, K + 1), np.int32)
+        pos0 = np.minimum(self._pos, S - 1 - K).astype(np.int32)
+        drafts: list = [()] * B
+        for i in range(B):
+            if not self._active[i]:
+                continue
+            r = self.rt[i]
+            toks[i, 0] = r.spec_prev
+            d = r.spec_map.draft(r.spec_prev)[:K]
+            drafts[i] = d
+            toks[i, 1: 1 + len(d)] = d
+        positions = pos0[:, None] + np.arange(K + 1, dtype=np.int32)[None]
+        t0 = time.time()
+        got, self.memory.cache = self._spec_verify(
+            self.params, jnp.asarray(toks), jnp.asarray(positions),
+            self.memory.cache, jnp.asarray(pos0))
+        got = np.asarray(got)  # (B, K+1) greedy target tokens
+        self.metrics["decode_seconds_total"] += time.time() - t0
+        for i in range(B):
+            if not self._active[i]:
+                continue
+            r = self.rt[i]
+            d = drafts[i]
+            m = 0
+            while m < len(d) and got[i, m] == d[m]:
+                m += 1
+            emitted = [int(x) for x in d[:m]] + [int(got[i, m])]
+            if d:
+                r.spec_map.accept(m)
+                self.metrics["spec_drafted_total"] = (
+                    self.metrics.get("spec_drafted_total", 0) + len(d))
+                self.metrics["spec_accepted_total"] = (
+                    self.metrics.get("spec_accepted_total", 0) + m)
+            r.spec_map.extend([r.spec_prev] + emitted[:-1])
+            written = int(self._pos[i]) + m + 1  # prev + accepted drafts
+            self._pos[i] = written
+            self.memory.slots[i].n_past = written
+            r.spec_prev = emitted[-1]
+            self.metrics["generated_tokens_total"] += len(emitted)
+            self._emit(i, emitted)
+            if r.task is None:  # finished: the last token's KV was never
+                st = self.memory.slots[i]  # written — cap reuse metadata
+                st.n_past = min(st.n_past, written)
+                self._clear_spec(i)
+
+    def _clear_spec(self, i: int):
+        self.rt[i].spec_prev = None
+        self.rt[i].spec_map = None
 
     def _decode_step(self):
         self._context_shift_overdue(self.decode_chunk)
@@ -712,6 +839,15 @@ class ServerContext:
             for i in gslots:
                 forced[i] = self._grammar_sample(i)
                 use_forced[i] = True
+        # spec->plain transition: a slot carrying an unwritten spec_prev
+        # forces it as step 0's token (writing its KV) without re-emitting
+        spec_skip = np.zeros(self.n_slots, bool)
+        for i in range(self.n_slots):
+            if self._active[i] and self.rt[i].spec_prev is not None:
+                forced[i] = self.rt[i].spec_prev
+                use_forced[i] = True
+                spec_skip[i] = True
+                self._clear_spec(i)
         t0 = time.time()
         self._key, sub = jax.random.split(self._key)
         ys, self._logits_buf, pos, self.memory.cache, self.penalties, self._mu = \
@@ -737,7 +873,8 @@ class ServerContext:
             n = toks_np.shape[0]
             self._pos[i] += n
             self.memory.slots[i].n_past = int(self._pos[i])
-            self.metrics["generated_tokens_total"] += n
+            self.metrics["generated_tokens_total"] += (
+                n - 1 if spec_skip[i] else n)
             if self.rt[i].constraint is not None:
                 for t in toks_np[:, i]:
                     try:
@@ -753,7 +890,11 @@ class ServerContext:
                              for j in range(k)]}
                     for s in range(n)
                 ]
-            self._emit(i, toks_np[:, i].tolist(), probs)
+            emit_toks = toks_np[:, i].tolist()
+            if spec_skip[i]:  # step 0 was the already-emitted spec_prev
+                emit_toks = emit_toks[1:]
+                probs = probs[1:] if probs else probs
+            self._emit(i, emit_toks, probs)
 
     def _drain_ctrl(self):
         while True:
@@ -867,7 +1008,10 @@ class ServerContext:
                 for i in pending:
                     self._prefill_step(i)
                 if self._active.any():
-                    self._decode_step()
+                    if self._spec_eligible():
+                        self._spec_step()
+                    else:
+                        self._decode_step()
                 elif not pending:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
