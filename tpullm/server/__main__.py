@@ -11,7 +11,15 @@ from ..utils.args import ArgLayer
 
 def build_args():
     ap = ArgLayer("tpullm.server")
-    ap.add("-m", "--model", required=True, help="GGUF checkpoint path")
+    ap.add("-m", "--model", default=None,
+           help="GGUF checkpoint path (or org/repo[:TAG] shorthand for -hf)")
+    ap.add("-hf", "--hf-repo", default=None, metavar="REPO[:TAG]",
+           help="download from a HuggingFace repo (cached; common/download.cpp)")
+    ap.add("--hf-file", default=None, help="exact file inside --hf-repo")
+    ap.add("-mu", "--model-url", default=None,
+           help="download the model from a raw URL (ETag-cached)")
+    ap.add("--offline", action="store_true",
+           help="never touch the network; resolve -hf from the local cache")
     ap.add("--host", default="127.0.0.1")
     ap.add("--port", type=int, default=8080)
     ap.add("-c", "--ctx-size", type=int, default=2048)
@@ -73,6 +81,16 @@ def main(argv=None):
         cast = {"int": int, "float": float, "bool": lambda s: s.lower() == "true",
                 "str": str}.get(typ, str)
         overrides[key] = cast(val if val else typ)
+
+    from ..utils.download import resolve_model_arg
+
+    res = resolve_model_arg(args.model, args.hf_repo, args.hf_file,
+                            args.model_url,
+                            offline=True if args.offline else None,
+                            want_mmproj=args.mmproj is None)
+    args.model = res.model_path
+    if args.mmproj is None and res.mmproj_path:
+        args.mmproj = res.mmproj_path
 
     log.info("loading %s ...", args.model)
     cfg, params, g = load_model(args.model, override_kv=overrides or None)

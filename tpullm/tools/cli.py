@@ -12,7 +12,11 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser("tpullm.tools.cli")
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-m", "--model", default=None)
+    ap.add_argument("-hf", "--hf-repo", default=None, metavar="REPO[:TAG]")
+    ap.add_argument("--hf-file", default=None)
+    ap.add_argument("-mu", "--model-url", default=None)
+    ap.add_argument("--offline", action="store_true")
     ap.add_argument("-p", "--prompt", default=None)
     ap.add_argument("-n", "--n-predict", type=int, default=128)
     ap.add_argument("-c", "--ctx-size", type=int, default=2048)
@@ -28,6 +32,12 @@ def main(argv=None):
     from ..server.chat import apply_chat_template
     from ..server.context import GenParams, ServerContext, Task
     from ..tokenizer import Tokenizer
+
+    from ..utils.download import resolve_model_arg
+
+    args.model = resolve_model_arg(
+        args.model, args.hf_repo, args.hf_file, args.model_url,
+        offline=True if args.offline else None).model_path
 
     print(f"loading {args.model} ...", file=sys.stderr)
     cfg, params, g = load_model(args.model)
