@@ -1211,6 +1211,24 @@ _QUANT = {
 }
 
 
+def _register_iq_quantizers():
+    """i-quant grid-search encoders live in quant/iq_quantize.py (heavier
+    machinery: codebook maps + neighbour shells); register lazily so plain
+    K-quant use never pays their import."""
+    from . import iq_quantize as iqq
+
+    _QUANT.update({
+        GGMLType.IQ2_XXS: iqq.q_iq2_xxs,
+        GGMLType.IQ2_XS: iqq.q_iq2_xs,
+        GGMLType.IQ2_S: iqq.q_iq2_s,
+        GGMLType.IQ3_XXS: iqq.q_iq3_xxs,
+        GGMLType.IQ3_S: iqq.q_iq3_s,
+    })
+
+
+_register_iq_quantizers()
+
+
 def quant_supported() -> set[GGMLType]:
     return set(_QUANT) | {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
 
@@ -1238,7 +1256,9 @@ def quantize(x: np.ndarray, qtype: GGMLType, imatrix=None) -> np.ndarray:
     assert n % blk == 0, f"row length {n} not a multiple of block {blk}"
     fn = _QUANT[qtype]
     _IM_TYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
-                 GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+                 GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+                 GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                 GGMLType.IQ3_XXS, GGMLType.IQ3_S)
     if imatrix is not None and qtype in _IM_TYPES:
         im = np.asarray(imatrix, np.float32)
         assert im.shape == (n,), (im.shape, n)

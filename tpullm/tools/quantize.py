@@ -44,6 +44,24 @@ FTYPES: dict[str, dict] = {
     "Q6_K": dict(default=GGMLType.Q6_K, output=GGMLType.Q6_K),
     "IQ4_NL": dict(default=GGMLType.IQ4_NL, output=GGMLType.Q6_K),
     "IQ4_XS": dict(default=GGMLType.IQ4_XS, output=GGMLType.Q6_K),
+    # i-quant ftypes (distilled from llama_tensor_get_type: IQ2-class models
+    # keep Q5_K output, a bumped token_embd, and a bumped attn_v; the
+    # IQ2_S/IQ2_M ftypes actually store IQ2_XS/IQ2_S tensors)
+    "IQ2_XXS": dict(default=GGMLType.IQ2_XXS, token_embd=GGMLType.Q2_K,
+                    output=GGMLType.Q5_K, attn_v=GGMLType.Q2_K),
+    "IQ2_XS": dict(default=GGMLType.IQ2_XS, token_embd=GGMLType.Q2_K,
+                   output=GGMLType.Q5_K, attn_v=GGMLType.Q2_K),
+    "IQ2_S": dict(default=GGMLType.IQ2_XS, token_embd=GGMLType.IQ3_S,
+                  output=GGMLType.Q5_K, attn_v=GGMLType.IQ3_S),
+    "IQ2_M": dict(default=GGMLType.IQ2_S, token_embd=GGMLType.IQ3_S,
+                  output=GGMLType.Q5_K, attn_v=GGMLType.IQ3_S),
+    "IQ3_XXS": dict(default=GGMLType.IQ3_XXS, token_embd=GGMLType.IQ3_S,
+                    output=GGMLType.Q5_K, attn_v=GGMLType.Q4_K),
+    "IQ3_S": dict(default=GGMLType.IQ3_S, output=GGMLType.Q6_K,
+                  attn_v=GGMLType.Q4_K),
+    "IQ3_M": dict(default=GGMLType.IQ3_S, output=GGMLType.Q6_K,
+                  attn_v=GGMLType.Q4_K,
+                  ffn_down_frac=(0.125, GGMLType.Q4_K)),
     "F16": dict(default=GGMLType.F16),
     "BF16": dict(default=GGMLType.BF16),
 }
@@ -55,6 +73,8 @@ def tensor_target_type(name: str, shape, policy: dict, n_layer: int) -> GGMLType
     if name in ("output.weight",) and "output" in policy:
         return policy["output"]
     if name == "token_embd.weight":
+        if "token_embd" in policy:
+            return policy["token_embd"]
         # embeddings keep the default (reference uses Q4_K-ish for most ftypes)
         return default if default not in (GGMLType.Q2_K,) else GGMLType.Q4_K
     if ".attn_v.weight" in name and "attn_v" in policy:
@@ -144,8 +164,9 @@ def quantize_gguf(src: str, dst: str, ftype: str, nthread: int = 8,
 _FTYPE_IDS = {
     "F16": 1, "Q4_0": 2, "Q4_1": 3, "Q8_0": 7, "Q5_0": 8, "Q5_1": 9,
     "Q2_K": 10, "Q3_K_S": 11, "Q3_K_M": 12, "Q4_K_S": 14, "Q4_K_M": 15,
-    "Q5_K_S": 16, "Q5_K_M": 17, "Q6_K": 18, "IQ4_NL": 25, "IQ4_XS": 30,
-    "BF16": 32,
+    "Q5_K_S": 16, "Q5_K_M": 17, "Q6_K": 18, "IQ2_XXS": 19, "IQ2_XS": 20,
+    "IQ3_XXS": 23, "IQ4_NL": 25, "IQ3_S": 26, "IQ3_M": 27, "IQ2_S": 28,
+    "IQ2_M": 29, "IQ4_XS": 30, "BF16": 32,
 }
 
 
