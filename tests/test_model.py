@@ -128,3 +128,32 @@ def test_swa_pattern_per_layer():
     assert np.isfinite(pat2).all()
     assert not np.allclose(pat2, base, atol=1e-3)
     assert not np.allclose(pat2, all_swa, atol=1e-3)
+
+
+def test_decode_fills_context_to_the_edge(synth_model):
+    """Generation near max_seq_len continues through power-of-two tail
+    chunks instead of silently stopping when room < decode_chunk
+    (round-2 verdict weak #8)."""
+    cfg, params = synth_model
+    eng = InferenceEngine(cfg, params, max_seq_len=64,
+                          compute_dtype=jnp.float32, decode_chunk=16)
+    prompt = list(range(1, 14))  # 13 tokens -> bucket 16; room = 48
+    r = eng.generate([prompt], max_new_tokens=64)
+    # 48 slots remain after the bucket: the first token is sampled from the
+    # prefill (consumes no slot), each decoded step writes one -> 49 tokens,
+    # requiring tail chunks 16+16+16 then 1 past the old refusal point
+    assert len(r.tokens[0]) == 64 - 16 + 1, len(r.tokens[0])
+
+
+def test_decode_eos_early_exit_matches(synth_model):
+    """The in-graph EOS skip must not change emitted tokens: pick the
+    greedy continuation's 3rd token as 'EOS' and check the sequence is the
+    untruncated prefix + that token."""
+    cfg, params = synth_model
+    eng = InferenceEngine(cfg, params, max_seq_len=128,
+                          compute_dtype=jnp.float32, decode_chunk=8)
+    base = eng.generate([[2, 7, 11]], max_new_tokens=16).tokens[0]
+    fake_eos = base[2]
+    r = eng.generate([[2, 7, 11]], max_new_tokens=16, eos_id=fake_eos)
+    cut = base.index(fake_eos)
+    assert r.tokens[0] == base[: cut + 1]

@@ -109,30 +109,51 @@ class InferenceEngine:
             self._sample_fns[sampler] = fn
         return fn
 
-    def _decode_fn(self, sampler: SamplerConfig, chunk: int):
-        key_ = (sampler, chunk)
+    def _decode_fn(self, sampler: SamplerConfig, chunk: int,
+                   use_eos: bool = False):
+        key_ = (sampler, chunk, use_eos)
         if key_ in self._decode_fns:
             return self._decode_fns[key_]
         fwd = functools.partial(forward, cfg=self.cfg, dtype=self.dtype)
         sample = make_sample_fn(sampler)
 
-        def _chunk(params, tok0, pos0, cache, slot0, valid_from, key):
-            def body(carry, _):
-                tok, cache, pos, slot, key = carry
+        def _chunk(params, tok0, pos0, cache, slot0, valid_from, key,
+                   eos_id=None):
+            def step(carry):
+                tok, cache, pos, slot, key, done = carry
                 logits, cache = fwd(
                     params, tokens=tok[:, None], positions=pos[:, None],
                     cache=cache, cache_pos=slot, valid_from=valid_from,
                 )
                 key, sub = jax.random.split(key)
                 nxt = sample(logits[:, -1, :], sub)
-                return (nxt, cache, pos + 1, slot + 1, key), nxt
+                if eos_id is not None:
+                    done = done | (nxt == eos_id)
+                return (nxt, cache, pos + 1, slot + 1, key, done)
 
-            (tok, cache, pos, slot, key), toks = jax.lax.scan(
-                body, (tok0, cache, pos0, slot0, key), None, length=chunk
-            )
+            def body(carry, _):
+                if eos_id is not None:
+                    # once every row has sampled EOS the remaining scan
+                    # iterations skip the whole layer stack (lax.cond does
+                    # not execute the untaken branch, so no HBM stream);
+                    # emitted tokens repeat the EOS — the host trims them
+                    carry = jax.lax.cond(carry[-1].all(), lambda c: c, step,
+                                         carry)
+                else:
+                    carry = step(carry)
+                return carry, carry[0]
+
+            done0 = jnp.zeros(tok0.shape, bool)
+            (tok, cache, pos, slot, key, done), toks = jax.lax.scan(
+                body, (tok0, cache, pos0, slot0, key, done0), None,
+                length=chunk)
             return toks, cache  # toks: (chunk, B)
 
-        fn = jax.jit(_chunk, donate_argnums=(3,))
+        if use_eos:
+            fn = jax.jit(_chunk, donate_argnums=(3,))
+        else:
+            fn = jax.jit(functools.partial(_chunk, eos_id=None),
+                         donate_argnums=(3,))
         self._decode_fns[key_] = fn
         return fn
 
@@ -167,10 +188,12 @@ class InferenceEngine:
         sampler = sampler or GREEDY
         tokens, positions, valid_from, T, lens = self.prepare_batch(prompts)
         B = tokens.shape[0]
-        if T + max_new_tokens > self.max_seq_len:
+        if T >= self.max_seq_len:
             raise ValueError(
-                f"prompt bucket {T} + {max_new_tokens} new > max_seq_len {self.max_seq_len}"
-            )
+                f"prompt bucket {T} >= max_seq_len {self.max_seq_len}")
+        # clamp to the remaining room (the reference truncates generation at
+        # the context limit rather than refusing the request)
+        max_new_tokens = min(max_new_tokens, self.max_seq_len - T + 1)
         cache = self.new_cache(B)
         if self.iswa and embeds is None and T > self.prefill_chunk:
             # chunked prefill: each piece writes <= prefill_chunk rows so
@@ -205,12 +228,21 @@ class InferenceEngine:
         produced = 1
         slot = T
         pos = jnp.asarray(lens.astype(np.int32))
-        # fixed chunk size: a variable tail chunk would recompile per length
-        while produced < max_new_tokens and slot + self.decode_chunk <= self.max_seq_len:
-            chunk = self.decode_chunk
-            fn = self._decode_fn(sampler, chunk)
+        # fixed chunk size in steady state (variable chunks would recompile
+        # per length); at the context edge shrink to power-of-two tail
+        # chunks so the remaining room is still used (bounded compile set)
+        while produced < max_new_tokens and slot < self.max_seq_len:
+            room = self.max_seq_len - slot
+            if room >= self.decode_chunk:
+                chunk = self.decode_chunk
+            else:
+                chunk = 1 << (room.bit_length() - 1)  # largest pow2 <= room
+            use_eos = eos_id is not None
+            fn = self._decode_fn(sampler, chunk, use_eos)
             key, sub = jax.random.split(key)
-            toks, cache = fn(self.params, tok, pos, cache, jnp.int32(slot), valid_from, sub)
+            eos_arg = (jnp.int32(eos_id),) if use_eos else ()
+            toks, cache = fn(self.params, tok, pos, cache, jnp.int32(slot),
+                             valid_from, sub, *eos_arg)
             toks_np = np.asarray(toks)  # (chunk, B)
             out_chunks.append(toks_np)
             produced += chunk
