@@ -98,6 +98,7 @@ class ModelConfig:
     n_rel_attn_bkts: int = 0
     # RWKV family
     wkv_head_size: int = 0  # >0 selects the RWKV graph (rwkv7.cpp)
+    rescale_every: int = 0  # rwkv6: halve activations every N layers
     # recurrent (Mamba/SSM) models
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
@@ -191,6 +192,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     cfg.kv_head_pattern = kv_pattern
     cfg.wkv_head_size = int(_k(g, "{arch}.wkv.head_size", 0) or 0)
+    cfg.rescale_every = int(_k(g, "{arch}.rescale_every_n_layers", 0) or 0)
     cfg.n_rel_attn_bkts = int(
         _k(g, "{arch}.attention.relative_buckets_count", 0) or 0)
     # recurrent (SSM) hparams (llama-model.cpp mamba load_arch_hparams)

@@ -52,6 +52,11 @@ ARCH_REGISTRY: dict[str, dict] = {
     # hybrid attention+recurrent — src/models/jamba.cpp (no rope on the
     # attention layers; per-layer head_count_kv array selects the family)
     "jamba": dict(),
+    # RWKV6 recurrent family — src/models/rwkv6.cpp (layernorm + dynamic
+    # 5-way lerp + wkv6 bonus kernel); rwkv6qwen2 wraps the rwkv6 time-mix
+    # in a qwen2 block (rmsnorm, gated silu FFN, GLA kernel, no LN0)
+    "rwkv6": dict(norm_type="layernorm"),
+    "rwkv6qwen2": dict(),
     # RWKV7 recurrent family — src/models/rwkv7.cpp (layernorm everywhere)
     "rwkv7": dict(norm_type="layernorm"),
     "arwkv7": dict(norm_type="layernorm"),

@@ -76,6 +76,23 @@ LAYER_TENSORS = {
     "ssm_d": "ssm_d",
     "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
+    # RWKV6 family — src/models/rwkv6.cpp / rwkv6qwen2.cpp load_arch_tensors
+    "time_mix_lerp_x.weight": "tm_lerp_x",
+    "time_mix_lerp_w.weight": "tm_lerp_w",
+    "time_mix_lerp_k.weight": "tm_lerp_k",
+    "time_mix_lerp_v.weight": "tm_lerp_v",
+    "time_mix_lerp_r.weight": "tm_lerp_r",
+    "time_mix_lerp_g.weight": "tm_lerp_g",
+    "time_mix_first.weight": "tm_first",
+    "time_mix_decay.weight": "tm_decay",
+    "time_mix_decay_w1.weight": "tm_decay_w1",
+    "time_mix_decay_w2.weight": "tm_decay_w2",
+    "time_mix_gate.weight": "tm_g",
+    "time_mix_key.bias": "tm_k_b",
+    "time_mix_value.bias": "tm_v_b",
+    "time_mix_receptance.bias": "tm_r_b",
+    "channel_mix_lerp_r.weight": "cm_lerp_r",
+    "channel_mix_receptance.weight": "cm_r",
     # RWKV7 family — src/models/rwkv7.cpp load_arch_tensors
     "time_mix_w0.weight": "tm_w0",
     "time_mix_w1.weight": "tm_w1",
@@ -239,8 +256,9 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
                            "attn_sinks")
                 or key.startswith("tm_") and key not in ("tm_k", "tm_v",
-                                                         "tm_r", "tm_out")
-                or key == "cm_lerp_k"
+                                                         "tm_r", "tm_out",
+                                                         "tm_g")
+                or key.startswith("cm_lerp")
             ):
                 per_key.setdefault(key, {})[i] = _to_float_array(g, tname)
             else:

@@ -974,6 +974,114 @@ def build_rwkv7_gguf(
     return path
 
 
+def build_rwkv6_gguf(
+    path: str,
+    *,
+    arch: str = "rwkv6",
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    head_size: int = 16,
+    n_head_kv: int = 0,  # rwkv6qwen2 GQA (0: full heads)
+    mix_extra: int = 16,
+    decay_extra: int = 16,
+    n_ff: int = 128,
+    rescale_every: int = 0,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic RWKV6 / rwkv6qwen2 checkpoint (tensor sets per
+    src/models/rwkv6.cpp and rwkv6qwen2.cpp load_arch_tensors)."""
+    rng = np.random.default_rng(seed)
+    C = n_embd
+    H = C // head_size
+    qrwkv = arch == "rwkv6qwen2"
+    kv_size = (n_head_kv or H) * head_size
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", C)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", H if qrwkv else 0)
+    if qrwkv and n_head_kv:
+        w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.wkv.head_size", head_size)
+    w.add_uint32(f"{arch}.time_mix_extra_dim", mix_extra)
+    w.add_uint32(f"{arch}.time_decay_extra_dim", decay_extra)
+    w.add_uint32(f"{arch}.token_shift_count", 1 if qrwkv else 2)
+    if rescale_every:
+        w.add_uint32(f"{arch}.rescale_every_n_layers", rescale_every)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, C))
+    if not qrwkv:
+        add("token_embd_norm.weight", np.ones(C, np.float32) + rand(C))
+        add("token_embd_norm.bias", rand(C))
+    addq("output.weight", rand(vocab_size, C))
+    add("output_norm.weight", np.ones(C, np.float32) + rand(C))
+    if not qrwkv:
+        add("output_norm.bias", rand(C))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(C, np.float32) + rand(C))
+        if not qrwkv:
+            add(p + "attn_norm.bias", rand(C))
+            add(p + "attn_norm_2.weight", np.ones(C, np.float32) + rand(C))
+            add(p + "attn_norm_2.bias", rand(C))
+        add(p + "time_mix_w1.weight", rand(mix_extra * 5, C))
+        add(p + "time_mix_w2.weight", rand(5, C, mix_extra))
+        add(p + "time_mix_lerp_x.weight", rand(1, 1, C) * 0.5 + 0.5)
+        add(p + "time_mix_lerp_fused.weight", rand(5, 1, 1, C) * 0.5 + 0.5)
+        if not qrwkv:
+            add(p + "time_mix_first.weight", rand(H, head_size))
+        add(p + "time_mix_decay.weight", rand(C))
+        add(p + "time_mix_decay_w1.weight", rand(decay_extra, C))
+        add(p + "time_mix_decay_w2.weight", rand(C, decay_extra))
+        addq(p + "time_mix_key.weight", rand(kv_size, C))
+        addq(p + "time_mix_value.weight", rand(kv_size, C))
+        addq(p + "time_mix_receptance.weight", rand(C, C))
+        addq(p + "time_mix_gate.weight", rand(C, C))
+        if qrwkv:
+            add(p + "time_mix_key.bias", rand(kv_size))
+            add(p + "time_mix_value.bias", rand(kv_size))
+            add(p + "time_mix_receptance.bias", rand(C))
+        else:
+            add(p + "time_mix_ln.weight", np.ones(C, np.float32) + rand(C))
+            add(p + "time_mix_ln.bias", rand(C))
+        addq(p + "time_mix_output.weight", rand(C, C))
+        if qrwkv:
+            add(p + "ffn_norm.weight", np.ones(C, np.float32) + rand(C))
+            addq(p + "ffn_gate.weight", rand(n_ff, C))
+            addq(p + "ffn_up.weight", rand(n_ff, C))
+            addq(p + "ffn_down.weight", rand(C, n_ff))
+        else:
+            add(p + "channel_mix_lerp_k.weight", rand(1, 1, C) * 0.5 + 0.5)
+            add(p + "channel_mix_lerp_r.weight", rand(1, 1, C) * 0.5 + 0.5)
+            addq(p + "channel_mix_key.weight", rand(n_ff, C))
+            addq(p + "channel_mix_receptance.weight", rand(C, C))
+            addq(p + "channel_mix_value.weight", rand(C, n_ff))
+    w.write()
+    return path
+
+
 def build_t5_gguf(
     path: str,
     *,
