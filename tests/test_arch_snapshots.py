@@ -27,7 +27,7 @@ UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 
 # families with their own builders/tests (not the shared decoder graph)
 _SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
-         "rwkv7", "arwkv7", "t5", "t5encoder"}
+         "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder"}
 
 ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 
@@ -35,7 +35,7 @@ ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 @pytest.mark.parametrize("arch", ARCHS)
 def test_arch_snapshot(arch, tmp_path):
     path = str(tmp_path / f"{arch}.gguf")
-    if arch in ("minicpm3",):  # MLA family: deepseek2-style tensor set
+    if arch in ("minicpm3", "mistral4"):  # MLA: deepseek2-style tensor set
         build_deepseek2_gguf(path, arch, seed=11)
     else:
         build_arch_gguf(path, arch, seed=11)

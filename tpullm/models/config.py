@@ -99,6 +99,9 @@ class ModelConfig:
     # RWKV family
     wkv_head_size: int = 0  # >0 selects the RWKV graph (rwkv7.cpp)
     rescale_every: int = 0  # rwkv6: halve activations every N layers
+    n_ff_pattern: tuple = ()  # per-layer n_ff (nemotron-h: 0 = no-FFN layer)
+    hybrid_parallel: bool = False  # falcon-h1: attn + mamba2 in EVERY layer
+    hybrid_rope: bool = False  # hybrid attn layers rope (falcon-h1/granite)
     # recurrent (Mamba/SSM) models
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
@@ -136,6 +139,15 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         n_head_kv_scalar = max(kv_pattern)
     else:
         n_head_kv_scalar = int(hkv_raw)
+    # feed_forward_length may also be per-layer (nemotron-h: 0 marks
+    # ssm/attention layers); the scalar keeps the max for buffer sizing
+    ff_raw = _k(g, "{arch}.feed_forward_length", 4 * n_embd)
+    ff_pattern = ()
+    if isinstance(ff_raw, (list, tuple, np.ndarray)):
+        ff_pattern = tuple(int(f) for f in ff_raw)
+        ff_scalar = max(ff_pattern)
+    else:
+        ff_scalar = int(ff_raw)
     cfg = ModelConfig(
         arch=arch,
         vocab_size=int(n_vocab),
@@ -145,7 +157,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         n_head_kv=n_head_kv_scalar,
         head_dim=head_dim,
         head_dim_v=int(_k(g, "{arch}.attention.value_length", head_dim)),
-        n_ff=int(_k(g, "{arch}.feed_forward_length", 4 * n_embd)),
+        n_ff=ff_scalar,
         n_ctx_train=int(_k(g, "{arch}.context_length", 2048)),
         rms_eps=float(_k(g, "{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
         norm_eps=float(_k(g, "{arch}.attention.layer_norm_epsilon", 0.0)),
@@ -191,6 +203,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     if gf is not None:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     cfg.kv_head_pattern = kv_pattern
+    cfg.n_ff_pattern = ff_pattern
     cfg.wkv_head_size = int(_k(g, "{arch}.wkv.head_size", 0) or 0)
     cfg.rescale_every = int(_k(g, "{arch}.rescale_every_n_layers", 0) or 0)
     cfg.n_rel_attn_bkts = int(
@@ -232,4 +245,9 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     apply_arch_defaults(cfg)
     if cfg.alibi_max_bias > 0:  # ALiBi replaces rope (baichuan-13b etc.)
         cfg.use_rope = False
+    # granite-hybrid: rope_finetuned acts as the rope on/off switch
+    # (src/models/granite-hybrid.cpp load_arch_hparams)
+    rft = _k(g, "{arch}.rope.scaling.finetuned")
+    if rft is not None and cfg.hybrid_rope:
+        cfg.hybrid_rope = bool(rft)
     return cfg

@@ -1,18 +1,23 @@
-"""Hybrid attention+recurrent models (Jamba family).
+"""Hybrid attention+recurrent models (Jamba / Nemotron-H / Granite-hybrid /
+Falcon-H1 families).
 
 The reference composes a KV cache and a recurrent state bank behind one
 memory interface (src/llama-memory-hybrid.{h,cpp}) and dispatches per layer
-on n_head_kv(il)==0 (src/models/jamba.cpp:12,127). Here the loader's
-signature-based depth segmentation already splits attention and mamba layers
-into separate groups (different tensor sets), so the forward walks groups,
-scanning each with its family's layer function against its slice of the
-right state bank:
+on hparams.is_recurrent(il). Here the loader's signature-based depth
+segmentation already splits layer kinds into separate groups (different
+tensor sets), so the forward walks groups, scanning each with its
+component mix against its slice of the right state bank:
 
-- attention layers: norm -> QKV -> attention WITHOUT rope (jamba.cpp "No
-  RoPE :)") -> wo -> residual -> ffn_norm -> FFN/MoE -> residual, over a
-  KVCache sized for ONLY the attention layers;
-- mamba layers: the existing selective-SSM layer (models/mamba._layer) over
-  a RecurrentState bank sized for ONLY the recurrent layers.
+- attention: norm -> QKV (optionally roped) -> attention -> wo; Jamba runs
+  NO rope (src/models/jamba.cpp "No RoPE :)"), Falcon-H1/granite-hybrid
+  rope normally;
+- recurrent: mamba-1 (models/mamba._layer) or mamba-2 (._layer2), chosen
+  by the group's tensor set (mamba-2 has ssm_norm, no ssm_x/ssm_dt);
+- FFN: applied after the mixer when the group has ffn tensors (Jamba,
+  granite-hybrid, falcon-h1); Nemotron-H instead has FFN-ONLY layers
+  (src/models/nemotron-h.cpp: a layer is exactly one of ssm/attn/ffn);
+- Falcon-H1 runs attention AND mamba-2 in PARALLEL on the same norm and
+  sums them before the residual (src/models/falcon-h1.cpp).
 """
 from __future__ import annotations
 
@@ -26,16 +31,33 @@ import numpy as np
 from ..ops.qtensor import QTensor
 from .config import ModelConfig
 from .llama import attention, ffn, moe_ffn, rms_norm
-from .mamba import RecurrentState, _layer as mamba_layer, conv_channels
+from .mamba import (RecurrentState, _layer as mamba_layer,
+                    _layer2 as mamba2_layer, conv_channels)
 
 
 def is_hybrid(cfg: ModelConfig) -> bool:
+    if cfg.hybrid_parallel:
+        return True
     return bool(cfg.ssm_d_conv) and bool(cfg.kv_head_pattern) and any(
         h > 0 for h in cfg.kv_head_pattern)
 
 
 def attn_layer_ids(cfg: ModelConfig) -> list[int]:
+    if cfg.hybrid_parallel:  # falcon-h1: every layer attends AND recurs
+        return list(range(cfg.n_layer))
     return [i for i, h in enumerate(cfg.kv_head_pattern) if h > 0]
+
+
+def recurrent_layer_count(cfg: ModelConfig) -> int:
+    if cfg.hybrid_parallel:
+        return cfg.n_layer
+    # nemotron-h has pure-FFN layers: recurrent iff kv==0 AND n_ff==0
+    ffp = cfg.n_ff_pattern or ()
+    n = 0
+    for i, h in enumerate(cfg.kv_head_pattern):
+        if h == 0 and (not ffp or ffp[i] == 0):
+            n += 1
+    return n
 
 
 @jax.tree_util.register_pytree_node_class
@@ -64,12 +86,13 @@ class HybridState:
     def create(cfg: ModelConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16):
         n_attn = len(attn_layer_ids(cfg))
-        n_rec = cfg.n_layer - n_attn
-        hkv = max(cfg.kv_head_pattern)
+        n_rec = recurrent_layer_count(cfg)
+        hkv = (cfg.n_head_kv if cfg.hybrid_parallel
+               else max(cfg.kv_head_pattern))
         k = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim), dtype)
         v = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim_v), dtype)
         rec = RecurrentState.create(
-            ModelConfig(**{**cfg.__dict__, "n_layer": n_rec,
+            ModelConfig(**{**cfg.__dict__, "n_layer": max(n_rec, 1),
                            "raw_kv": {}}), batch)
         return HybridState(k, v, rec.conv, rec.ssm)
 
@@ -87,6 +110,8 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
     the row's valid window and are never attended)."""
     B, T = tokens.shape
     x = params["tok_embd"].take_rows(tokens, dtype)
+    if cfg.embedding_scale != 1.0:  # granite-hybrid f_embedding_scale
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(dtype)
     S = state.max_len
     uniform = jnp.ndim(cache_pos) == 0
     cache_pos = jnp.broadcast_to(
@@ -99,15 +124,35 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
 
     layers = params["layers"]
     groups = layers.get("__groups__") or [layers]
-    hkv = max(cfg.kv_head_pattern)
+    hkv = (cfg.n_head_kv if cfg.hybrid_parallel
+           else max(cfg.kv_head_pattern))
+    res_s = cfg.residual_scale or 1.0
 
-    def attn_block(x, p, qw, kv, li):
+    def attn_part(x, p, qw, kv, li):
+        """norm -> qkv -> attention -> wo (+bias); no residual, no ffn."""
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
-        from .llama import _mm
+        from .llama import _mm, apply_rope
 
-        q = _mm(h, qw["wq"], dtype, li).reshape(B, T, cfg.n_head, cfg.head_dim)
-        k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
-        v = _mm(h, qw["wv"], dtype, li).reshape(B, T, hkv, cfg.head_dim_v)
+        if "wqkv" in qw:
+            nq = cfg.n_head * cfg.head_dim
+            qkv = _mm(h, qw["wqkv"], dtype, li)
+            q = qkv[..., :nq].reshape(B, T, cfg.n_head, cfg.head_dim)
+            k = qkv[..., nq:nq + hkv * cfg.head_dim].reshape(
+                B, T, hkv, cfg.head_dim)
+            v = qkv[..., nq + hkv * cfg.head_dim:].reshape(
+                B, T, hkv, cfg.head_dim_v)
+        else:
+            q = _mm(h, qw["wq"], dtype, li).reshape(
+                B, T, cfg.n_head, cfg.head_dim)
+            k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
+            v = _mm(h, qw["wv"], dtype, li).reshape(
+                B, T, hkv, cfg.head_dim_v)
+        if cfg.hybrid_rope:  # falcon-h1/granite-hybrid rope; jamba: none
+            from .llama import rope_cache
+
+            cos, sin = rope_cache(cfg, positions)
+            q = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
+            k = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
         k_cache, v_cache = kv  # head-major (B, Hkv, S, D)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
@@ -127,13 +172,18 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                         q_slots, kv_positions, positions, valid_from, cfg)
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
         o = _mm(att, qw["wo"], dtype, li)
-        x = x + o
-        h2 = rms_norm(x, p["ffn_norm"], cfg.rms_eps)
+        if "wo_b" in p:
+            o = o + p["wo_b"].astype(o.dtype)
+        return o, (k_cache, v_cache)
+
+    def ffn_part(x, p, qw, li, norm_key):
+        """norm -> FFN/MoE -> residual (with granite residual scale)."""
+        h2 = rms_norm(x, p[norm_key], cfg.rms_eps)
         if cfg.n_expert > 0 and "moe_gate_inp" in qw:
             f = moe_ffn(h2, p, qw, li, cfg, dtype)
         else:
             f = ffn(h2, qw, li, cfg, dtype, p)
-        return x + f, (k_cache, v_cache)
+        return x + f * res_s
 
     a_off = r_off = 0
     new_k, new_v, new_conv, new_ssm = [], [], [], []
@@ -142,28 +192,66 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         L_g = next(iter(gl.values())).shape[0]
         recurrent = "ssm_in" in qw
+        has_attn = "wq" in qw or "wqkv" in qw
+        has_ffn = ("ffn_up" in qw or "moe_gate_inp" in qw
+                   or "ffn_up_exps" in qw)
+        rec_fn = (mamba2_layer if recurrent and "ssm_norm" in gl
+                  else mamba_layer)
         if recurrent:
             conv_g = jax.lax.dynamic_slice_in_dim(state.conv, r_off, L_g, 0)
             ssm_g = jax.lax.dynamic_slice_in_dim(state.ssm, r_off, L_g, 0)
+        if has_attn:
+            k_g = jax.lax.dynamic_slice_in_dim(state.k, a_off, L_g, 0)
+            v_g = jax.lax.dynamic_slice_in_dim(state.v, a_off, L_g, 0)
 
-            def step(x, inp, gl=gl):
-                li, ct, ss = inp
-                out, tail, ssm = mamba_layer(
+        def fl_at(li, fl=fl):
+            # per-step slice of the group's stacked float tensors (norms,
+            # biases); stacked QTensors index internally via _mm(..., li)
+            return {k: v[li] for k, v in fl.items()}
+
+        if recurrent and has_attn:  # falcon-h1: parallel mixers, shared norm
+            def pstep(x, inp, gl=gl, qw=qw, fl_at=fl_at):
+                li, ct, ss, kv0, kv1 = inp
+                ssm_out, tail, ssm = rec_fn(
                     x, li, gl, cfg, ct, ss, dtype, pad_mask, n_valid)
-                return x + out, (tail, ssm)
+                p = fl_at(li)
+                attn_out, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
+                x = x + (attn_out + ssm_out) * res_s
+                if has_ffn:
+                    x = ffn_part(x, p, qw, li, "ffn_norm")
+                return x, (tail, ssm, k2, v2)
+
+            x, (tails, ssms, ks, vs) = jax.lax.scan(
+                pstep, x, (jnp.arange(L_g), conv_g, ssm_g, k_g, v_g))
+            new_conv.append(tails)
+            new_ssm.append(ssms)
+            new_k.append(ks)
+            new_v.append(vs)
+            r_off += L_g
+            a_off += L_g
+        elif recurrent:
+            def step(x, inp, gl=gl, qw=qw, fl_at=fl_at):
+                li, ct, ss = inp
+                out, tail, ssm = rec_fn(
+                    x, li, gl, cfg, ct, ss, dtype, pad_mask, n_valid)
+                x = x + out * res_s
+                if has_ffn:  # jamba/granite-hybrid: FFN after the mixer
+                    x = ffn_part(x, fl_at(li), qw, li, "ffn_norm")
+                return x, (tail, ssm)
 
             x, (tails, ssms) = jax.lax.scan(
                 step, x, (jnp.arange(L_g), conv_g, ssm_g))
             new_conv.append(tails)
             new_ssm.append(ssms)
             r_off += L_g
-        else:
-            k_g = jax.lax.dynamic_slice_in_dim(state.k, a_off, L_g, 0)
-            v_g = jax.lax.dynamic_slice_in_dim(state.v, a_off, L_g, 0)
-
-            def astep(x, inp, qw=qw):
+        elif has_attn:
+            def astep(x, inp, qw=qw, fl_at=fl_at):
                 li, kv0, kv1 = inp
-                x, (k2, v2) = attn_block(x, fl, qw, (kv0, kv1), li)
+                p = fl_at(li)
+                o, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
+                x = x + o * res_s
+                if has_ffn:
+                    x = ffn_part(x, p, qw, li, "ffn_norm")
                 return x, (k2, v2)
 
             x, (ks, vs) = jax.lax.scan(
@@ -171,6 +259,11 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             new_k.append(ks)
             new_v.append(vs)
             a_off += L_g
+        else:  # nemotron-h FFN-only layers (normed by attn_norm)
+            def fstep(x, li, qw=qw, fl_at=fl_at):
+                return ffn_part(x, fl_at(li), qw, li, "attn_norm"), None
+
+            x, _ = jax.lax.scan(fstep, x, jnp.arange(L_g))
 
     def _cat(parts, old):
         if not parts:
@@ -187,4 +280,6 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
     from .llama import _mm
 
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:  # granite f_logit_scale divides here
+        logits = logits * cfg.logit_scale
     return logits, new_state

@@ -21,6 +21,14 @@ ARCH_REGISTRY: dict[str, dict] = {
                    no_rope_interval=4, attn_temp_scale=0.1,
                    qk_l2_norm=True, expert_gating="sigmoid"),
     "mistral": dict(rope_type="norm"),
+    # mistral3 (src/models/mistral3.cpp): llama graph + optional attention
+    # temperature scaling; mistral4 subclasses deepseek2 (MLA attention,
+    # src/models/models.h llama_model_mistral4)
+    "mistral3": dict(rope_type="norm"),
+    "mistral4": dict(rope_type="neox"),
+    # llama-embed (src/models/models.h llama_model_llama_embed): the llama
+    # graph in embedding mode — same weights/dataflow, pooled output
+    "llama-embed": dict(rope_type="norm"),
     "qwen2": dict(rope_type="neox", attn_bias=True),
     "qwen3": dict(rope_type="neox", attn_qk_norm=True),
     "qwen3moe": dict(rope_type="neox", attn_qk_norm=True),
@@ -52,6 +60,16 @@ ARCH_REGISTRY: dict[str, dict] = {
     # hybrid attention+recurrent — src/models/jamba.cpp (no rope on the
     # attention layers; per-layer head_count_kv array selects the family)
     "jamba": dict(),
+    # hybrid mamba2+attention — src/models/nemotron-h.cpp: each layer is
+    # exactly ONE of {mamba2, attention, relu^2-FFN}; attention has no rope
+    "nemotron_h": dict(ffn_gate=False),
+    # granite-hybrid (src/models/granite-hybrid.cpp): jamba-shaped layers
+    # (mixer + FFN each) with granite scales and roped attention
+    "granitehybrid": dict(rope_type="norm", hybrid_rope=True),
+    # falcon-h1 (src/models/falcon-h1.cpp): attention AND mamba2 run in
+    # PARALLEL on the same norm in every layer, then a gated FFN
+    "falcon-h1": dict(rope_type="neox", hybrid_parallel=True,
+                      hybrid_rope=True),
     # RWKV6 recurrent family — src/models/rwkv6.cpp (layernorm + dynamic
     # 5-way lerp + wkv6 bonus kernel); rwkv6qwen2 wraps the rwkv6 time-mix
     # in a qwen2 block (rmsnorm, gated silu FFN, GLA kernel, no LN0)

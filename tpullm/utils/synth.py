@@ -495,6 +495,132 @@ def build_mamba2_gguf(
     return path
 
 
+def build_hybrid2_gguf(
+    path: str,
+    arch: str = "nemotron_h",
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    pattern: str = "marf",  # per-layer kinds: m=mamba2 a=attn f=ffn r=mamba2
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    d_state: int = 16,
+    d_conv: int = 4,
+    ssm_heads: int = 4,
+    n_group: int = 2,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+    with_vocab: bool = True,
+) -> str:
+    """Synthetic mamba2-hybrid checkpoint for nemotron_h / granitehybrid /
+    falcon-h1 (tensor sets per src/models/nemotron-h.cpp,
+    granite-hybrid.cpp, falcon-h1.cpp load_arch_tensors).
+
+    pattern: layer kinds for nemotron_h ('m'/'r' mamba2, 'a' attention,
+    'f' FFN) or granitehybrid ('m'/'a'; every layer also gets an FFN).
+    falcon-h1 ignores it (every layer = attn + mamba2 + FFN)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    d_inner = 2 * n_embd
+    dxbc = d_inner + 2 * n_group * d_state
+    d_in_proj = 2 * d_inner + 2 * n_group * d_state + ssm_heads
+    parallel = arch == "falcon-h1"
+    per_ffn = arch in ("granitehybrid", "falcon-h1")  # FFN on every layer
+    n_layer = len(pattern)
+    kinds = ["p"] * n_layer if parallel else list(pattern.replace("r", "m"))
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    kvp = [n_head_kv if k in ("a", "p") else 0 for k in kinds]
+    ffp = [n_ff if (per_ffn or k == "f") else 0 for k in kinds]
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kvp, np.uint32))
+    w.add_array(f"{arch}.feed_forward_length",
+                np.asarray(ffp, np.uint32))
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", ssm_heads)
+    w.add_uint32(f"{arch}.ssm.group_count", n_group)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if arch == "granitehybrid":
+        w.add_float32(f"{arch}.embedding_scale", 2.0)
+        w.add_float32(f"{arch}.residual_scale", 0.5)
+        w.add_float32(f"{arch}.logit_scale", 0.25)
+    if with_vocab:
+        add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    def add_ssm(p):
+        addq(p + "ssm_in.weight", rand(d_in_proj, n_embd))
+        add(p + "ssm_conv1d.weight", rand(dxbc, d_conv))
+        add(p + "ssm_conv1d.bias", rand(dxbc))
+        add(p + "ssm_dt.bias", rand(ssm_heads) + 0.5)
+        add(p + "ssm_a", -np.exp(rand(ssm_heads, 1)))
+        add(p + "ssm_d", np.ones((ssm_heads, 1), np.float32)
+            + rand(ssm_heads, 1))
+        add(p + "ssm_norm.weight",
+            np.ones((n_group, d_inner // n_group), np.float32)
+            + rand(n_group, d_inner // n_group))
+        addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+
+    def add_attn(p):
+        addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+        addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+
+    def add_ffn(p, gated):
+        if gated:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        if kind == "p":
+            add_attn(p)
+            add_ssm(p)
+        elif kind == "m":
+            add_ssm(p)
+        elif kind == "a":
+            add_attn(p)
+        if per_ffn or kind == "f":
+            if per_ffn:
+                add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+                    + rand(n_embd))
+            add_ffn(p, gated=per_ffn)  # nemotron_h: ungated relu^2
+    w.write()
+    return path
+
+
 def build_deepseek2_gguf(
     path: str,
     arch: str = "deepseek2",
