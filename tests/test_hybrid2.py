@@ -1,9 +1,14 @@
 """Mamba2-hybrid family (nemotron_h / granitehybrid / falcon-h1):
 layer-kind dispatch, incremental==full, left-pad invariance, and engine
 greedy decode through the family serving path."""
+import os
+import subprocess
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REF_BIN = "/tmp/refbuild/bin"
 
 from tpullm.models.hybrid import HybridState, attn_layer_ids, forward, is_hybrid
 from tpullm.runtime.loader import load_model
@@ -21,11 +26,11 @@ def hybrid2(request, tmp_path_factory):
     arch, pat = request.param
     path = str(tmp_path_factory.mktemp("m") / f"{arch}.gguf")
     build_hybrid2_gguf(path, arch=arch, pattern=pat, seed=5)
-    return arch, pat, load_model(path, fuse=False)
+    return arch, pat, path, load_model(path, fuse=False)
 
 
 def test_config_and_banks(hybrid2):
-    arch, pat, (cfg, params, g) = hybrid2
+    arch, pat, path, (cfg, params, g) = hybrid2
     assert is_hybrid(cfg)
     if arch == "falcon-h1":
         assert cfg.hybrid_parallel
@@ -44,7 +49,7 @@ def _full(cfg, params, toks, S=32):
 
 
 def test_incremental_equals_full(hybrid2):
-    arch, pat, (cfg, params, g) = hybrid2
+    arch, pat, path, (cfg, params, g) = hybrid2
     seq = [3, 9, 4, 17, 6, 2]
     toks = jnp.asarray([seq], jnp.int32)
     full, _ = _full(cfg, params, toks)
@@ -59,7 +64,7 @@ def test_incremental_equals_full(hybrid2):
 
 
 def test_logits_finite_and_state_updates(hybrid2):
-    arch, pat, (cfg, params, g) = hybrid2
+    arch, pat, path, (cfg, params, g) = hybrid2
     lg, st = _full(cfg, params, jnp.asarray([[5, 8, 2]], jnp.int32))
     assert np.isfinite(np.asarray(lg)).all()
     assert float(jnp.abs(st.ssm).sum()) > 0
@@ -70,7 +75,7 @@ def test_logits_finite_and_state_updates(hybrid2):
 def test_engine_serves_hybrid(hybrid2):
     """The family dispatch serves these archs greedily and
     deterministically end-to-end."""
-    arch, pat, (cfg, params, g) = hybrid2
+    arch, pat, path, (cfg, params, g) = hybrid2
     from tpullm.models.family import model_family
 
     assert model_family(cfg) == "hybrid"
@@ -81,3 +86,35 @@ def test_engine_serves_hybrid(hybrid2):
     b, _ = _full(cfg, params, jnp.asarray([[7, 1, 3]], jnp.int32))
     assert np.array_equal(np.asarray(a), np.asarray(b))
     del path
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_BIN, "llama-completion")),
+    reason=f"no reference build at {REF_BIN}")
+def test_reference_greedy_parity(hybrid2):
+    arch, pat, path, (cfg, params, g) = hybrid2
+    from tpullm.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_gguf(g)
+    prompt, n = "abc tok4", 6
+    out = subprocess.run(
+        [os.path.join(REF_BIN, "llama-completion"), "-m", path, "-p", prompt,
+         "-n", str(n), "--temp", "0", "--no-warmup", "-t", "1"],
+        capture_output=True, text=True, timeout=300, stdin=subprocess.DEVNULL)
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref_cont = out.stdout.split(prompt, 1)[-1].strip("\n")
+    ids = tok.encode(prompt, add_special=True)
+    st = HybridState.create(cfg, 1, 64, jnp.float32)
+    pos0, cur, toks_out = 0, ids, []
+    for _ in range(n):
+        lg, st = forward(params, cfg, jnp.asarray([cur], jnp.int32),
+                         jnp.arange(pos0, pos0 + len(cur))[None], st, pos0,
+                         jnp.zeros(1, jnp.int32), dtype=jnp.float32)
+        nxt = int(np.argmax(np.asarray(lg)[0, -1]))
+        toks_out.append(nxt)
+        pos0 += len(cur)
+        cur = [nxt]
+    ours = tok.decode(toks_out)
+    assert ours.strip() == ref_cont.strip() or \
+        len(os.path.commonprefix([ours.strip(), ref_cont.strip()])) >= \
+        0.8 * len(ref_cont.strip()), (arch, ours, ref_cont)

@@ -48,6 +48,9 @@ LAYER_TENSORS = {
     "attn_kv_b.weight": "wkv_b",  # legacy unsplit; split at load
     "attn_sinks.weight": "attn_sinks",  # per-head sink logits (gpt-oss)
     "ffn_norm.weight": "ffn_norm",
+    # falcon-h1 stores the ffn norm with NO .weight suffix
+    # (src/models/falcon-h1.cpp: tn(LLM_TENSOR_FFN_NORM, i))
+    "ffn_norm": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_b",
     "ffn_gate.weight": "ffn_gate",
     "ffn_up.weight": "ffn_up",

@@ -614,7 +614,10 @@ def build_hybrid2_gguf(
             add_attn(p)
         if per_ffn or kind == "f":
             if per_ffn:
-                add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+                # falcon-h1 quirk: the ffn norm has NO .weight suffix
+                # (src/models/falcon-h1.cpp tn(LLM_TENSOR_FFN_NORM, i))
+                sfx = "" if parallel else ".weight"
+                add(p + "ffn_norm" + sfx, np.ones(n_embd, np.float32)
                     + rand(n_embd))
             add_ffn(p, gated=per_ffn)  # nemotron_h: ungated relu^2
     w.write()
