@@ -100,6 +100,7 @@ class ModelConfig:
     wkv_head_size: int = 0  # >0 selects the RWKV graph (rwkv7.cpp)
     rescale_every: int = 0  # rwkv6: halve activations every N layers
     n_ff_pattern: tuple = ()  # per-layer n_ff (nemotron-h: 0 = no-FFN layer)
+    mrope_sections: tuple = ()  # qwen2vl M-RoPE t/h/w/e freq sections
     hybrid_parallel: bool = False  # falcon-h1: attn + mamba2 in EVERY layer
     hybrid_rope: bool = False  # hybrid attn layers rope (falcon-h1/granite)
     # recurrent (Mamba/SSM) models
@@ -204,6 +205,9 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     cfg.kv_head_pattern = kv_pattern
     cfg.n_ff_pattern = ff_pattern
+    sect = _k(g, "{arch}.rope.dimension_sections")
+    if sect is not None:
+        cfg.mrope_sections = tuple(int(s) for s in sect)
     cfg.wkv_head_size = int(_k(g, "{arch}.wkv.head_size", 0) or 0)
     cfg.rescale_every = int(_k(g, "{arch}.rescale_every_n_layers", 0) or 0)
     cfg.n_rel_attn_bkts = int(

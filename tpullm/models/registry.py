@@ -30,6 +30,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # graph in embedding mode — same weights/dataflow, pooled output
     "llama-embed": dict(rope_type="norm"),
     "qwen2": dict(rope_type="neox", attn_bias=True),
+    # qwen2vl (src/models/qwen2vl.cpp): the qwen2 graph with M-RoPE
+    # (ggml_rope_multi + rope.dimension_sections). For TEXT tokens all
+    # position channels are equal, under which the M-RoPE sector walk
+    # (ggml-cpu/ops.cpp ggml_mrope_cache_init) reduces EXACTLY to neox
+    # rope; image-grid positions route through the mtmd path
+    "qwen2vl": dict(rope_type="neox", attn_bias=True),
     "qwen3": dict(rope_type="neox", attn_qk_norm=True),
     "qwen3moe": dict(rope_type="neox", attn_qk_norm=True),
     "qwen2moe": dict(rope_type="neox", attn_bias=True),
