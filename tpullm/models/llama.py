@@ -256,8 +256,8 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     from ..ops.qmm import use_pallas
 
     if (window is None and sinks is None and scale is None and not ring
-            and cfg.alibi_max_bias == 0 and use_pallas()
-            and flash_supported(T, S, Dk, Dv)):
+            and cfg.alibi_max_bias == 0 and not cfg.diffusion
+            and use_pallas() and flash_supported(T, S, Dk, Dv)):
         # prefill: online-softmax kernel, KV streamed in tiles (no O(T*S)
         # score materialization)
         return flash_attention(q, k_all, v_all, q_slots, kv_positions,
@@ -265,7 +265,7 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
     static_swa = isinstance(layer_is_swa, bool) and (
         window is None or isinstance(window, int))
     if (not ring and use_pallas() and static_swa
-            and cfg.alibi_max_bias == 0
+            and cfg.alibi_max_bias == 0 and not cfg.diffusion
             and flash_decode_supported(B, T, S, Dk, Dv, Hkv)):
         # decode / short verify bursts: KV-resident online-softmax kernel —
         # reads only ceil(pos/TS) cache tiles instead of the full padded S.
@@ -310,6 +310,12 @@ def attention(q, k_all, v_all, q_slots, kv_positions, positions, valid_from,
         cand = q_slot - ((q_slot - kv_slot) % ring)  # (B,1,1,T,S)
         mask = ((cand >= valid_from[:, None, None, None, None])
                 & (q_slot - cand < win))
+    elif cfg.diffusion:
+        # diffusion LMs (llada/dream) attend bidirectionally over every
+        # slot written so far (hparams.causal_attn = false in the
+        # reference; generation re-runs the full masked sequence)
+        last = q_slots[:, -1][:, None, None, None, None]
+        mask = (kv_slot <= last) & (kv_slot >= valid_from[:, None, None, None, None])
     else:
         mask = (kv_slot <= q_slot) & (kv_slot >= valid_from[:, None, None, None, None])
     if not ring and layer_is_swa and (cfg.sliding_window or window is not None):

@@ -157,6 +157,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),
+    # diffusion LMs (src/models/llada.cpp, dream.cpp, llada-moe.cpp):
+    # hparams.causal_attn = false; generation runs the iterative denoising
+    # loop in runtime/diffusion.py (examples/diffusion/diffusion.cpp)
+    "llada": dict(rope_type="norm", diffusion=True),
+    "dream": dict(rope_type="neox", attn_bias=True, diffusion=True),
+    "llada-moe": dict(rope_type="neox", attn_qk_norm=True, diffusion=True),
 }
 
 

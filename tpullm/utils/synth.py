@@ -708,6 +708,9 @@ def build_deepseek2_gguf(
 # tensor-set quirks the registry's ModelConfig flags don't encode (what the
 # reference declares in each src/models/<arch>.cpp load_arch_tensors)
 SYNTH_HINTS: dict[str, dict] = {
+    # llada-moe derives the expert width from n_ff/n_expert_used unless
+    # expert_feed_forward_length is present — write it explicitly
+    "llada-moe": dict(ff_exp=True),
     "gpt2": dict(pos_embd=True, fused_qkv="bias", dense_bias=True),
     "starcoder": dict(pos_embd=True, fused_qkv="bias", dense_bias=True),
     "codeshell": dict(fused_qkv="bias", dense_bias=True, rope_frac=2),
@@ -804,6 +807,8 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
     if moe:
         w.add_uint32(f"{arch}.expert_count", n_expert)
         w.add_uint32(f"{arch}.expert_used_count", 2)
+        if hints.get("ff_exp"):
+            w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff)
         if dense_lead:
             w.add_uint32(f"{arch}.leading_dense_block_count", dense_lead)
         if hints.get("gating"):
@@ -812,6 +817,15 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
             w.add_float32(f"{arch}.expert_weights_scale", hints["ew_scale"])
         if hints.get("ew_norm"):
             w.add_bool(f"{arch}.expert_weights_norm", True)
+    if flags.get("diffusion"):
+        # diffusion LMs need a MASK token + the logit-shift switch; the
+        # pass-through chat template keeps the reference diffusion-cli
+        # (which always formats) off chatml specials the toy vocab lacks
+        w.add_uint32("tokenizer.ggml.mask_token_id", vocab_size - 1)
+        w.add_bool("diffusion.shift_logits", True)
+        w.add_string("tokenizer.chat_template",
+                     "{% for m in messages %}{{ m['content'] }}"
+                     "{% endfor %}")
     add_spm_toy_vocab(w, vocab_size)
 
     norm_type = flags.get("norm_type", "rmsnorm")
