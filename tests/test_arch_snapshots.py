@@ -27,6 +27,7 @@ UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 
 # families with their own builders/tests (not the shared decoder graph)
 _SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
+         "nemotron_h", "granitehybrid", "falcon-h1",
          "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder"}
 
 ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)

@@ -102,6 +102,7 @@ class ModelConfig:
     n_ff_pattern: tuple = ()  # per-layer n_ff (nemotron-h: 0 = no-FFN layer)
     mrope_sections: tuple = ()  # qwen2vl M-RoPE t/h/w/e freq sections
     diffusion: bool = False  # llada/dream: bidirectional diffusion LM
+    pre_norm: bool = True  # olmo2/exaone4: False = post-norms ONLY
     hybrid_parallel: bool = False  # falcon-h1: attn + mamba2 in EVERY layer
     hybrid_rope: bool = False  # hybrid attn layers rope (falcon-h1/granite)
     # recurrent (Mamba/SSM) models

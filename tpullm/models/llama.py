@@ -369,6 +369,8 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
     B, T, D = x.shape
     E, used = cfg.n_expert, cfg.n_expert_used
     router = _mm(x, qw["moe_gate_inp"], dtype, li)[..., :E].astype(jnp.float32)
+    if "moe_gate_inp_b" in p:  # gpt-oss router bias
+        router = router + p["moe_gate_inp_b"][None, None, :E]
     if cfg.expert_gating == "sigmoid":
         probs = jax.nn.sigmoid(router)
     else:
@@ -396,6 +398,10 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
     def one_expert(e):
         ge = _expert_mm(x, gate_w, li, e, dtype)
         ue = _expert_mm(x, up_w, li, e, dtype)
+        if "moe_gate_exps_b" in p:  # gpt-oss per-expert biases
+            ge = ge + p["moe_gate_exps_b"][e].astype(dtype)
+        if "moe_up_exps_b" in p:
+            ue = ue + p["moe_up_exps_b"][e].astype(dtype)
         if cfg.act_fn == "swiglu_oai":
             gf = jnp.clip(ge.astype(jnp.float32), None, 7.0)
             uf = jnp.clip(ue.astype(jnp.float32), -7.0, 7.0)
@@ -405,6 +411,8 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
         else:
             h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
         de = _expert_mm(h, down_w, li, e, dtype)  # (B, T, D)
+        if "moe_down_exps_b" in p:
+            de = de + p["moe_down_exps_b"][e].astype(dtype)
         we = (w * (top_i == e)).sum(-1)  # (B, T)
         return de * we[..., None].astype(dtype)
 
@@ -787,7 +795,10 @@ def forward(
     def layer(carry, inp):
         x = carry
         p, kv, li = inp
-        h = _norm(x, p.get("attn_norm"), p.get("attn_norm_b"), cfg)
+        # olmo2/exaone4 run attention on the RAW residual stream and
+        # normalize only the outputs (src/models/olmo2.cpp:93)
+        h = (_norm(x, p.get("attn_norm"), p.get("attn_norm_b"), cfg)
+             if cfg.pre_norm else x)
         if cfg.kv_lora_rank > 0 and "wkv_a" in qw:
             att, kv = _attend_mla(h, p, kv, li)
             att_in = att
@@ -868,7 +879,8 @@ def forward(
             x = x + att + f
         else:
             x = x + att
-            h2 = _norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
+            h2 = (_norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
+                  if cfg.pre_norm else x)
             f, hmid = _ffn(h2)
             if tp_axis:  # row-parallel ffn_down partials
                 f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)

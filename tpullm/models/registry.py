@@ -37,26 +37,34 @@ ARCH_REGISTRY: dict[str, dict] = {
     # rope; image-grid positions route through the mtmd path
     "qwen2vl": dict(rope_type="neox", attn_bias=True),
     "qwen3": dict(rope_type="neox", attn_qk_norm=True),
-    "qwen3moe": dict(rope_type="neox", attn_qk_norm=True),
+    "qwen3moe": dict(rope_type="neox", attn_qk_norm=True,
+                     expert_weights_norm=True),
     "qwen2moe": dict(rope_type="neox", attn_bias=True),
     "gemma": dict(rope_type="neox", act_fn="gelu", embedding_scale=-1.0),
     "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True, embedding_scale=-1.0, swa_pattern=2),
     "gemma3": dict(rope_type="neox", act_fn="gelu", post_norms=True, attn_qk_norm=True, embedding_scale=-1.0, swa_pattern=6),
     "phi2": dict(rope_type="neox", parallel_residual=True, norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
     "phi3": dict(rope_type="neox"),
-    "mixtral": dict(rope_type="norm"),
+    # mixtral (llama MoE branch, src/models/llama.cpp:208): top-k
+    # router weights are RENORMALIZED (build_moe_ffn norm_w=true)
+    "mixtral": dict(rope_type="norm", expert_weights_norm=True),
     "deepseek": dict(rope_type="norm"),
     "deepseek2": dict(rope_type="neox"),
     "gpt-oss": dict(rope_type="neox", act_fn="swiglu_oai", attn_bias=True),
     "starcoder2": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
     "gptneox": dict(rope_type="neox", norm_type="layernorm", act_fn="gelu", ffn_gate=False, parallel_residual=True, attn_bias=True),
     "stablelm": dict(rope_type="neox", norm_type="layernorm"),
-    "olmo2": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
+    # olmo2 (src/models/olmo2.cpp:45): FLAT q/k RMS norms over the
+    # full row ({n_embd} / {n_kv*head_dim}), applied before rope
+    "olmo2": dict(rope_type="neox", post_norms=True, pre_norm=False,
+              attn_qk_norm_flat=True),
     "smollm3": dict(rope_type="norm"),
     "granite": dict(rope_type="norm"),
     "internlm2": dict(rope_type="norm"),
     "exaone": dict(rope_type="norm"),
-    "exaone4": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
+    # exaone4 (src/models/exaone4.cpp): post-norm ONLY like olmo2
+    "exaone4": dict(rope_type="neox", post_norms=True, pre_norm=False,
+                    attn_qk_norm=True),
     "minicpm": dict(rope_type="norm"),
     "cohere2": dict(rope_type="norm", norm_type="layernorm", swa_pattern=4),
     # recurrent SSM family — src/models/mamba.cpp (+falcon-mamba via

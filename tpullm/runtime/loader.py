@@ -68,6 +68,10 @@ LAYER_TENSORS = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "exp_probs_b.bias": "moe_probs_b",
+    "ffn_gate_exps.bias": "moe_gate_exps_b",  # gpt-oss expert biases
+    "ffn_up_exps.bias": "moe_up_exps_b",
+    "ffn_down_exps.bias": "moe_down_exps_b",
+    "ffn_gate_inp.bias": "moe_gate_inp_b",
     # recurrent SSM (Mamba) family — src/models/mamba.cpp load_arch_tensors
     "ssm_in.weight": "ssm_in",
     "ssm_conv1d.weight": "ssm_conv1d",

@@ -96,30 +96,74 @@ def load_hf_weights(d: str) -> dict[str, np.ndarray]:
 # HF model_type -> gguf arch (the subset the engine serves)
 _ARCHS = {
     "llama": "llama", "mistral": "llama", "qwen2": "qwen2", "qwen3": "qwen3",
+    "qwen3_moe": "qwen3moe", "mixtral": "mixtral",
     "gemma": "gemma", "gemma2": "gemma2", "gemma3_text": "gemma3",
-    "phi3": "phi3", "stablelm": "stablelm", "mixtral": "mixtral",
-    "olmo2": "olmo2",
+    "phi3": "phi3", "stablelm": "stablelm",
+    "olmo2": "olmo2", "gpt_oss": "gpt-oss",
+    "mamba": "mamba", "mamba2": "mamba2",
 }
 # archs whose q/k need the HF->ggml rope permute (rope type "norm")
 _PERMUTE = {"llama", "mistral", "mixtral"}
+# gemma-family RMSNorm stores (w) with output x*(1+w): GGUF adds the 1
+# (convert_hf_to_gguf.py GemmaModel.modify_tensors)
+_NORM_PLUS_ONE = {"gemma", "gemma2", "gemma3"}
 
 _LAYER_MAP = {
     "self_attn.q_proj.weight": "attn_q.weight",
     "self_attn.k_proj.weight": "attn_k.weight",
     "self_attn.v_proj.weight": "attn_v.weight",
     "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",
     "self_attn.q_proj.bias": "attn_q.bias",
     "self_attn.k_proj.bias": "attn_k.bias",
     "self_attn.v_proj.bias": "attn_v.bias",
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "self_attn.sinks": "attn_sinks.weight",
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",  # phi3 fused
     "mlp.gate_proj.weight": "ffn_gate.weight",
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",  # phi3 fused [gate; up]
+    "mlp.gate.weight": "ffn_gate_inp.weight",  # qwen-moe router
+    "mlp.router.weight": "ffn_gate_inp.weight",  # gpt-oss router
+    "mlp.router.bias": "ffn_gate_inp.bias",
+    "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",  # mixtral
     "input_layernorm.weight": "attn_norm.weight",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "pre_feedforward_layernorm.weight": "ffn_norm.weight",
     "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+}
+# gemma2/3: post_attention_layernorm is the POST-attention norm, the ffn
+# norm is pre_feedforward_layernorm (convert_hf_to_gguf Gemma2Model)
+_GEMMA2_OVERRIDES = {
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+}
+# per-expert tensors collected then stacked [n_expert, ...]
+_EXPERT_MAP = {
+    # qwen3moe
+    "mlp.experts.{e}.gate_proj.weight": "ffn_gate_exps.weight",
+    "mlp.experts.{e}.up_proj.weight": "ffn_up_exps.weight",
+    "mlp.experts.{e}.down_proj.weight": "ffn_down_exps.weight",
+    # mixtral
+    "block_sparse_moe.experts.{e}.w1.weight": "ffn_gate_exps.weight",
+    "block_sparse_moe.experts.{e}.w3.weight": "ffn_up_exps.weight",
+    "block_sparse_moe.experts.{e}.w2.weight": "ffn_down_exps.weight",
+}
+# mamba/mamba2 (backbone.* namespace; src convert_hf_to_gguf MambaModel)
+_MAMBA_MAP = {
+    "mixer.in_proj.weight": "ssm_in.weight",
+    "mixer.conv1d.weight": "ssm_conv1d.weight",
+    "mixer.conv1d.bias": "ssm_conv1d.bias",
+    "mixer.x_proj.weight": "ssm_x.weight",
+    "mixer.dt_proj.weight": "ssm_dt.weight",
+    "mixer.dt_proj.bias": "ssm_dt.bias",
+    "mixer.dt_bias": "ssm_dt.bias",  # mamba2
+    "mixer.A_log": "ssm_a",  # stored as log; engine applies -exp
+    "mixer.D": "ssm_d",
+    "mixer.norm.weight": "ssm_norm.weight",  # mamba2
+    "mixer.out_proj.weight": "ssm_out.weight",
+    "norm.weight": "attn_norm.weight",
 }
 
 _QTYPES = {
@@ -179,6 +223,54 @@ def convert_tokenizer(w: GGUFWriter, d: str, cfg: dict) -> None:
                      int(v[0] if isinstance(v, list) else v))
 
 
+def _convert_mamba(w, cfg, tensors, arch, addw):
+    """backbone.* namespace -> mamba/mamba2 GGUF (convert_hf_to_gguf
+    MambaModel / Mamba2Model)."""
+    d_inner = int(cfg.get("intermediate_size")
+                  or cfg.get("d_inner") or 2 * cfg["hidden_size"])
+    d_conv = int(cfg.get("conv_kernel", cfg.get("d_conv", 4)))
+    d_state = int(cfg.get("state_size", cfg.get("d_state", 16)))
+    if arch == "mamba2":
+        nh = int(cfg.get("n_heads", d_inner // int(cfg.get("head_dim", 64))))
+        n_group = int(cfg.get("n_groups", 1))
+        w.add_uint32(f"{arch}.ssm.time_step_rank", nh)
+        w.add_uint32(f"{arch}.ssm.group_count", n_group)
+        w.add_uint32(f"{arch}.attention.head_count", nh)
+    else:
+        dt_rank = cfg.get("time_step_rank")
+        if dt_rank in (None, "auto"):
+            dt_rank = (cfg["hidden_size"] + 15) // 16
+        w.add_uint32(f"{arch}.ssm.time_step_rank", int(dt_rank))
+        w.add_uint32(f"{arch}.attention.head_count", 0)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+
+    addw("token_embd.weight", tensors["backbone.embeddings.weight"])
+    if "lm_head.weight" in tensors:
+        addw("output.weight", tensors["lm_head.weight"])
+    addw("output_norm.weight", tensors["backbone.norm_f.weight"],
+         quantize=False)
+    n_layer = int(cfg["num_hidden_layers"])
+    for i in range(n_layer):
+        for hf_sfx, gg_sfx in _MAMBA_MAP.items():
+            name = f"backbone.layers.{i}.{hf_sfx}"
+            if name not in tensors:
+                continue
+            arr = tensors[name].astype(np.float32)
+            if hf_sfx == "mixer.A_log":
+                arr = -np.exp(arr)
+                if arr.ndim == 1:  # mamba2 per-head scalars -> {1, nh}
+                    arr = arr[:, None]
+            elif hf_sfx == "mixer.D" and arch == "mamba2" and arr.ndim == 1:
+                arr = arr[:, None]
+            elif hf_sfx == "mixer.conv1d.weight":
+                arr = arr.squeeze(1)  # (C, 1, dc) -> (C, dc)
+            quant = gg_sfx.endswith(".weight") and "norm" not in gg_sfx \
+                and "conv" not in gg_sfx and arr.ndim == 2
+            addw(f"blk.{i}.{gg_sfx}", arr, quantize=quant)
+
+
 def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
     with open(os.path.join(hf_dir, "config.json")) as f:
         cfg = json.load(f)
@@ -188,10 +280,11 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
                          f"(supported: {sorted(_ARCHS)})")
     arch = _ARCHS[mt]
     qt = _QTYPES[outtype]
-    n_head = int(cfg["num_attention_heads"])
-    n_kv = int(cfg.get("num_key_value_heads", n_head))
+    is_mamba = arch in ("mamba", "mamba2")
+    n_head = int(cfg.get("num_attention_heads", 0) or 0)
+    n_kv = int(cfg.get("num_key_value_heads", n_head) or n_head)
     n_embd = int(cfg["hidden_size"])
-    head_dim = int(cfg.get("head_dim", n_embd // n_head))
+    head_dim = int(cfg.get("head_dim") or (n_embd // max(n_head, 1)))
 
     w = GGUFWriter(out_path, arch=arch)
     w.add_string("general.name", cfg.get("_name_or_path", os.path.basename(
@@ -200,6 +293,28 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
                  int(cfg.get("max_position_embeddings", 4096)))
     w.add_uint32(f"{arch}.embedding_length", n_embd)
     w.add_uint32(f"{arch}.block_count", int(cfg["num_hidden_layers"]))
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(cfg.get("rms_norm_eps",
+                                cfg.get("layer_norm_epsilon", 1e-5))))
+    w.add_uint32(f"{arch}.vocab_size", int(cfg["vocab_size"]))
+
+    def addw(name, arr, quantize=True):
+        from ..quant import quantize as q
+
+        t = qt if (quantize and arr.ndim >= 2
+                   and arr.shape[-1] % 32 == 0) else GGMLType.F32
+        raw = q(arr.astype(np.float32), t)
+        w.add_tensor(name, raw.tobytes(), t, tuple(reversed(arr.shape)))
+
+    tensors = load_hf_weights(hf_dir)
+    if is_mamba:
+        w.add_uint32(f"{arch}.feed_forward_length", 0)
+        convert_tokenizer(w, hf_dir, cfg)
+        _convert_mamba(w, cfg, tensors, arch, addw)
+        w.write()
+        print(f"wrote {out_path} ({arch}, {outtype})", file=sys.stderr)
+        return out_path
+
     w.add_uint32(f"{arch}.feed_forward_length", int(cfg["intermediate_size"]))
     w.add_uint32(f"{arch}.attention.head_count", n_head)
     w.add_uint32(f"{arch}.attention.head_count_kv", n_kv)
@@ -208,34 +323,55 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
     w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
     w.add_float32(f"{arch}.rope.freq_base",
                   float(cfg.get("rope_theta", 10000.0)))
-    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon",
-                  float(cfg.get("rms_norm_eps", 1e-5)))
-    w.add_uint32(f"{arch}.vocab_size", int(cfg["vocab_size"]))
     rs = cfg.get("rope_scaling") or {}
     if rs.get("rope_type") == "linear" or rs.get("type") == "linear":
         w.add_string(f"{arch}.rope.scaling.type", "linear")
         w.add_float32(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    # MoE hparams
+    n_expert = int(cfg.get("num_local_experts",
+                           cfg.get("num_experts", 0)) or 0)
+    if n_expert:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count",
+                     int(cfg.get("num_experts_per_tok", 2)))
+        if cfg.get("moe_intermediate_size"):
+            w.add_uint32(f"{arch}.expert_feed_forward_length",
+                         int(cfg["moe_intermediate_size"]))
+        elif arch == "gpt-oss":
+            w.add_uint32(f"{arch}.expert_feed_forward_length",
+                         int(cfg["intermediate_size"]))
+    # sliding window (gemma2/3, gpt-oss)
+    if cfg.get("sliding_window"):
+        w.add_uint32(f"{arch}.attention.sliding_window",
+                     int(cfg["sliding_window"]))
+    # gemma2 softcaps
+    if cfg.get("attn_logit_softcapping"):
+        w.add_float32(f"{arch}.attn_logit_softcapping",
+                      float(cfg["attn_logit_softcapping"]))
+    if cfg.get("final_logit_softcapping"):
+        w.add_float32(f"{arch}.final_logit_softcapping",
+                      float(cfg["final_logit_softcapping"]))
     convert_tokenizer(w, hf_dir, cfg)
 
-    tensors = load_hf_weights(hf_dir)
     permute = arch in _PERMUTE
+    plus_one = arch in _NORM_PLUS_ONE
+    layer_map = dict(_LAYER_MAP)
+    if arch in ("gemma2", "gemma3", "olmo2"):
+        layer_map.update(_GEMMA2_OVERRIDES)
 
-    def addw(name, arr, quantize=True):
-        from ..quant import quantize as q
-
-        t = qt if (quantize and arr.ndim == 2
-                   and arr.shape[-1] % 32 == 0) else GGMLType.F32
-        raw = q(arr.astype(np.float32), t)
-        w.add_tensor(name, raw.tobytes(), t, tuple(reversed(arr.shape)))
+    def norm_fix(arr):
+        return arr.astype(np.float32) + 1.0 if plus_one else arr
 
     addw("token_embd.weight", tensors["model.embed_tokens.weight"])
     if "lm_head.weight" in tensors:
         addw("output.weight", tensors["lm_head.weight"])
-    addw("output_norm.weight", tensors["model.norm.weight"], quantize=False)
+    addw("output_norm.weight", norm_fix(tensors["model.norm.weight"]),
+         quantize=False)
     n_layer = int(cfg["num_hidden_layers"])
     for i in range(n_layer):
-        for hf_sfx, gg_sfx in _LAYER_MAP.items():
-            name = f"model.layers.{i}.{hf_sfx}"
+        pre = f"model.layers.{i}."
+        for hf_sfx, gg_sfx in layer_map.items():
+            name = pre + hf_sfx
             if name not in tensors:
                 continue
             arr = tensors[name]
@@ -243,8 +379,39 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
                 arr = _permute(arr, n_head)
             elif permute and hf_sfx == "self_attn.k_proj.weight":
                 arr = _permute(arr, n_kv)
+            if "norm" in gg_sfx:
+                arr = norm_fix(arr)
             addw(f"blk.{i}.{gg_sfx}", arr,
                  quantize=gg_sfx.endswith("weight") and "norm" not in gg_sfx)
+        # stacked experts (qwen-moe individual tensors; mixtral w1/w2/w3)
+        for tmpl, gg_sfx in _EXPERT_MAP.items():
+            first = pre + tmpl.format(e=0)
+            if first not in tensors:
+                continue
+            stack = np.stack([tensors[pre + tmpl.format(e=e)]
+                              for e in range(n_expert)])
+            addw(f"blk.{i}.{gg_sfx}", stack)
+        # gpt-oss: experts arrive PRE-STACKED with interleaved gate/up
+        # (convert_hf_to_gguf GptOssModel: [..., ::2]=gate, [..., 1::2]=up)
+        gu = pre + "mlp.experts.gate_up_proj"
+        if gu in tensors:
+            g = tensors[gu]  # (E, D, 2F)
+            gate = np.ascontiguousarray(g[..., ::2].swapaxes(1, 2))
+            up = np.ascontiguousarray(g[..., 1::2].swapaxes(1, 2))
+            down = np.ascontiguousarray(
+                tensors[pre + "mlp.experts.down_proj"].swapaxes(1, 2))
+            addw(f"blk.{i}.ffn_gate_exps.weight", gate)
+            addw(f"blk.{i}.ffn_up_exps.weight", up)
+            addw(f"blk.{i}.ffn_down_exps.weight", down)
+            gub = tensors.get(pre + "mlp.experts.gate_up_proj_bias")
+            if gub is not None:
+                addw(f"blk.{i}.ffn_gate_exps.bias",
+                     np.ascontiguousarray(gub[..., ::2]), quantize=False)
+                addw(f"blk.{i}.ffn_up_exps.bias",
+                     np.ascontiguousarray(gub[..., 1::2]), quantize=False)
+            db = tensors.get(pre + "mlp.experts.down_proj_bias")
+            if db is not None:
+                addw(f"blk.{i}.ffn_down_exps.bias", db, quantize=False)
     w.write()
     print(f"wrote {out_path} ({arch}, {outtype})", file=sys.stderr)
     return out_path

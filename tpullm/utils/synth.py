@@ -722,6 +722,7 @@ SYNTH_HINTS: dict[str, dict] = {
     "falcon": dict(fused_qkv=True, attn_norm_2=True),
     "olmo": dict(weightless_norm=True, clamp=8.0),
     "olmoe": dict(qk_norm_flat=True),
+    "olmo2": dict(qk_norm_flat=True),
     "dbrx": dict(fused_qkv=True, clamp=8.0, ffn_norm_name="attn_output_norm",
                  norm_weight_only=True),
     "nemotron": dict(dense_bias=True, rope_frac=2),
@@ -856,12 +857,15 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                      np.ones(n_embd, np.float32) + rand(n_embd))
         w.add_tensor("token_embd_norm.bias", rand(n_embd))
     nqkv = (n_head + 2 * n_head_kv) * head_dim
+    pre_norm = flags.get("pre_norm", True)
     for i in range(n_layer):
         p = f"blk.{i}."
-        norm_pair(p + "attn_norm", n_embd)
+        if pre_norm:
+            norm_pair(p + "attn_norm", n_embd)
         if hints.get("attn_norm_2"):
             norm_pair(p + "attn_norm_2", n_embd)
-        if not flags.get("parallel_residual") or hints.get("ffn_norm_parallel"):
+        if pre_norm and (not flags.get("parallel_residual")
+                         or hints.get("ffn_norm_parallel")):
             norm_pair(p + (hints.get("ffn_norm_name", "ffn_norm")) , n_embd)
         if hints.get("fused_qkv"):
             addq(p + "attn_qkv.weight", rand(nqkv, n_embd))
