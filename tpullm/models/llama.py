@@ -532,6 +532,11 @@ def forward(
     collect_stats=False,  # also return per-layer matmul-input sum(x^2) stats
     tp_axis=None,  # shard_map tensor-parallel axis name: psum after row-split
     embeds=None,  # (B, T, n_embd) f32: bypass the token-embedding lookup
+    kv_view_len=None,  # STATIC int: attention reads only cache[..., :L, :].
+    # The caller buckets it by the max written slot (host-known), so the
+    # decode kernel's grid is sized by actual depth, not S_max — at
+    # d=1024 in a 16k cache this cuts 16x of empty-but-not-free grid
+    # steps per layer (the llama-bench depth-sweep fix).
 ):
     """Returns (logits (B, T, vocab) f32, new KVCache).
 
@@ -604,9 +609,13 @@ def forward(
         return buf.at[(bi[:, None, :], hh, si[:, None, :])].set(vt)
 
     def _view(buf):
-        if uniform:
-            return buf
-        return jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
+        if not uniform:
+            buf = jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
+        # never slice a ring (iSWA window) bank: its slot math is modular
+        if (kv_view_len is not None and not ring_run
+                and kv_view_len < buf.shape[2]):
+            buf = jax.lax.slice_in_dim(buf, 0, kv_view_len, axis=2)
+        return buf
 
     def _attend_qkv(q, k, v, p, kv, li=None):
         """Flat q/k/v rows -> (q heads, kv views, updated cache parts)."""

@@ -110,11 +110,12 @@ class InferenceEngine:
         return fn
 
     def _decode_fn(self, sampler: SamplerConfig, chunk: int,
-                   use_eos: bool = False):
-        key_ = (sampler, chunk, use_eos)
+                   use_eos: bool = False, kv_view: int | None = None):
+        key_ = (sampler, chunk, use_eos, kv_view)
         if key_ in self._decode_fns:
             return self._decode_fns[key_]
-        fwd = functools.partial(forward, cfg=self.cfg, dtype=self.dtype)
+        fwd = functools.partial(forward, cfg=self.cfg, dtype=self.dtype,
+                                kv_view_len=kv_view)
         sample = make_sample_fn(sampler)
 
         def _chunk(params, tok0, pos0, cache, slot0, valid_from, key,
@@ -238,7 +239,15 @@ class InferenceEngine:
             else:
                 chunk = 1 << (room.bit_length() - 1)  # largest pow2 <= room
             use_eos = eos_id is not None
-            fn = self._decode_fn(sampler, chunk, use_eos)
+            # bucket the attention view by the furthest slot this chunk
+            # writes: the decode kernel's grid then scales with actual
+            # depth, not max_seq_len (log2 many compiles, cached)
+            need = slot + chunk
+            kv_view = 512
+            while kv_view < need:
+                kv_view *= 2
+            kv_view = min(kv_view, self.max_seq_len)
+            fn = self._decode_fn(sampler, chunk, use_eos, kv_view)
             key, sub = jax.random.split(key)
             eos_arg = (jnp.int32(eos_id),) if use_eos else ()
             toks, cache = fn(self.params, tok, pos, cache, jnp.int32(slot),
