@@ -424,6 +424,12 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
         out = gated(0)
         for e in range(1, E):
             out = out + gated(e)
+    elif _ragged_moe_ok(gate_w, up_w, down_w, p, cfg, D):
+        # prefill: ragged grouped GEMM over routed experts only
+        # (MUL_MAT_ID; ops/moe_gmm.py) — FLOPs/bytes scale with actual
+        # assignments instead of n_expert/n_used x dense-masked work
+        out = _moe_prefill_ragged(x, w, top_i, gate_w, up_w, down_w,
+                                  li, cfg, dtype)
     else:
         out = one_expert(0)
         for e in range(1, E):
@@ -437,12 +443,64 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
     return out
 
 
+def _ragged_moe_ok(gate_w, up_w, down_w, p, cfg, D) -> bool:
+    from ..ops.moe_gmm import gmm_supported
+    from ..ops.qmm import use_pallas
+
+    if not use_pallas() and not getattr(cfg, "_moe_gmm_interpret", False):
+        return False
+    if "moe_gate_exps_b" in p or "moe_up_exps_b" in p:  # gpt-oss biases
+        return False
+    n_ff_e = gate_w.shape[-2]
+    return (gmm_supported(gate_w, D) and gmm_supported(up_w, D)
+            and gmm_supported(down_w, n_ff_e))
+
+
+def _moe_prefill_ragged(x, w, top_i, gate_w, up_w, down_w, li, cfg, dtype):
+    """Sorted-by-expert grouped MoE FFN (ops/moe_gmm.py)."""
+    from ..ops.moe_gmm import grouped_qmm, sort_by_expert
+
+    B, T, D = x.shape
+    M = B * T
+    used = top_i.shape[-1]
+    interp = bool(getattr(cfg, "_moe_gmm_interpret", False))
+    xf = x.reshape(M, D).astype(jnp.bfloat16)
+    order, dest, tile_expert, Mp = sort_by_expert(
+        top_i.reshape(M, used), cfg.n_expert, M)
+    tok_s = order // used  # source token of each sorted assignment
+    wt_s = w.reshape(M * used)[order]
+    xs_pad = jnp.zeros((Mp, D), jnp.bfloat16).at[dest].set(xf[tok_s])
+    n_ff_e = gate_w.shape[-2]
+    g = grouped_qmm(xs_pad, tile_expert, gate_w, n_ff_e, layer=li,
+                    interpret=interp)
+    u = grouped_qmm(xs_pad, tile_expert, up_w, n_ff_e, layer=li,
+                    interpret=interp)
+    gf = g.astype(jnp.float32)
+    if cfg.act_fn == "swiglu_oai":
+        gf = jnp.clip(gf, None, 7.0)
+        uf = jnp.clip(u.astype(jnp.float32), -7.0, 7.0)
+        h = gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)
+    elif cfg.act_fn == "gelu":
+        h = jax.nn.gelu(gf, approximate=True) * u.astype(jnp.float32)
+    else:
+        h = jax.nn.silu(gf) * u.astype(jnp.float32)
+    y = grouped_qmm(h.astype(jnp.bfloat16), tile_expert, down_w, D,
+                    layer=li, interpret=interp)
+    contrib = y[dest].astype(jnp.float32) * wt_s[:, None]
+    out = jnp.zeros((M, D), jnp.float32).at[tok_s].add(contrib)
+    return out.reshape(B, T, D).astype(dtype)
+
+
 def _expert_mm(x, qt: QTensor, li, e: int, dtype):
-    """x @ W_e^T for expert e of a stacked (L, E, n, k) planar QTensor."""
+    """x @ W_e^T for expert e of a stacked (L, E, n, k) QTensor."""
     data = qt.data
     if li is not None:
         data = {k: v[li] for k, v in data.items()}
     sub = QTensor(qt.qtype, qt.shape[-2:], {k: v[e] for k, v in data.items()})
+    if sub.layout == "kmajor":
+        from ..ops.qmm import qmm
+
+        return qmm(x, sub, dtype)
     w = sub.dequant(dtype)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())),

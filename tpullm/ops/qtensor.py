@@ -78,7 +78,16 @@ class QTensor:
         if not self.is_quantized or "w" in self.data:
             return self.data["w"].astype(dtype)
         if self.layout == "kmajor":
-            assert self.data["q"].ndim == 2, "kmajor dequant needs per-layer leaves"
+            q = self.data["q"]
+            if q.ndim > 2:  # stacked (L and/or E) leaves: dequant each
+                lead = q.shape[:-2]
+                flat = {k: v.reshape((-1,) + v.shape[len(lead):])
+                        for k, v in self.data.items()}
+                n = flat["q"].shape[0]
+                ws = [dequant_kmajor_jnp(
+                    {k: v[i] for k, v in flat.items()}, self.qtype,
+                    dtype)[: self.n_out] for i in range(n)]
+                return jnp.stack(ws).reshape(lead + ws[0].shape)
             return dequant_kmajor_jnp(self.data, self.qtype, dtype)[: self.n_out]
         return dequant_jax(self.data, self.qtype, dtype)
 
@@ -110,7 +119,10 @@ def _choose_layout(qtype: GGMLType, shape: tuple[int, ...], layout: str) -> str:
         return layout
     from .qmm import qmm_supported
 
-    if len(shape) == 2 and qtype in KMAJOR_TYPES and qmm_supported(qtype, shape[-1]):
+    if (len(shape) in (2, 3) and qtype in KMAJOR_TYPES
+            and qmm_supported(qtype, shape[-1])):
+        # 3-D = stacked expert weights (E, n_out, n_in): packed per expert
+        # so the grouped MoE kernel (ops/moe_gmm.py) can stream them
         return "kmajor"
     return "planar"
 
@@ -150,8 +162,14 @@ def qtensor_from_bytes(
         return QTensor(qtype, tuple(shape), data)
     planar = decode_planar(raw.reshape(*lead, row_bytes), qtype)
     if _choose_layout(qtype, tuple(shape), layout) == "kmajor":
-        assert len(lead) == 1, "kmajor packing expects 2-D logical weights"
-        data = pack_kmajor(planar, qtype)
+        if len(lead) == 1:
+            data = pack_kmajor(planar, qtype)
+        else:  # (E, n_out, n_in) experts: pack each slice, stack on E
+            E = lead[0]
+            packed = [pack_kmajor({k: v[e] for k, v in planar.items()},
+                                  qtype) for e in range(E)]
+            data = {k: np.stack([pe[k] for pe in packed])
+                    for k in packed[0]}
     else:
         data = planar
     if device_put:
