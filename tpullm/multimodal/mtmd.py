@@ -33,7 +33,26 @@ class Chunk:
 
 class MtmdContext:
     def __init__(self, mmproj_path: str, marker: str = DEFAULT_MARKER):
-        self.cfg, self.params = load_mmproj(mmproj_path)
+        from ..gguf.reader import read_gguf
+
+        g = read_gguf(mmproj_path)
+        self.has_vision = bool(g.get("clip.has_vision_encoder",
+                                     "clip.vision.block_count" in g.metadata
+                                     or any(n.startswith("v.")
+                                            for n in g.tensor_names())))
+        self.has_audio = bool(g.get("clip.has_audio_encoder", False))
+        self.cfg = self.params = None
+        if self.has_vision:
+            self.cfg, self.params = load_mmproj(mmproj_path)
+        self.audio_cfg = self.audio_params = self._audio_fn = None
+        if self.has_audio:
+            from .audio import load_audio_mmproj, whisper_encode_fn
+
+            self.audio_cfg, self.audio_params = load_audio_mmproj(mmproj_path)
+            import jax
+
+            self._audio_fn = jax.jit(
+                whisper_encode_fn(self.audio_cfg, self.audio_params))
         self.marker = marker
 
     @property
@@ -62,9 +81,26 @@ class MtmdContext:
                 chunks.append(Chunk("image", image_idx=i))
         return chunks
 
-    def encode(self, image) -> np.ndarray:
-        """One image -> (n_output_tokens, n_embd_lm) f32 embeddings."""
-        px = preprocess(image, self.cfg.image_size,
+    def encode(self, media) -> np.ndarray:
+        """One media item -> (n_output_tokens, n_embd_lm) f32 embeddings.
+
+        media: a PIL image (vision), or ("audio", samples f32 @16kHz) /
+        ("audio_wav", bytes) for the whisper encoder — each 30 s chunk
+        encodes separately and the token rows concatenate
+        (mtmd.cpp audio chunking)."""
+        if isinstance(media, tuple) and media[0] in ("audio", "audio_wav"):
+            from .audio import log_mel_whisper, read_wav, resample_linear
+
+            assert self.has_audio, "mmproj has no audio encoder"
+            if media[0] == "audio_wav":
+                samples, sr = read_wav(media[1])
+                samples = resample_linear(samples, sr, 16000)
+            else:
+                samples = np.asarray(media[1], np.float32)
+            outs = [np.asarray(self._audio_fn(c), np.float32)
+                    for c in log_mel_whisper(samples, self.audio_cfg.n_mel)]
+            return np.concatenate(outs, axis=0)
+        px = preprocess(media, self.cfg.image_size,
                         self.cfg.image_mean, self.cfg.image_std)
         return encode_image(self.cfg, self.params, px)
 

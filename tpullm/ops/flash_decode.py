@@ -242,5 +242,9 @@ def flash_decode(q, k_all, v_all, q_slots, positions, valid_from, cfg,
 
 def flash_decode_supported(B: int, T: int, S: int, Dk: int, Dv: int,
                            Hkv: int) -> bool:
+    import os
+
+    if os.environ.get("TPULLM_NO_FLASH_DECODE"):
+        return False
     return (T <= 8 and S % 256 == 0 and Dk % 128 == 0 and Dv % 128 == 0
             and Dk <= 512 and Dv <= 512 and S >= 256)

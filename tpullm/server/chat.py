@@ -130,10 +130,12 @@ def _content_str(m: dict) -> str:
         for p in c:
             if not isinstance(p, dict):
                 continue
-            if p.get("type") in ("image_url", "input_image") or "image_url" in p:
-                # media parts render as the mtmd marker; the vision encoder
-                # replaces these positions with projector embeddings
-                # (reference: tools/server prompt handling + mtmd.h:208)
+            if (p.get("type") in ("image_url", "input_image",
+                                  "input_audio", "audio_url")
+                    or "image_url" in p or "input_audio" in p):
+                # media parts render as the mtmd marker; the matching
+                # encoder (vision or whisper) replaces these positions
+                # with projector embeddings (tools/server + mtmd.h:208)
                 from ..multimodal import DEFAULT_MARKER
 
                 out.append(DEFAULT_MARKER)

@@ -592,7 +592,8 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def _extract_images(msgs: list) -> list:
-    """Collect image bytes from OpenAI content parts, in marker order.
+    """Collect media items from OpenAI content parts, in marker order:
+    raw image bytes, or ("audio_wav", bytes) for input_audio parts.
 
     Only ``data:`` URIs (base64) and raw base64 strings are accepted —
     the serving host has no egress; remote URLs are a client-side concern
@@ -607,7 +608,17 @@ def _extract_images(msgs: list) -> list:
         for p in c:
             if not isinstance(p, dict):
                 continue
-            if p.get("type") in ("image_url", "input_image") or "image_url" in p:
+            if p.get("type") == "input_audio" or "input_audio" in p:
+                a = p.get("input_audio") or {}
+                data = a.get("data", "") if isinstance(a, dict) else a
+                fmt = (a.get("format", "wav") if isinstance(a, dict)
+                       else "wav")
+                if fmt != "wav":
+                    raise ValueError(f"audio format {fmt!r} unsupported "
+                                     "(wav only)")
+                out.append(("audio_wav", base64.b64decode(data)))
+            elif (p.get("type") in ("image_url", "input_image")
+                    or "image_url" in p):
                 u = p.get("image_url") or p.get("image") or ""
                 if isinstance(u, dict):
                     u = u.get("url", "")

@@ -1319,6 +1319,78 @@ def build_t5_gguf(
     return path
 
 
+def build_audio_mmproj_gguf(
+    path: str,
+    proj: str = "ultravox",
+    n_embd: int = 32,
+    n_ff: int = 48,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_mel: int = 16,
+    stack_factor: int = 4,
+    lm_embd: int = 64,
+    max_pos: int = 1500,
+    seed: int = 7,
+) -> str:
+    """Fabricate a whisper-style audio mmproj GGUF (clip-impl.h audio
+    schema: clip.audio.* keys + a.* tensors)."""
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return rng.normal(0, 0.05, shape).astype(np.float32)
+
+    w = GGUFWriter(path, arch="clip")
+    w.add_bool("clip.has_audio_encoder", True)
+    w.add_string("clip.projector_type", proj)
+    w.add_uint32("clip.audio.embedding_length", n_embd)
+    w.add_uint32("clip.audio.feed_forward_length", n_ff)
+    w.add_uint32("clip.audio.block_count", n_layer)
+    w.add_uint32("clip.audio.attention.head_count", n_head)
+    w.add_uint32("clip.audio.num_mel_bins", n_mel)
+    if proj == "ultravox":
+        w.add_uint32("clip.audio.projector.stack_factor", stack_factor)
+    w.add_float32("clip.audio.attention.layer_norm_epsilon", 1e-5)
+
+    w.add_tensor("a.conv1d.1.weight", rand(n_embd, n_mel, 3))
+    w.add_tensor("a.conv1d.1.bias", rand(n_embd))
+    w.add_tensor("a.conv1d.2.weight", rand(n_embd, n_embd, 3))
+    w.add_tensor("a.conv1d.2.bias", rand(n_embd))
+    w.add_tensor("a.position_embd.weight", rand(max_pos, n_embd))
+    for i in range(n_layer):
+        p = f"a.blk.{i}."
+        for ln in ("ln1", "ln2"):
+            w.add_tensor(p + ln + ".weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            w.add_tensor(p + ln + ".bias", rand(n_embd))
+        w.add_tensor(p + "attn_q.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "attn_q.bias", rand(n_embd))
+        w.add_tensor(p + "attn_k.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "attn_v.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "attn_v.bias", rand(n_embd))
+        w.add_tensor(p + "attn_out.weight", rand(n_embd, n_embd))
+        w.add_tensor(p + "attn_out.bias", rand(n_embd))
+        w.add_tensor(p + "ffn_up.weight", rand(n_ff, n_embd))
+        w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+        w.add_tensor(p + "ffn_down.weight", rand(n_embd, n_ff))
+        w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+    w.add_tensor("a.post_ln.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    w.add_tensor("a.post_ln.bias", rand(n_embd))
+    if proj == "ultravox":
+        mid = 2 * lm_embd
+        w.add_tensor("mm.a.norm_pre.weight",
+                     np.ones(n_embd * stack_factor, np.float32)
+                     + rand(n_embd * stack_factor))
+        w.add_tensor("mm.a.mlp.1.weight", rand(2 * mid, n_embd * stack_factor))
+        w.add_tensor("mm.a.norm_mid.weight",
+                     np.ones(mid, np.float32) + rand(mid))
+        w.add_tensor("mm.a.mlp.2.weight", rand(lm_embd, mid))
+    elif proj == "qwen2a":
+        w.add_tensor("mm.a.fc.weight", rand(lm_embd, n_embd))
+        w.add_tensor("mm.a.fc.bias", rand(lm_embd))
+    w.write()
+    return path
+
+
 def build_mmproj_gguf(
     path: str,
     proj: str = "mlp",
