@@ -244,7 +244,12 @@ def flash_decode_supported(B: int, T: int, S: int, Dk: int, Dv: int,
                            Hkv: int) -> bool:
     import os
 
-    if os.environ.get("TPULLM_NO_FLASH_DECODE"):
+    # OFF by default: on-chip A/B (8B Q4_K) measured the XLA attention over
+    # the engine's BUCKETED kv view at ~2x this kernel's decode throughput
+    # (tg32@d1024 48 vs 26 tok/s) — the per-tile all-head score compute
+    # (Hkv x redundant rows) and per-step grid overhead outweigh the DMA
+    # win. Set TPULLM_FLASH_DECODE=1 to re-enable for experiments.
+    if not os.environ.get("TPULLM_FLASH_DECODE"):
         return False
     return (T <= 8 and S % 256 == 0 and Dk % 128 == 0 and Dv % 128 == 0
             and Dk <= 512 and Dv <= 512 and S >= 256)

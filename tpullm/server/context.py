@@ -239,7 +239,7 @@ class ServerContext:
         self._prefill_e = jax.jit(_prefill_e, donate_argnums=(4,))
 
         def _decode(params, logits0, pos0, active, cache, sparams, bias, pen,
-                    mu, key, forced, use_forced, n_steps):
+                    mu, key, forced, use_forced, n_steps, kv_view=None):
             """Sample-then-forward: each step samples from the carried logits
             (first step: the prefill's next-token logits), writes the sampled
             token's K/V at pos, and computes logits for the next step.
@@ -268,6 +268,7 @@ class ServerContext:
                     params, tokens=nxt[:, None], positions=pos_eff[:, None],
                     cache=cache, cache_pos=pos_eff,
                     valid_from=jnp.zeros((nxt.shape[0],), jnp.int32),
+                    kv_view_len=kv_view,
                 )
                 logits = logits[:, -1, :]
                 pos = pos + jnp.where(active, 1, 0)
@@ -280,7 +281,7 @@ class ServerContext:
             return ys, logits, pos, cache, pen, mu
 
         self._decode = jax.jit(_decode, donate_argnums=(1, 4),
-                               static_argnames=("n_steps",))
+                               static_argnames=("n_steps", "kv_view"))
         self._mu = jnp.zeros((n_slots,), jnp.float32)
 
         # speculative decoding inside the CB loop (VERDICT #4; reference
@@ -826,6 +827,18 @@ class ServerContext:
         self.rt[i].spec_prev = None
         self.rt[i].spec_map = None
 
+    def _kv_view_bucket(self, n_steps: int) -> int:
+        """Power-of-two attention-view length covering every active slot's
+        furthest write this chunk (the decode kernel/scores then size by
+        actual depth, not max_seq_len; engine.py does the same)."""
+        pos = [int(self._pos[i]) for i in range(self.n_slots)
+               if self._active[i]]
+        need = (max(pos) if pos else 0) + n_steps + 1
+        v = 512
+        while v < need:
+            v *= 2
+        return min(v, self.max_seq_len)
+
     def _decode_step(self):
         self._context_shift_overdue(self.decode_chunk)
         act = jnp.asarray(self._active)
@@ -858,6 +871,7 @@ class ServerContext:
                 self.penalties,
                 self._mu, sub,
                 jnp.asarray(forced), jnp.asarray(use_forced), n_steps=n_steps,
+                kv_view=self._kv_view_bucket(n_steps),
             )
         toks, tok_lp, topv, topi = ys
         toks_np = np.asarray(toks)  # (n_steps, n_slots)
