@@ -588,6 +588,7 @@ def forward(
     logits_idx=None,  # int32 scalar: only compute logits for this T position
     return_hidden=False,  # also return final hidden states (embeddings API)
     collect_stats=False,  # also return per-layer matmul-input sum(x^2) stats
+    collect_hidden=False,  # also return every layer's residual output (L,B,T,D)
     tp_axis=None,  # shard_map tensor-parallel axis name: psum after row-split
     embeds=None,  # (B, T, n_embd) f32: bypass the token-embedding lookup
     kv_view_len=None,  # STATIC int: attention reads only cache[..., :L, :].
@@ -968,10 +969,13 @@ def forward(
             return x, kv + (stats,)
         if "cvec" in p:  # control vector (llama_adapter_cvec apply)
             x = x + p["cvec"].astype(dtype)
+        if collect_hidden:  # cvector-generator taps every layer's output
+            return x, kv + (x,)
         return x, kv
 
     groups = params["layers"].get("__groups__") or [params["layers"]]
     all_stats = []
+    all_hidden = []
     off = 0
 
     # iSWA dual cache: segment each group's depth into maximal runs of
@@ -1007,6 +1011,7 @@ def forward(
             path == "mega"
             and B * T <= 16
             and not collect_stats
+            and not collect_hidden
             and tp_axis is None
             and _use_pallas()
             and "ffn_norm" in gl
@@ -1060,6 +1065,8 @@ def forward(
             (new_swa if ring_run else new_full).append(ys[:nparts])
             if collect_stats:
                 all_stats.append(ys[nparts])
+            if collect_hidden:
+                all_hidden.append(ys[nparts])
             if dual:
                 bank_off[run_swa] += hi - lo
         off += L_g
@@ -1100,6 +1107,8 @@ def forward(
             "output_in": (hidden.astype(jnp.float32) ** 2).sum(axis=(0, 1)),
         }
         return logits, new_cache, stats
+    if collect_hidden:
+        return logits, new_cache, jnp.concatenate(all_hidden, axis=0)
     if return_hidden:
         return logits, new_cache, hidden
     return logits, new_cache

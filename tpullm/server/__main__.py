@@ -27,7 +27,9 @@ def build_args():
     ap.add("--decode-chunk", type=int, default=8)
     ap.add("--prefill-chunk", type=int, default=512)
     ap.add("--alias", default=None, help="model name in the API")
-    ap.add("--lora", default=None, help="LoRA adapter GGUF")
+    ap.add("--lora", action="append", default=[],
+           help="LoRA adapter GGUF (repeatable; hot-swappable scales via "
+                "/lora-adapters)")
     ap.add("--lora-scale", type=float, default=1.0)
     ap.add("--kv-type", default="bf16", choices=("bf16", "f32", "q8"),
            help="KV cache storage type")
@@ -94,12 +96,7 @@ def main(argv=None):
 
     log.info("loading %s ...", args.model)
     cfg, params, g = load_model(args.model, override_kv=overrides or None)
-    if args.lora:
-        from ..runtime.lora import apply_lora_to_params, load_lora
 
-        lora, meta = load_lora(args.lora, cfg.n_layer, args.lora_scale)
-        params = apply_lora_to_params(params, lora, meta)
-        log.info("applied LoRA %s (rank %d)", args.lora, meta["rank"])
     tok = Tokenizer.from_gguf(g)
     import jax.numpy as jnp
 
@@ -110,6 +107,7 @@ def main(argv=None):
         model_name=args.alias or args.model.rsplit("/", 1)[-1],
         kv_dtype=kv_dtype,
         slot_save_path=args.slot_save_path,
+        lora=[(p, args.lora_scale) for p in (args.lora or [])],
         mmproj_path=args.mmproj,
         iswa=not args.swa_full,
         spec=args.spec, spec_k=args.spec_k,

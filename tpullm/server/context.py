@@ -157,6 +157,7 @@ class ServerContext:
         iswa: bool = False,  # dual SWA/full KV banks (gemma2/3 memory win)
         spec: str | None = None,  # "ngram": self-speculative continuous batching
         spec_k: int = 8,  # max draft tokens per verify forward
+        lora: list | None = None,  # [(adapter_gguf_path, scale)] hot-swappable
     ):
         self.cfg = cfg
         self.params = params
@@ -170,6 +171,18 @@ class ServerContext:
         # base dir for /slots/{id}?action=save|restore; None disables the
         # endpoints (reference: --slot-save-path, tools/server)
         self.slot_save_path = slot_save_path
+        # runtime LoRA adapters with re-scalable weights (the reference's
+        # /lora-adapters surface, tools/server: common_adapter_lora_info)
+        self.loras: list[dict] = []
+        for i, (lpath, lscale) in enumerate(lora or []):
+            from ..runtime.lora import load_lora
+
+            arrays, meta = load_lora(lpath, cfg.n_layer, 1.0)
+            self.loras.append({"id": i, "path": lpath, "scale": float(lscale),
+                               "arrays": arrays, "meta": meta})
+        if self.loras:
+            params = self._apply_loras(params)
+        self.params = params
         self.mtmd = None
         if mmproj_path:  # vision tower (reference: --mmproj, tools/server)
             from ..multimodal import MtmdContext
@@ -433,6 +446,36 @@ class ServerContext:
         self.queue.put(task)
         self._wake.set()
         return task
+
+    def _apply_loras(self, params):
+        from ..runtime.lora import apply_lora_to_params
+
+        for ad in self.loras:
+            meta = dict(ad["meta"])
+            meta["scale"] = meta["scale"] * ad["scale"]
+            params = apply_lora_to_params(params, ad["arrays"], meta)
+        return params
+
+    def lora_list(self) -> list[dict]:
+        return [{"id": ad["id"], "path": ad["path"], "scale": ad["scale"]}
+                for ad in self.loras]
+
+    def lora_set(self, scales: list[dict]) -> list[dict]:
+        """POST /lora-adapters: update per-adapter scales and re-apply on
+        the loop thread (tools/server handle_lora_adapters_apply). The
+        low-rank leaves are tiny, so the re-apply is O(adapter bytes)."""
+        by_id = {ad["id"]: ad for ad in self.loras}
+        for it in scales:
+            ad = by_id.get(int(it.get("id", -1)))
+            if ad is None:
+                raise ValueError(f"unknown lora id {it.get('id')}")
+            ad["scale"] = float(it.get("scale", 1.0))
+
+        def _re():
+            self.params = self._apply_loras(self.params)
+            return self.lora_list()
+
+        return self.control(_re)
 
     def control(self, fn, timeout: float = 60.0):
         """Run fn() on the inference-loop thread, serialized with decode.

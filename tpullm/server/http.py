@@ -137,6 +137,8 @@ class Handler(BaseHTTPRequestHandler):
                 "n_past": ctx.memory.slots[i].n_past,
                 "n_gen": len(r.gen),
             } for i, r in enumerate(ctx.rt)])
+        elif path == "/lora-adapters":
+            self._json(200, ctx.lora_list())
         elif path == "/metrics":
             m = ctx.metrics
             lines = []
@@ -195,6 +197,12 @@ class Handler(BaseHTTPRequestHandler):
                 return self._slot_action(path, body)
             if path == "/state":
                 return self._state_action(body)
+            if path == "/lora-adapters":
+                try:
+                    return self._json(200, ctx.lora_set(
+                        body if isinstance(body, list) else [body]))
+                except ValueError as e:
+                    return self._error(400, str(e))
             return self._error(404, f"unknown path {path}")
         except BrokenPipeError:
             pass
