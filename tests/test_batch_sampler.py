@@ -120,3 +120,41 @@ def test_logit_bias_rows():
     toks = np.asarray(sample_batch(logits, p, jax.random.PRNGKey(0), bias=bias))
     assert toks[0] == 9
     assert toks[1] != 5
+
+
+def test_mirostat_v1_dynamic_topk():
+    """v1 keeps a zipf-derived top-k: low mu collapses toward greedy,
+    large mu widens the candidate set (llama_sampler_mirostat v1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpullm.ops.sampling import BatchSamplerParams, sample_batch
+
+    rng = np.random.default_rng(0)
+    V, B = 512, 2
+    logits = jnp.asarray(np.sort(rng.standard_normal((B, V)) * 3.0)[:, ::-1])
+    p = BatchSamplerParams.neutral(B)
+    from dataclasses import replace
+    p = replace(p, mirostat_tau=jnp.full((B,), 5.0),
+                mirostat_v=jnp.asarray([1, 1], jnp.int32),
+                temperature=jnp.full((B,), 1.0))
+    key = jax.random.PRNGKey(0)
+    # tiny mu -> k ~ 1 -> argmax every time
+    mu_small = jnp.full((B,), -20.0)
+    toks = set()
+    for i in range(8):
+        t, _ = sample_batch(logits, p, jax.random.fold_in(key, i),
+                            mu=mu_small)
+        toks.add(int(np.asarray(t)[0]))
+    assert toks == {int(np.asarray(logits[0]).argmax())}
+    # large mu -> wide k -> diversity
+    mu_big = jnp.full((B,), 16.0)
+    toks = set()
+    for i in range(32):
+        t, _ = sample_batch(logits, p, jax.random.fold_in(key, i), mu=mu_big)
+        toks.add(int(np.asarray(t)[0]))
+    assert len(toks) > 3
+    # mu updates toward tau
+    _, mu2 = sample_batch(logits, p, key, mu=mu_big)
+    assert float(mu2[0]) != 16.0

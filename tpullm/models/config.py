@@ -50,6 +50,9 @@ class ModelConfig:
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is full-attention (1 = all full)
     swa_chunked: bool = False  # llama4: chunk-aligned windows, not sliding
+    swa_dense_first: bool = False  # smallthinker: layer il%p==0 is dense
+    no_rope_offset: int = 1  # (li+offset) % interval == 0 -> no rope
+    moe_router_pre_norm: bool = False  # smallthinker: router reads inpL
     # llama4 iRoPE: every Nth layer has NO rope; its Q is temperature-scaled
     no_rope_interval: int = 0
     attn_temp_scale: float = 0.0
@@ -171,6 +174,8 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         n_ff_exp=int(_k(g, "{arch}.expert_feed_forward_length", 0)),
         n_expert_shared=int(_k(g, "{arch}.expert_shared_count", 0)),
         sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
+        swa_pattern=int(_k(g, "{arch}.attention.sliding_window_pattern", 0)
+                        or 1),
         raw_kv=dict(g.metadata),
     )
     # MLA hparams (src/models/deepseek2.cpp load_arch_hparams): head_dim is
@@ -251,6 +256,10 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     apply_arch_defaults(cfg)
     if cfg.alibi_max_bias > 0:  # ALiBi replaces rope (baichuan-13b etc.)
         cfg.use_rope = False
+    if arch == "smallthinker" and cfg.sliding_window:
+        # swa layers rope; the periodic dense layers do NOT
+        # (src/models/smallthinker.cpp:108)
+        cfg.no_rope_interval = cfg.swa_pattern
     # granite-hybrid: rope_finetuned acts as the rope on/off switch
     # (src/models/granite-hybrid.cpp load_arch_hparams)
     rft = _k(g, "{arch}.rope.scaling.finetuned")

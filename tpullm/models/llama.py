@@ -29,6 +29,8 @@ def swa_flags(cfg: ModelConfig) -> list:
     (src/llama-hparams.h:132 set_swa_pattern: every swa_pattern-th layer
     is full attention)."""
     if cfg.sliding_window and cfg.swa_pattern > 1:
+        if cfg.swa_dense_first:  # smallthinker: layer il%p==0 is dense
+            return [(li % cfg.swa_pattern) != 0 for li in range(cfg.n_layer)]
         return [((li + 1) % cfg.swa_pattern) != 0
                 for li in range(cfg.n_layer)]
     return [False] * cfg.n_layer
@@ -358,7 +360,7 @@ def alibi_slopes(n_head: int, max_bias: float) -> np.ndarray:
          for h in range(n_head)], np.float32)
 
 
-def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
+def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
     """Mixture-of-experts FFN (build_moe_ffn contract, src/llama-graph.h:831).
 
     Router: logits = x @ gate_inp^T -> softmax|sigmoid gating (+ optional
@@ -368,7 +370,10 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
     """
     B, T, D = x.shape
     E, used = cfg.n_expert, cfg.n_expert_used
-    router = _mm(x, qw["moe_gate_inp"], dtype, li)[..., :E].astype(jnp.float32)
+    # smallthinker routes on the RAW layer input, not the normed ffn input
+    # (src/models/smallthinker.cpp:111)
+    router = _mm(x if router_x is None else router_x,
+                 qw["moe_gate_inp"], dtype, li)[..., :E].astype(jnp.float32)
     if "moe_gate_inp_b" in p:  # gpt-oss router bias
         router = router + p["moe_gate_inp_b"][None, None, :E]
     if cfg.expert_gating == "sigmoid":
@@ -408,6 +413,8 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype):
             h = (gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)).astype(dtype)
         elif cfg.act_fn == "gelu":
             h = jax.nn.gelu(ge.astype(jnp.float32), approximate=True).astype(dtype) * ue
+        elif cfg.act_fn == "relu":
+            h = jax.nn.relu(ge.astype(jnp.float32)).astype(dtype) * ue
         else:
             h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
         de = _expert_mm(h, down_w, li, e, dtype)  # (B, T, D)
@@ -547,6 +554,8 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
             u = u + p["ffn_up_b"].astype(dtype)
         if cfg.act_fn == "silu":
             h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
+        elif cfg.act_fn == "relu":
+            h = jax.nn.relu(g.astype(jnp.float32)).astype(dtype) * u
         elif cfg.act_fn == "gelu":
             h = jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(dtype) * u
         elif cfg.act_fn == "swiglu_oai":
@@ -704,7 +713,8 @@ def forward(
             # iRoPE (llama4.cpp:144): every no_rope_interval-th layer skips
             # rope; its Q gets the floor-scaled attention temperature
             # (llm_graph_input_attn_temp, llama-graph.cpp:135-147)
-            use_rope = ((li + 1) % cfg.no_rope_interval) != 0
+            use_rope = ((li + cfg.no_rope_offset)
+                        % cfg.no_rope_interval) != 0
             tmp = (jnp.log(jnp.floor(
                 (positions.astype(jnp.float32) + cfg.attn_temp_offset)
                 / cfg.attn_temp_floor) + 1.0)
@@ -929,7 +939,8 @@ def forward(
             att = _norm(att, p["post_attn_norm"], None, cfg)
         def _ffn(inp):
             if cfg.n_expert > 0 and "moe_gate_inp" in qw:
-                return moe_ffn(inp, p, qw, li, cfg, dtype), None
+                rx = x if cfg.moe_router_pre_norm else None
+                return moe_ffn(inp, p, qw, li, cfg, dtype, router_x=rx), None
             return ffn(inp, qw, li, cfg, dtype, p, want_mid=True)
 
         if cfg.residual_scale != 1.0:  # granite/minicpm f_residual_scale

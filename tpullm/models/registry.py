@@ -162,6 +162,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # maincoder (src/models/maincoder.cpp): per-head qk norm AFTER rope
     "maincoder": dict(rope_type="norm", attn_qk_norm=True,
                       qk_norm_post_rope=True),
+    # smallthinker (src/models/smallthinker.cpp): every-layer relu MoE with
+    # the ROUTER reading the raw layer input (pre-norm), renormalized top-k,
+    # dense-first SWA pattern whose dense layers skip rope
+    "smallthinker": dict(rope_type="neox", act_fn="relu",
+                         expert_weights_norm=True, moe_router_pre_norm=True,
+                         swa_dense_first=True, no_rope_offset=0),
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),

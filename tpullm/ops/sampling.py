@@ -36,8 +36,9 @@ class SamplerConfig:
     penalty_repeat: float = 1.0
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
-    mirostat_tau: float = 0.0  # >0 enables mirostat v2
+    mirostat_tau: float = 0.0  # >0 enables mirostat (see mirostat_v)
     mirostat_eta: float = 0.1
+    mirostat_v: int = 2  # 1 = zipf-estimated dynamic top-k (v1), 2 = v2
     dry_multiplier: float = 0.0  # >0 enables DRY
     dry_base: float = 1.75
     dry_allowed: int = 2
@@ -200,8 +201,9 @@ class BatchSamplerParams:
     penalty_repeat: jnp.ndarray  # (B,) f32
     penalty_freq: jnp.ndarray  # (B,) f32
     penalty_present: jnp.ndarray  # (B,) f32
-    mirostat_tau: jnp.ndarray  # (B,) f32; >0 enables mirostat v2
+    mirostat_tau: jnp.ndarray  # (B,) f32; >0 enables mirostat
     mirostat_eta: jnp.ndarray  # (B,) f32
+    mirostat_v: jnp.ndarray  # (B,) i32: 1 | 2
     dry_multiplier: jnp.ndarray  # (B,) f32; >0 enables DRY
     dry_base: jnp.ndarray  # (B,) f32
     dry_allowed: jnp.ndarray  # (B,) i32 allowed repeat length
@@ -209,7 +211,7 @@ class BatchSamplerParams:
     _FIELDS = (
         "temperature", "top_k", "top_p", "min_p", "typical_p", "top_n_sigma",
         "xtc_probability", "xtc_threshold", "penalty_repeat", "penalty_freq",
-        "penalty_present", "mirostat_tau", "mirostat_eta",
+        "penalty_present", "mirostat_tau", "mirostat_eta", "mirostat_v",
         "dry_multiplier", "dry_base", "dry_allowed",
     )
 
@@ -229,6 +231,7 @@ class BatchSamplerParams:
             xtc_probability=f(0.0), xtc_threshold=f(0.1), penalty_repeat=f(1.0),
             penalty_freq=f(0.0), penalty_present=f(0.0),
             mirostat_tau=f(0.0), mirostat_eta=f(0.1),
+            mirostat_v=jnp.full((B,), 2, jnp.int32),
             dry_multiplier=f(0.0), dry_base=f(1.75),
             dry_allowed=jnp.full((B,), 2, jnp.int32),
         )
@@ -244,6 +247,7 @@ class BatchSamplerParams:
             penalty_present=cfg.penalty_present,
             mirostat_tau=getattr(cfg, "mirostat_tau", 0.0),
             mirostat_eta=getattr(cfg, "mirostat_eta", 0.1),
+            mirostat_v=getattr(cfg, "mirostat_v", 2),
             dry_multiplier=getattr(cfg, "dry_multiplier", 0.0),
             dry_base=getattr(cfg, "dry_base", 1.75),
             dry_allowed=getattr(cfg, "dry_allowed", 2),
@@ -380,18 +384,39 @@ def sample_batch(logits, p: BatchSamplerParams, key, counts=None, mu=None,
     roll = jax.random.uniform(sub, (B, 1))
     vals = jnp.where((roll < _col(p.xtc_probability)) & drop, NEG_INF, vals)
 
-    # mirostat v2 rows bypass the truncation stack: filter by surprise > mu
-    # (surprise measured on the raw distribution; full-vocab logsumexp only)
+    # mirostat rows bypass the truncation stack (surprise measured on the
+    # raw distribution; full-vocab logsumexp only)
     if mu is not None:
-        miro = _col(p.mirostat_tau) > 0
+        tau_on = _col(p.mirostat_tau) > 0
         lse_raw = jax.scipy.special.logsumexp(raw, axis=-1, keepdims=True)
         vals_raw = jnp.take_along_axis(raw, idx, axis=-1)
+        # v2: filter by surprise > mu
         surprise = (lse_raw - vals_raw) / jnp.log(2.0)
         miro_vals = jnp.where(surprise > _col(mu), NEG_INF, vals_raw)
         # always keep the candidate argmax so the row can't go empty
         mx_keep = vals_raw >= vals_raw.max(-1, keepdims=True)
         miro_vals = jnp.where(mx_keep, vals_raw, miro_vals)
-        vals = jnp.where(miro, miro_vals, vals)
+        # v1 (llama_sampler_mirostat_apply): zipf exponent s_hat from the
+        # top adjacent prob ratios, dynamic k from (s_hat, mu), then top-k.
+        # Runs on the top-K window (the adjacent-ratio b_i terms are
+        # normalizer-free, so the window softmax is exact for them).
+        Kw = vals_raw.shape[-1]
+        m_pairs = min(99, Kw - 1)
+        srt = jnp.sort(vals_raw, axis=-1)[..., ::-1]
+        lp_s = jax.nn.log_softmax(srt, axis=-1)
+        i_ar = jnp.arange(m_pairs, dtype=jnp.float32)
+        t_i = jnp.log((i_ar + 2.0) / (i_ar + 1.0))[None, :]
+        b_i = lp_s[:, :m_pairs] - lp_s[:, 1:m_pairs + 1]
+        s_hat = (t_i * b_i).sum(-1) / jnp.maximum((t_i * t_i).sum(-1), 1e-9)
+        eps_hat = jnp.maximum(s_hat - 1.0, 1e-4)
+        k1 = ((eps_hat * jnp.exp2(mu))
+              / (1.0 - jnp.float32(V) ** (-eps_hat))) ** (1.0 / s_hat)
+        k1 = jnp.clip(k1, 1, Kw)
+        v1_vals = jnp.where(pos < k1[:, None].astype(jnp.float32),
+                            vals_raw, NEG_INF)
+        use_v1 = tau_on & (_col(p.mirostat_v) == 1)
+        vals = jnp.where(use_v1, v1_vals,
+                         jnp.where(tau_on, miro_vals, vals))
 
     # temperature / greedy
     greedy_mask = jnp.where(vals < vals.max(-1, keepdims=True), NEG_INF, vals)

@@ -48,7 +48,7 @@ class GenParams:
     penalty_repeat: float = 1.0
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
-    mirostat: int = 0  # 0=off, 2=mirostat v2
+    mirostat: int = 0  # 0=off, 1=mirostat v1, 2=mirostat v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
     dry_multiplier: float = 0.0
@@ -82,8 +82,10 @@ class GenParams:
             top_n_sigma=self.top_n_sigma, xtc_probability=self.xtc_probability,
             xtc_threshold=self.xtc_threshold, penalty_repeat=self.penalty_repeat,
             penalty_freq=self.penalty_freq, penalty_present=self.penalty_present,
-            mirostat_tau=self.mirostat_tau if self.mirostat == 2 else 0.0,
+            mirostat_tau=(self.mirostat_tau if self.mirostat in (1, 2)
+                          else 0.0),
             mirostat_eta=self.mirostat_eta,
+            mirostat_v=self.mirostat or 2,
             dry_multiplier=self.dry_multiplier, dry_base=self.dry_base,
             dry_allowed=self.dry_allowed_length,
             greedy=greedy,

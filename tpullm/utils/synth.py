@@ -722,6 +722,7 @@ SYNTH_HINTS: dict[str, dict] = {
     "falcon": dict(fused_qkv=True, attn_norm_2=True),
     "olmo": dict(weightless_norm=True, clamp=8.0),
     "olmoe": dict(qk_norm_flat=True),
+    "smallthinker": dict(moe=True, gating=2, swa=(32, 4)),
     "olmo2": dict(qk_norm_flat=True),
     "dbrx": dict(fused_qkv=True, clamp=8.0, ffn_norm_name="attn_output_norm",
                  norm_weight_only=True),
@@ -790,7 +791,11 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
-    if flags.get("swa_pattern", 1) > 1 or arch == "cohere2":
+    if hints.get("swa"):
+        win, pat = hints["swa"]
+        w.add_uint32(f"{arch}.attention.sliding_window", win)
+        w.add_uint32(f"{arch}.attention.sliding_window_pattern", pat)
+    elif flags.get("swa_pattern", 1) > 1 or arch == "cohere2":
         w.add_uint32(f"{arch}.attention.sliding_window", 32)
     if hints.get("alibi"):
         w.add_float32(f"{arch}.attention.max_alibi_bias", hints["alibi"])
