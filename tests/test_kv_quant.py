@@ -71,9 +71,13 @@ def test_q8_kv_memory_ops():
     m.copy_slot(0, 1)
     assert m.slots[1].n_past == 8
     blob = m.save_slot(0)
-    assert blob["k"].dtype == np.float32
+    # v2 snapshots keep RAW int8 rows + scales (lossless restore)
+    assert blob["kq"].dtype == np.int8 and blob["ks"].dtype == np.float32
+    kq_before = np.asarray(m.cache.k[:, 0, :, :8])
     m.clear_slot(0)
     n = m.load_slot(0, blob)
     assert n == 8
+    np.testing.assert_array_equal(np.asarray(m.cache.k[:, 0, :, :8]),
+                                  kq_before)
     m.context_shift(0, 2, 3)
     assert m.slots[0].n_past == 5

@@ -101,15 +101,21 @@ class SlotMemory:
         st = self.slots[slot]
         n = st.n_past
         blob = {
-            "version": 1,
+            "version": 2,
             "tokens": np.asarray(st.tokens[:n], np.int32),
-            # f32 on disk: npz cannot round-trip ml_dtypes bfloat16
-            "k": np.asarray(self.cache.k[:, slot, :, :n], np.float32),
-            "v": np.asarray(self.cache.v[:, slot, :, :n], np.float32),
         }
-        if self.cache.quantized:  # store dequantized rows (portable)
-            blob["k"] = blob["k"] * np.asarray(self.cache.ks[:, slot, :, :n])[..., None]
-            blob["v"] = blob["v"] * np.asarray(self.cache.vs[:, slot, :, :n])[..., None]
+        if self.cache.quantized:
+            # RAW int8 rows + scales: a quantize->dequantize round trip
+            # would be lossy; the reference preserves cache bytes too
+            # (llama_state_seq_get_data)
+            blob["kq"] = np.asarray(self.cache.k[:, slot, :, :n], np.int8)
+            blob["vq"] = np.asarray(self.cache.v[:, slot, :, :n], np.int8)
+            blob["ks"] = np.asarray(self.cache.ks[:, slot, :, :n], np.float32)
+            blob["vs"] = np.asarray(self.cache.vs[:, slot, :, :n], np.float32)
+        else:
+            # f32 on disk: npz cannot round-trip ml_dtypes bfloat16
+            blob["k"] = np.asarray(self.cache.k[:, slot, :, :n], np.float32)
+            blob["v"] = np.asarray(self.cache.v[:, slot, :, :n], np.float32)
         if self.cache.dual:  # iSWA: the SWA layers' ring plane, raw
             blob["kw"] = np.asarray(self.cache.kw[:, slot], np.float32)
             blob["vw"] = np.asarray(self.cache.vw[:, slot], np.float32)
@@ -118,16 +124,22 @@ class SlotMemory:
 
     def load_slot(self, slot: int, blob: dict) -> int:
         """Restore a snapshot into a slot; returns n_past restored."""
-        assert int(blob.get("version", 1)) == 1
+        assert int(blob.get("version", 1)) in (1, 2)
         toks = [int(t) for t in blob["tokens"]]
         n = len(toks)
         if n > self.max_seq_len:
             raise ValueError(f"snapshot {n} tokens > max_seq_len {self.max_seq_len}")
         if self.cache.quantized:
-            from ..models.llama import _kv_quant
+            if "kq" in blob:  # v2: raw int8 rows + scales (bit-exact)
+                kq = jnp.asarray(blob["kq"], jnp.int8)
+                vq = jnp.asarray(blob["vq"], jnp.int8)
+                ksc = jnp.asarray(blob["ks"], jnp.float32)
+                vsc = jnp.asarray(blob["vs"], jnp.float32)
+            else:  # v1 back-compat: requantize dequantized rows
+                from ..models.llama import _kv_quant
 
-            kq, ksc = _kv_quant(jnp.asarray(blob["k"], jnp.float32))
-            vq, vsc = _kv_quant(jnp.asarray(blob["v"], jnp.float32))
+                kq, ksc = _kv_quant(jnp.asarray(blob["k"], jnp.float32))
+                vq, vsc = _kv_quant(jnp.asarray(blob["v"], jnp.float32))
             self.cache = KVCache(
                 self.cache.k.at[:, slot, :, :n].set(kq),
                 self.cache.v.at[:, slot, :, :n].set(vq),
