@@ -208,3 +208,38 @@ def test_t5_server_streaming(tmp_path):
     kinds = [k for k, _ in task.events()]
     assert kinds[-1] == "done" and "delta" in kinds
     ctx.stop()
+
+
+def test_t5_concurrent_slots_match_sequential(tmp_path):
+    """Slot-parallel enc-dec decoding: concurrent tasks with different
+    prompt lengths produce exactly the single-task greedy outputs."""
+    import tpullm.models.t5 as T
+    from tpullm.server.context import Task
+    from tpullm.utils.synth import build_t5_gguf
+
+    path = str(tmp_path / "t5c.gguf")
+    build_t5_gguf(path, seed=9)
+    cfg, params, _ = load_model(path)
+    prompts = [[4, 9, 3], [17, 6, 2, 11, 5, 8], [1, 2]]
+    eng = T.T5Engine(cfg, params, max_seq_len=32)
+    want = [eng.generate(p, max_new_tokens=6) for p in prompts]
+
+    ctx = ServerContext(cfg, params, None, n_slots=3, max_seq_len=32,
+                        compute_dtype=jnp.float32)
+    ctx.start()
+    try:
+        # submit ALL before draining any: the three tasks decode together
+        tasks = [ctx.submit(Task(tokens=list(p),
+                                 params=GenParams(max_tokens=6,
+                                                  temperature=0.0,
+                                                  ignore_eos=True)))
+                 for p in prompts]
+        got = [None] * len(tasks)
+        for ti, t in enumerate(tasks):
+            for kind, payload in t.events():
+                if kind == "done":
+                    got[ti] = payload["tokens"]
+    finally:
+        ctx.stop()
+    for g, w in zip(got, want):
+        assert g is not None and g[: len(w)] == w, (g, w)

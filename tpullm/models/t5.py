@@ -153,7 +153,10 @@ def _attn(q, k, v, bias, mask, cfg, dtype):
     scores = jnp.einsum("bthgd,bhsd->bhgts", qf, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
-        scores = scores + bias.reshape(Hkv, G, *bias.shape[1:])[None]
+        if bias.ndim == 4:  # per-row positions (batched serving)
+            scores = scores + bias.reshape(B, Hkv, G, *bias.shape[2:])
+        else:
+            scores = scores + bias.reshape(Hkv, G, *bias.shape[1:])[None]
     if mask is not None:
         scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
@@ -252,9 +255,16 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
     H = cfg.n_head
     S = cache.max_len
     cache_pos = jnp.asarray(cache_pos, jnp.int32)
-    q_slots = cache_pos + jnp.arange(T)  # (T,)
+    uniform = cache_pos.ndim == 0  # scalar: all rows at one position
+    pos_b = jnp.broadcast_to(cache_pos, (B,))
+    q_slots_b = pos_b[:, None] + jnp.arange(T)  # (B, T)
+    q_slots = q_slots_b[0]  # uniform path keeps the old (T,) shapes
     kv_slot = jnp.arange(S)
-    self_mask = (kv_slot[None, :] <= q_slots[:, None])[None, None]  # (1,1,T,S)
+    if uniform:
+        self_mask = (kv_slot[None, :] <= q_slots[:, None])[None, None]
+    else:  # (B,1,T,S): each serving slot is at its own depth
+        self_mask = (kv_slot[None, None, None, :]
+                     <= q_slots_b[:, None, :, None])
     enc_mask = (jnp.arange(cross_k.shape[3])[None, :]
                 < enc_valid[:, None])[:, None, None]  # (B,1,1,S_enc)
     rel_b0 = params["dec_rel_b"]
@@ -266,13 +276,25 @@ def decode_step(params, cfg: ModelConfig, tokens, positions, cache,
         q = _mm(h, qw["wq"], dtype, li).reshape(B, T, H, cfg.head_dim)
         k = _mm(h, qw["wk"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = _mm(h, qw["wv"], dtype, li).reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
-        kc = jax.lax.dynamic_update_slice(
-            kc, k.transpose(0, 2, 1, 3).astype(kc.dtype),
-            (0, 0, cache_pos, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v.transpose(0, 2, 1, 3).astype(vc.dtype),
-            (0, 0, cache_pos, 0))
-        bias = _pos_bias(rel_b0, kv_slot, q_slots, cfg.n_rel_attn_bkts, False)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        if uniform:
+            kc = jax.lax.dynamic_update_slice(
+                kc, kt.astype(kc.dtype), (0, 0, cache_pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vt.astype(vc.dtype), (0, 0, cache_pos, 0))
+        else:  # per-row write positions
+            rows = jnp.arange(B)[:, None, None]
+            hh = jnp.arange(kc.shape[1])[None, :, None]
+            kc = kc.at[rows, hh, q_slots_b[:, None, :]].set(kt.astype(kc.dtype))
+            vc = vc.at[rows, hh, q_slots_b[:, None, :]].set(vt.astype(vc.dtype))
+        if uniform:
+            bias = _pos_bias(rel_b0, kv_slot, q_slots,
+                             cfg.n_rel_attn_bkts, False)
+        else:  # (B, H, T, S)
+            bias = jax.vmap(
+                lambda qp: _pos_bias(rel_b0, kv_slot, qp,
+                                     cfg.n_rel_attn_bkts, False))(q_slots_b)
         att = _attn(q, kc.astype(dtype), vc.astype(dtype), bias,
                     jnp.broadcast_to(self_mask, (B, 1, T, S)), cfg, dtype)
         x = x + _mm(att, qw["wo"], dtype, li)
