@@ -337,3 +337,10 @@ def test_whole_context_state(server):
     r = _post(url, "/state?action=restore", {"filename": "ctx.npz"})
     assert r["restored"] is True
     assert [list(s.tokens) for s in ctx.memory.slots] == toks_before
+
+
+def test_webui_served_at_root(server):
+    ctx, url = server
+    html = _get(url, "/")
+    assert "<!doctype html" in html.lower()
+    assert "/v1/chat/completions" in html  # the UI drives the chat API

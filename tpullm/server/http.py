@@ -116,7 +116,17 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         ctx = self.ctx
         path = self.path.split("?")[0]
-        if path == "/health":
+        if path in ("/", "/index.html"):
+            # built-in chat web UI (tools/server/webui analogue)
+            from .webui import PAGE
+
+            data = PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        elif path == "/health":
             self._json(200, {"status": "ok"})
         elif path == "/v1/models":
             self._json(200, {"object": "list", "data": [{
