@@ -289,6 +289,33 @@ def test_grammar_constrained_completion(server):
     assert all("a" <= c <= "m" for c in text), text
 
 
+def test_lazy_grammar_trigger(server):
+    """grammar_lazy + grammar_triggers: generation is UNCONSTRAINED until a
+    trigger word appears in the emitted text; the match suffix replays into
+    the automaton and sampling constrains from then on (llama_grammar lazy /
+    trigger_patterns, src/llama-grammar.h + common/sampling.cpp)."""
+    ctx, url = server
+    from tpullm.grammar import GrammarConstraint
+
+    forced = int(ctx.tok.encode("tok7", add_special=False)[-1])
+    piece = GrammarConstraint('root ::= "x"', ctx.tok.vocab).piece(forced)
+    assert piece and not all("a" <= c <= "m" for c in piece)
+    # grammar: exactly one decode chunk (4) of the trigger word, then [a-m]+.
+    # A +100 logit bias forces the trigger token while unconstrained; once
+    # the trigger replays, the grammar bans it (piece has chars outside a-m).
+    lit = json.dumps(piece)
+    gbnf = f"root ::= {lit} {lit} {lit} {lit} [a-m]+"
+    r = _post(url, "/v1/completions", {
+        "prompt": "tok1 tok2", "max_tokens": 12, "temperature": 0,
+        "logit_bias": {str(forced): 100.0},
+        "grammar": gbnf, "grammar_lazy": True,
+        "grammar_triggers": [{"type": "word", "value": piece}]})
+    text = r["choices"][0]["text"]
+    assert text.startswith(piece * 4), text  # phase 1: bias wins (no grammar)
+    tail = text[len(piece) * 4:]
+    assert tail and all("a" <= c <= "m" for c in tail), text  # phase 2
+
+
 def test_generate_sync_api(server):
     ctx, url = server
     toks = ctx.tok.encode("tok3 tok4", add_special=True)

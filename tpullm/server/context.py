@@ -61,6 +61,11 @@ class GenParams:
     n_probs: int = 0
     grammar: str | None = None  # GBNF; constrains sampling (host-side)
     json_schema: dict | None = None  # converted to GBNF
+    # lazy grammar (llama_grammar lazy/trigger_patterns): generation runs
+    # UNCONSTRAINED until a trigger pattern matches the emitted text; the
+    # match suffix replays into the automaton and sampling constrains on
+    grammar_lazy: bool = False
+    grammar_triggers: tuple = ()  # regex patterns (words pre-escaped)
     # {token_id: bias} (OpenAI dict) or [[token_id, bias|false], ...]
     # (llama.cpp list form); false -> token banned
     logit_bias: dict | list | None = None
@@ -126,6 +131,8 @@ class _SlotRt:
     started_at: float = 0.0
     prefill_done_at: float = 0.0
     constraint: object = None  # GrammarConstraint for constrained slots
+    awaiting_trigger: bool = False  # lazy grammar not yet activated
+    trigger_buf: str = ""  # text emitted while awaiting the trigger
     rng: object = None  # per-task numpy RNG (host-side grammar sampling)
     # speculative decoding (spec mode): the last emitted token whose KV has
     # NOT been written yet (it is the next verify forward's first input),
@@ -566,6 +573,9 @@ class ServerContext:
                     from ..grammar import GrammarConstraint
 
                     r.constraint = GrammarConstraint(gbnf, self.tok.vocab)
+                    r.awaiting_trigger = bool(task.params.grammar_lazy
+                                              and task.params.grammar_triggers)
+                    r.trigger_buf = ""
                 except Exception as e:
                     task.out.put(("error", f"bad grammar: {e}"))
                     r.task = None
@@ -888,7 +898,8 @@ class ServerContext:
         self._context_shift_overdue(self.decode_chunk)
         act = jnp.asarray(self._active)
         gslots = [i for i in range(self.n_slots)
-                  if self._active[i] and self.rt[i].constraint is not None]
+                  if self._active[i] and self.rt[i].constraint is not None
+                  and not self.rt[i].awaiting_trigger]
         forced = np.zeros(self.n_slots, np.int32)
         use_forced = np.zeros(self.n_slots, bool)
         n_steps = self.decode_chunk
@@ -934,7 +945,28 @@ class ServerContext:
             self.memory.slots[i].n_past = int(self._pos[i])
             self.metrics["generated_tokens_total"] += (
                 n - 1 if spec_skip[i] else n)
-            if self.rt[i].constraint is not None:
+            if (self.rt[i].constraint is not None
+                    and self.rt[i].awaiting_trigger):
+                # lazy grammar: scan the free-running text for a trigger;
+                # on match, replay from the match start into the automaton
+                # (llama_grammar_accept_impl trigger_buffer replay)
+                import re as _re
+
+                r_i = self.rt[i]
+                for t in toks_np[:, i]:
+                    r_i.trigger_buf += r_i.constraint.piece(int(t))
+                for pat in r_i.task.params.grammar_triggers:
+                    m = _re.search(pat, r_i.trigger_buf, _re.DOTALL)
+                    if m:
+                        try:
+                            r_i.constraint.g.accept(
+                                r_i.trigger_buf[m.start():])
+                        except Exception:
+                            pass
+                        r_i.awaiting_trigger = False
+                        r_i.trigger_buf = ""
+                        break
+            elif self.rt[i].constraint is not None:
                 for t in toks_np[:, i]:
                     try:
                         self.rt[i].constraint.accept_token(int(t))

@@ -53,6 +53,24 @@ def _gen_params(body: dict) -> GenParams:
         p.logit_bias = lb
     if body.get("grammar"):
         p.grammar = str(body["grammar"])
+    if body.get("grammar_lazy"):
+        p.grammar_lazy = bool(body["grammar_lazy"])
+    gt = body.get("grammar_triggers")
+    if isinstance(gt, list) and gt:
+        # reference accepts {type: word|pattern..., value} objects
+        # (tools/server/server.cpp params_from_json_cmpl) or raw strings
+        pats = []
+        import re as _re
+        for t in gt:
+            if isinstance(t, dict):
+                val = str(t.get("value", ""))
+                typ = t.get("type", 1)
+                # COMMON_GRAMMAR_TRIGGER_TYPE_WORD=1 -> literal word;
+                # PATTERN=2 / PATTERN_FULL=3 -> regex as given
+                pats.append(_re.escape(val) if typ in (1, "word") else val)
+            else:
+                pats.append(_re.escape(str(t)))
+        p.grammar_triggers = tuple(x for x in pats if x)
     if body.get("json_schema"):
         p.json_schema = body["json_schema"]
     rf = body.get("response_format")
