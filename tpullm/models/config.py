@@ -108,6 +108,11 @@ class ModelConfig:
     pre_norm: bool = True  # olmo2/exaone4: False = post-norms ONLY
     hybrid_parallel: bool = False  # falcon-h1: attn + mamba2 in EVERY layer
     hybrid_rope: bool = False  # hybrid attn layers rope (falcon-h1/granite)
+    # qwen3next: Q projection emits [query | sigmoid output gate] per head
+    attn_out_gate: bool = False
+    # qwen3next: every Nth layer is full attention, the rest gated delta
+    # net (LLM_KV_FULL_ATTENTION_INTERVAL, src/models/qwen3next.cpp:17-23)
+    full_attn_interval: int = 0
     # recurrent (Mamba/SSM) models
     ssm_d_conv: int = 0  # conv kernel width (0 = not an SSM arch)
     ssm_d_inner: int = 0
@@ -254,6 +259,15 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     from .registry import apply_arch_defaults
 
     apply_arch_defaults(cfg)
+    # qwen3next marks recurrency by interval, not a per-layer kv array
+    # (src/models/qwen3next.cpp:17-23: recurrent iff (i+1) % interval != 0)
+    fai = _k(g, "{arch}.full_attention_interval")
+    if fai is not None:
+        cfg.full_attn_interval = int(fai)
+    if cfg.full_attn_interval and not cfg.kv_head_pattern:
+        cfg.kv_head_pattern = tuple(
+            cfg.n_head_kv if (i + 1) % cfg.full_attn_interval == 0 else 0
+            for i in range(cfg.n_layer))
     if cfg.alibi_max_bias > 0:  # ALiBi replaces rope (baichuan-13b etc.)
         cfg.use_rope = False
     if arch == "smallthinker" and cfg.sliding_window:

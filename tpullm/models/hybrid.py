@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.qtensor import QTensor
 from .config import ModelConfig
+from .gdn import gdn_layer
 from .llama import attention, ffn, moe_ffn, rms_norm
 from .mamba import (RecurrentState, _layer as mamba_layer,
                     _layer2 as mamba2_layer, conv_channels)
@@ -129,10 +130,15 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
     res_s = cfg.residual_scale or 1.0
 
     def attn_part(x, p, qw, kv, li):
-        """norm -> qkv -> attention -> wo (+bias); no residual, no ffn."""
+        """norm -> qkv -> attention -> wo (+bias); no residual, no ffn.
+
+        qwen3next extras (src/models/qwen3next.cpp build_layer_attn): the
+        Q projection emits [query | output-gate] per head (attn_out_gate),
+        and q/k get per-head RMS norms before rope (attn_qk_norm)."""
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
         from .llama import _mm, apply_rope
 
+        gate = None
         if "wqkv" in qw:
             nq = cfg.n_head * cfg.head_dim
             qkv = _mm(h, qw["wqkv"], dtype, li)
@@ -142,11 +148,19 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             v = qkv[..., nq + hkv * cfg.head_dim:].reshape(
                 B, T, hkv, cfg.head_dim_v)
         else:
-            q = _mm(h, qw["wq"], dtype, li).reshape(
-                B, T, cfg.n_head, cfg.head_dim)
+            q = _mm(h, qw["wq"], dtype, li)
+            if cfg.attn_out_gate:  # fused [q | gate] projection
+                q = q.reshape(B, T, cfg.n_head, 2 * cfg.head_dim)
+                gate = q[..., cfg.head_dim:]
+                q = q[..., :cfg.head_dim]
+            else:
+                q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
             k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
             v = _mm(h, qw["wv"], dtype, li).reshape(
                 B, T, hkv, cfg.head_dim_v)
+        if cfg.attn_qk_norm and "q_norm" in p:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if cfg.hybrid_rope:  # falcon-h1/granite-hybrid rope; jamba: none
             from .llama import rope_cache
 
@@ -170,6 +184,9 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 vt.astype(v_cache.dtype))
         att = attention(q, k_cache.astype(dtype), v_cache.astype(dtype),
                         q_slots, kv_positions, positions, valid_from, cfg)
+        if gate is not None:  # sigmoid output gate per head (qwen3next)
+            att = att * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(
+                att.dtype)
         att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
         o = _mm(att, qw["wo"], dtype, li)
         if "wo_b" in p:
@@ -191,12 +208,20 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         L_g = next(iter(gl.values())).shape[0]
-        recurrent = "ssm_in" in qw
-        has_attn = "wq" in qw or "wqkv" in qw
+        is_gdn = "ssm_ba" in gl  # gated delta net (qwen3next)
+        recurrent = "ssm_in" in qw or is_gdn
+        # gdn layers reuse the attn_qkv projection name for their packed
+        # [q|k|v]; they are NOT attention layers
+        has_attn = ("wq" in qw or "wqkv" in qw
+                    or "wqkv_cat" in qw) and not is_gdn
         has_ffn = ("ffn_up" in qw or "moe_gate_inp" in qw
                    or "ffn_up_exps" in qw)
-        rec_fn = (mamba2_layer if recurrent and "ssm_norm" in gl
+        rec_fn = (gdn_layer if is_gdn
+                  else mamba2_layer if recurrent and "ssm_norm" in gl
                   else mamba_layer)
+        # qwen3next norms the FFN input with attn_post_norm (the residual
+        # is taken from BEFORE that norm — same shape as ffn_norm here)
+        ffn_nk = "post_attn_norm" if "post_attn_norm" in fl else "ffn_norm"
         if recurrent:
             conv_g = jax.lax.dynamic_slice_in_dim(state.conv, r_off, L_g, 0)
             ssm_g = jax.lax.dynamic_slice_in_dim(state.ssm, r_off, L_g, 0)
@@ -218,7 +243,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 attn_out, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
                 x = x + (attn_out + ssm_out) * res_s
                 if has_ffn:
-                    x = ffn_part(x, p, qw, li, "ffn_norm")
+                    x = ffn_part(x, p, qw, li, ffn_nk)
                 return x, (tail, ssm, k2, v2)
 
             x, (tails, ssms, ks, vs) = jax.lax.scan(
@@ -236,7 +261,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                     x, li, gl, cfg, ct, ss, dtype, pad_mask, n_valid)
                 x = x + out * res_s
                 if has_ffn:  # jamba/granite-hybrid: FFN after the mixer
-                    x = ffn_part(x, fl_at(li), qw, li, "ffn_norm")
+                    x = ffn_part(x, fl_at(li), qw, li, ffn_nk)
                 return x, (tail, ssm)
 
             x, (tails, ssms) = jax.lax.scan(
@@ -251,7 +276,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 o, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
                 x = x + o * res_s
                 if has_ffn:
-                    x = ffn_part(x, p, qw, li, "ffn_norm")
+                    x = ffn_part(x, p, qw, li, ffn_nk)
                 return x, (k2, v2)
 
             x, (ks, vs) = jax.lax.scan(

@@ -446,7 +446,15 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
         g = _mm(x, qw["ffn_gate_shexp"], dtype, li)
         u = _mm(x, qw["ffn_up_shexp"], dtype, li)
         h = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
-        out = out + _mm(h, qw["ffn_down_shexp"], dtype, li)
+        sh = _mm(h, qw["ffn_down_shexp"], dtype, li)
+        if "moe_gate_inp_shexp" in p:
+            # qwen2moe/qwen3next shared-expert gate: one sigmoid scalar
+            # per token (src/models/qwen3next.cpp "shared_expert_gate")
+            sg = jax.nn.sigmoid(jnp.einsum(
+                "btd,d->bt", x.astype(jnp.float32),
+                p["moe_gate_inp_shexp"].astype(jnp.float32)))
+            sh = sh * sg[..., None].astype(sh.dtype)
+        out = out + sh
     return out
 
 

@@ -168,6 +168,14 @@ ARCH_REGISTRY: dict[str, dict] = {
     "smallthinker": dict(rope_type="neox", act_fn="relu",
                          expert_weights_norm=True, moe_router_pre_norm=True,
                          swa_dense_first=True, no_rope_offset=0),
+    # qwen3next (src/models/qwen3next.cpp): gated-delta-net linear
+    # attention on 3 of every 4 layers (full_attention_interval), gated
+    # full attention (Q emits [query|gate], per-head qk RMS + rope) on the
+    # rest; every layer MoE (renormalized softmax top-k) + sigmoid-gated
+    # shared expert
+    "qwen3next": dict(rope_type="neox", attn_qk_norm=True,
+                      attn_out_gate=True, hybrid_rope=True,
+                      expert_weights_norm=True, full_attn_interval=4),
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),

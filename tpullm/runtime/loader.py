@@ -67,6 +67,8 @@ LAYER_TENSORS = {
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
+    # qwen2moe/qwen3next shared-expert sigmoid gate (one scalar per token)
+    "ffn_gate_inp_shexp.weight": "moe_gate_inp_shexp",
     "exp_probs_b.bias": "moe_probs_b",
     "ffn_gate_exps.bias": "moe_gate_exps_b",  # gpt-oss expert biases
     "ffn_up_exps.bias": "moe_up_exps_b",
@@ -83,6 +85,10 @@ LAYER_TENSORS = {
     "ssm_d": "ssm_d",
     "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
+    # gated delta net (qwen3next, src/models/qwen3next.cpp): packed
+    # [q|k|v] projection reuses attn_qkv; attn_gate is the z gate
+    "attn_gate.weight": "wqkv_gate",
+    "ssm_ba.weight": "ssm_ba",
     # RWKV6 family — src/models/rwkv6.cpp / rwkv6qwen2.cpp load_arch_tensors
     "time_mix_lerp_x.weight": "tm_lerp_x",
     "time_mix_lerp_w.weight": "tm_lerp_w",
@@ -261,7 +267,7 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             if ti.ggml_type in _FLOAT_TYPES and (
                 "norm" in key or key.startswith("b") or key.endswith("_b")
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
-                           "attn_sinks")
+                           "attn_sinks", "moe_gate_inp_shexp")
                 or key.startswith("tm_") and key not in ("tm_k", "tm_v",
                                                          "tm_r", "tm_out",
                                                          "tm_g")
