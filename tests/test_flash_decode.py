@@ -112,7 +112,12 @@ def test_flash_decode_mqa_big_head():
     assert _nmse(out, ref) < 1e-4
 
 
-def test_supported_gate():
+def test_supported_gate(monkeypatch):
+    # off by default (XLA over bucketed views A/B-won on hardware)
+    monkeypatch.delenv("TPULLM_FLASH_DECODE", raising=False)
+    assert not flash_decode_supported(1, 1, 1024, 128, 128, 8)
+    # env-gated opt-in for experiments
+    monkeypatch.setenv("TPULLM_FLASH_DECODE", "1")
     assert flash_decode_supported(1, 1, 1024, 128, 128, 8)
     assert not flash_decode_supported(1, 16, 1024, 128, 128, 8)  # T too big
     assert not flash_decode_supported(1, 1, 1000, 128, 128, 8)   # S % 256

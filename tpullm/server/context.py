@@ -353,7 +353,9 @@ class ServerContext:
             self._prefill = jax.jit(_prefill_r, donate_argnums=(3,))
 
             def _decode_r(params, logits0, pos0, active, cache, sparams, bias,
-                          pen, mu, key, forced, use_forced, n_steps):
+                          pen, mu, key, forced, use_forced, n_steps,
+                          kv_view=None):  # accepted for call-site parity;
+                # recurrent state has no KV view to bucket
                 def body(carry, step):
                     logits, pos, cache, pen, mu, key = carry
                     key, sub = jax.random.split(key)
@@ -379,7 +381,7 @@ class ServerContext:
                 return ys, logits, pos, cache, pen, mu
 
             self._decode = jax.jit(_decode_r, donate_argnums=(1, 4),
-                                   static_argnames=("n_steps",))
+                                   static_argnames=("n_steps", "kv_view"))
 
         if self.family == "hybrid":
             # hybrid (Jamba): KV over attention layers + recurrent bank.
@@ -408,7 +410,9 @@ class ServerContext:
             self._prefill = jax.jit(_prefill_h, donate_argnums=(3,))
 
             def _decode_h(params, logits0, pos0, active, cache, sparams, bias,
-                          pen, mu, key, forced, use_forced, n_steps):
+                          pen, mu, key, forced, use_forced, n_steps,
+                          kv_view=None):  # accepted for call-site parity;
+                # hybrid attention sizes by cache_pos, not a bucketed view
                 def body(carry, step):
                     logits, pos, cache, pen, mu, key = carry
                     key, sub = jax.random.split(key)
@@ -435,7 +439,7 @@ class ServerContext:
                 return ys, logits, pos, cache, pen, mu
 
             self._decode = jax.jit(_decode_h, donate_argnums=(1, 4),
-                                   static_argnames=("n_steps",))
+                                   static_argnames=("n_steps", "kv_view"))
 
         def _set_row(buf, i, row):
             return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=0)
