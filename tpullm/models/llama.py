@@ -674,26 +674,37 @@ def forward(
     # per-run free variables, rebound before each scan trace (iSWA dual)
     ring_run = False
 
-    def _store(buf, val, bi=None, si=None, wrap=False):
-        # buf head-major (B, Hkv, S[, D]); val (B, T, Hkv[, D])
+    def _store(bank, val, lr, bi=None, si=None, wrap=False):
+        # bank layer-stacked head-major (L, Bc, Hkv, S[, D]); val
+        # (B, T, Hkv[, D]); lr = run-relative layer index. The bank rides
+        # the layer scan's CARRY, so this dynamic_update_slice aliases
+        # IN-PLACE — the per-step cache cost is O(rows written), not
+        # O(cache): passing banks as scan xs/ys instead forces XLA to copy
+        # every bank through HBM each layer of each decode step (measured
+        # 61 -> 27 tok/s at S_max 1k -> 16k before this layout).
         vt = (val.transpose(0, 2, 1, 3) if val.ndim == 4
-              else val.transpose(0, 2, 1)).astype(buf.dtype)
+              else val.transpose(0, 2, 1)).astype(bank.dtype)
         if uniform and not wrap:  # wrap: ring writes may cross the ring end
             return jax.lax.dynamic_update_slice(
-                buf, vt, (0, 0, cache_pos[0]) + (0,) * (buf.ndim - 3))
-        hh = jnp.arange(buf.shape[1])[None, :, None]
-        return buf.at[(bi[:, None, :], hh, si[:, None, :])].set(vt)
+                bank, vt[None],
+                (lr, 0, 0, cache_pos[0]) + (0,) * (bank.ndim - 4))
+        hh = jnp.arange(bank.shape[2])[None, :, None]
+        return bank.at[(lr, bi[:, None, :], hh, si[:, None, :])].set(vt)
 
-    def _view(buf):
-        if not uniform:
-            buf = jax.lax.dynamic_slice_in_dim(buf, slot0, B, axis=0)
+    def _view(bank, lr):
+        # read this layer's slab, batch rows slot0..slot0+B, first
+        # kv_view_len positions — ONE bounded dynamic_slice so the read
+        # cost scales with the bucketed view, not max_seq_len
+        S_b = bank.shape[3]
         # never slice a ring (iSWA window) bank: its slot math is modular
-        if (kv_view_len is not None and not ring_run
-                and kv_view_len < buf.shape[2]):
-            buf = jax.lax.slice_in_dim(buf, 0, kv_view_len, axis=2)
-        return buf
+        L = (kv_view_len if (kv_view_len is not None and not ring_run
+                             and kv_view_len < S_b) else S_b)
+        b0 = jnp.int32(0) if uniform else slot0
+        start = (lr, b0, 0, 0) + (0,) * (bank.ndim - 4)
+        sizes = (1, B, bank.shape[2], L) + tuple(bank.shape[4:])
+        return jax.lax.dynamic_slice(bank, start, sizes)[0]
 
-    def _attend_qkv(q, k, v, p, kv, li=None):
+    def _attend_qkv(q, k, v, p, kv, li=None, lr=None):
         """Flat q/k/v rows -> (q heads, kv views, updated cache parts)."""
         if cfg.attn_qk_norm_flat:
             # mpt qk_ln / olmoe: norm over the FLATTENED projection rows
@@ -744,28 +755,28 @@ def forward(
             k_cache, v_cache, ks_c, vs_c = kv
             kq, k_sc = _kv_quant(k)
             vq, v_sc = _kv_quant(v)
-            k_cache = _store(k_cache, kq, bi, si)
-            v_cache = _store(v_cache, vq, bi, si)
-            ks_c = _store(ks_c, k_sc, bi, si)
-            vs_c = _store(vs_c, v_sc, bi, si)
-            k_view = (_view(k_cache).astype(jnp.float32)
-                      * _view(ks_c)[..., None]).astype(dtype)
-            v_view = (_view(v_cache).astype(jnp.float32)
-                      * _view(vs_c)[..., None]).astype(dtype)
-            kv_q8 = (_view(k_cache), _view(v_cache),
-                     _view(ks_c), _view(vs_c))
+            k_cache = _store(k_cache, kq, lr, bi, si)
+            v_cache = _store(v_cache, vq, lr, bi, si)
+            ks_c = _store(ks_c, k_sc, lr, bi, si)
+            vs_c = _store(vs_c, v_sc, lr, bi, si)
+            k_view = (_view(k_cache, lr).astype(jnp.float32)
+                      * _view(ks_c, lr)[..., None]).astype(dtype)
+            v_view = (_view(v_cache, lr).astype(jnp.float32)
+                      * _view(vs_c, lr)[..., None]).astype(dtype)
+            kv_q8 = (_view(k_cache, lr), _view(v_cache, lr),
+                     _view(ks_c, lr), _view(vs_c, lr))
             kv = (k_cache, v_cache, ks_c, vs_c)
         else:
             k_cache, v_cache = kv
-            k_cache = _store(k_cache, k, bi, si, wrap=ring_run)
-            v_cache = _store(v_cache, v, bi, si, wrap=ring_run)
-            k_view = _view(k_cache).astype(dtype)
-            v_view = _view(v_cache).astype(dtype)
+            k_cache = _store(k_cache, k, lr, bi, si, wrap=ring_run)
+            v_cache = _store(v_cache, v, lr, bi, si, wrap=ring_run)
+            k_view = _view(k_cache, lr).astype(dtype)
+            v_view = _view(v_cache, lr).astype(dtype)
             kv = (k_cache, v_cache)
         return q, k_view, v_view, kv, kv_q8
 
-    def _attend(q, k, v, p, kv, li=None):
-        q, k_view, v_view, kv, kv_q8 = _attend_qkv(q, k, v, p, kv, li)
+    def _attend(q, k, v, p, kv, li=None, lr=None):
+        q, k_view, v_view, kv, kv_q8 = _attend_qkv(q, k, v, p, kv, li, lr)
         sinks = p.get("attn_sinks")  # per-head sink logits (gpt-oss)
         if dual:
             # iSWA dual cache: the run's SWA-ness is static — ring-masked
@@ -793,7 +804,7 @@ def forward(
                             kv_q8=kv_q8)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
 
-    def _attend_mla(h, p, kv, li):
+    def _attend_mla(h, p, kv, li, lr=None):
         """MLA attention in the absorbed-MQA form (deepseek2.cpp is_mla):
         q_nope projects into the compressed space via wk_b, attention runs
         over the cached [c_kv; k_pe] rows (one shared KV head), and wv_b
@@ -828,21 +839,21 @@ def forward(
             k_cache, v_cache, ks_c, vs_c = kv
             kq8, k_sc = _kv_quant(k_new)
             vq8, v_sc = _kv_quant(v_new)
-            k_cache = _store(k_cache, kq8, bi, si)
-            v_cache = _store(v_cache, vq8, bi, si)
-            ks_c = _store(ks_c, k_sc, bi, si)
-            vs_c = _store(vs_c, v_sc, bi, si)
-            k_view = (_view(k_cache).astype(jnp.float32)
-                      * _view(ks_c)[..., None]).astype(dtype)
-            v_view = (_view(v_cache).astype(jnp.float32)
-                      * _view(vs_c)[..., None]).astype(dtype)
+            k_cache = _store(k_cache, kq8, lr, bi, si)
+            v_cache = _store(v_cache, vq8, lr, bi, si)
+            ks_c = _store(ks_c, k_sc, lr, bi, si)
+            vs_c = _store(vs_c, v_sc, lr, bi, si)
+            k_view = (_view(k_cache, lr).astype(jnp.float32)
+                      * _view(ks_c, lr)[..., None]).astype(dtype)
+            v_view = (_view(v_cache, lr).astype(jnp.float32)
+                      * _view(vs_c, lr)[..., None]).astype(dtype)
             kv = (k_cache, v_cache, ks_c, vs_c)
         else:
             k_cache, v_cache = kv
-            k_cache = _store(k_cache, k_new, bi, si)
-            v_cache = _store(v_cache, v_new, bi, si)
-            k_view = _view(k_cache).astype(dtype)
-            v_view = _view(v_cache).astype(dtype)
+            k_cache = _store(k_cache, k_new, lr, bi, si)
+            v_cache = _store(v_cache, v_new, lr, bi, si)
+            k_view = _view(k_cache, lr).astype(dtype)
+            v_view = _view(v_cache, lr).astype(dtype)
             kv = (k_cache, v_cache)
         # kq_scale: mscale^2/sqrt(n_embd_head_k) under YaRN (deepseek2.cpp
         # pre-scaling); plain 1/sqrt otherwise
@@ -866,27 +877,27 @@ def forward(
         """One-program-per-layer path: the megakernel emitted this layer's
         fused qkv already; attention runs in XLA; the kernel then does
         wo+ffn AND the next layer's norm+qkv (ops/layer_kernel.ffn_block_qkv)."""
-        x, y = carry
-        p, kv, li = inp
+        x, y, kv = carry
+        p, li, lr = inp
         from ..ops.layer_kernel import ffn_block_qkv
 
         q, k, v = _split_qkv(y.astype(dtype))
-        att, kv = _attend(q, k, v, p, kv, li)
+        att, kv = _attend(q, k, v, p, kv, li, lr)
         x, y_next = ffn_block_qkv(att, x, p["ffn_norm"], anrm_stacked,
                                   qw, li, cfg)
         if "cvec" in p:  # control vector on the layer output
             x = x + p["cvec"].astype(dtype)
-        return (x, y_next), kv
+        return (x, y_next, kv), None
 
     def layer(carry, inp):
-        x = carry
-        p, kv, li = inp
+        x, kv = carry
+        p, li, lr = inp
         # olmo2/exaone4 run attention on the RAW residual stream and
         # normalize only the outputs (src/models/olmo2.cpp:93)
         h = (_norm(x, p.get("attn_norm"), p.get("attn_norm_b"), cfg)
              if cfg.pre_norm else x)
         if cfg.kv_lora_rank > 0 and "wkv_a" in qw:
-            att, kv = _attend_mla(h, p, kv, li)
+            att, kv = _attend_mla(h, p, kv, li, lr)
             att_in = att
             att = _mm(att, qw["wo"], dtype, li)
             if tp_axis:
@@ -902,7 +913,7 @@ def forward(
             x = x + f
             if "cvec" in p:
                 x = x + p["cvec"].astype(dtype)
-            return x, kv
+            return (x, kv), None
         nq = cfg.n_head * cfg.head_dim
         nk = cfg.n_head_kv * cfg.head_dim
         if "wqkv" in qw:  # load-time fused QKV (padded offsets)
@@ -926,7 +937,7 @@ def forward(
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
-        att, kv = _attend(q, k, v, p, kv, li)
+        att, kv = _attend(q, k, v, p, kv, li, lr)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path
@@ -935,7 +946,7 @@ def forward(
             x = ffn_block(att, x, p["ffn_norm"], qw, li, cfg)
             if "cvec" in p:
                 x = x + p["cvec"].astype(dtype)
-            return x, kv
+            return (x, kv), None
         att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
@@ -985,12 +996,12 @@ def forward(
             stats = (sf(h), sf(att_in), sf(h2), sf(hmid))
             if "cvec" in p:
                 x = x + p["cvec"].astype(dtype)
-            return x, kv + (stats,)
+            return (x, kv), stats
         if "cvec" in p:  # control vector (llama_adapter_cvec apply)
             x = x + p["cvec"].astype(dtype)
         if collect_hidden:  # cvector-generator taps every layer's output
-            return x, kv + (x,)
-        return x, kv
+            return (x, kv), x
+        return (x, kv), None
 
     groups = params["layers"].get("__groups__") or [params["layers"]]
     all_stats = []
@@ -1068,7 +1079,12 @@ def forward(
             ring_run = bool(dual and run_swa)
             blo = bank_off[run_swa] if dual else off + lo
             ids = jnp.arange(lo, hi)
+            rel = jnp.arange(0, hi - lo)  # run-relative bank index
             fl_r = {k: v[lo:hi] for k, v in fl.items()} if len(runs) > 1 else fl
+            # KV banks ride the scan CARRY (not xs/ys): per-layer writes are
+            # in-place dynamic updates on the carried buffer, so decode cost
+            # is O(rows written + view read), not O(max_seq_len) — banks as
+            # xs/ys forced a full-bank HBM copy per layer per step
             kv_in = _kv_slices(blo, blo + (hi - lo), run_swa)
             if use_fold:
                 # prime the carry: layer 0's norm + fused qkv; thereafter
@@ -1076,16 +1092,16 @@ def forward(
                 anrm_stacked = gl["attn_norm"]
                 h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
                 y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
-                (x, _), ys = jax.lax.scan(layer_fold, (x, y0),
-                                          (fl_r, kv_in, ids))
+                (x, _, kv_out), ys = jax.lax.scan(layer_fold, (x, y0, kv_in),
+                                                  (fl_r, ids, rel))
             else:
-                x, ys = jax.lax.scan(layer, x, (fl_r, kv_in, ids))
-            nparts = 2 if ring_run else (4 if kv_quant else 2)
-            (new_swa if ring_run else new_full).append(ys[:nparts])
+                (x, kv_out), ys = jax.lax.scan(layer, (x, kv_in),
+                                               (fl_r, ids, rel))
+            (new_swa if ring_run else new_full).append(kv_out)
             if collect_stats:
-                all_stats.append(ys[nparts])
+                all_stats.append(ys)
             if collect_hidden:
-                all_hidden.append(ys[nparts])
+                all_hidden.append(ys)
             if dual:
                 bank_off[run_swa] += hi - lo
         off += L_g

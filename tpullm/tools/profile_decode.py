@@ -52,8 +52,9 @@ def main(argv=None):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
     import bench as bench_mod
+    from tpullm.utils.synth import synth_kmajor_q4k_fast
 
-    cfg, params = bench_mod._cached_synth(bench_mod.SHAPES[args.model])
+    cfg, params = synth_kmajor_q4k_fast(seed=0, **bench_mod.SHAPES[args.model])
 
     from tpullm.models.llama import KVCache, forward
     from tpullm.ops.sampling import BatchSamplerParams, sample_batch

@@ -122,6 +122,84 @@ def synth_qparams(
     return cfg, params
 
 
+def synth_kmajor_q4k_fast(
+    *,
+    vocab_size: int,
+    n_embd: int,
+    n_layer: int,
+    n_head: int,
+    n_head_kv: int,
+    n_ff: int,
+    seed: int = 0,
+    device_put: bool = True,
+):
+    """Fabricate an ALREADY-FUSED Q4_K kmajor params pytree directly at the
+    kernel-layout level — no GGUF bytes, no planar->kmajor repack, no
+    per-layer stacking copies. Weight VALUES are random (throughput does not
+    depend on them, bench.py docstring), but every plane has the exact
+    dtype/shape/range pack_kmajor + fuse_layer_weights would produce, so the
+    fused kernels, take_rows and the parity check all run unchanged.
+
+    Cuts the 8B bench fabrication from ~7 min (quantize+repack+npz) to ~15 s
+    of host numpy + one device upload."""
+    import jax.numpy as jnp
+
+    from ..ops.fuse import pad256
+    from ..ops.qtensor import QTensor
+    from ..quant.kmajor import KM_SPECS, dstore_for
+
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    spec = KM_SPECS[GGMLType.Q4_K]
+
+    def planes(lead, npad, K):
+        """kmajor Q4_K data dict for a (lead..., Npad, K) weight."""
+        ds = dstore_for(spec, K)
+        shp = lambda rows: lead + (rows, npad)
+        d = (rng.random(shp(K // ds), np.float32) + 0.5) * 2e-4
+        dmin = (rng.random(shp(K // ds), np.float32) + 0.5) * 2e-4
+        out = {
+            "q": rng.integers(0, 256, shp(K // 2), dtype=np.uint8),
+            "d": d.astype(np.float32),
+            "s8": rng.integers(1, 64, shp(K // spec.gs)).astype(np.int8),
+            "m8": rng.integers(0, 64, shp(K // spec.gs)).astype(np.int8),
+            "dmin": dmin.astype(np.float32),
+        }
+        if device_put:
+            out = {k: jnp.asarray(v) for k, v in out.items()}
+        return out
+
+    def qt(parts, K, lead=()):
+        npad = sum(pad256(p) for p in parts)
+        return QTensor(GGMLType.Q4_K, lead + (npad, K), planes(lead, npad, K))
+
+    L = (n_layer,)
+    nq, nkv = n_head * head_dim, n_head_kv * head_dim
+    ones = lambda *s: (jnp.ones(s, jnp.float32) if device_put
+                       else np.ones(s, np.float32))
+    params = {
+        "tok_embd": qt([vocab_size], n_embd),
+        "output": qt([vocab_size], n_embd),
+        "output_norm": ones(n_embd),
+        "layers": {
+            "attn_norm": ones(n_layer, n_embd),
+            "ffn_norm": ones(n_layer, n_embd),
+            "wqkv": qt([nq, nkv, nkv], n_embd, L),
+            "wo": qt([n_embd], nq, L),
+            "ffn_gateup": qt([n_ff, n_ff], n_embd, L),
+            "ffn_down": qt([n_embd], n_ff, L),
+        },
+    }
+    from ..models.config import ModelConfig
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=vocab_size, n_embd=n_embd, n_layer=n_layer,
+        n_head=n_head, n_head_kv=n_head_kv, head_dim=head_dim,
+        head_dim_v=head_dim, n_ff=n_ff, rope_dim=head_dim,
+    )
+    return cfg, params
+
+
 def _host_qt(qtype, rows, cols, rng):
     from ..ops.qtensor import qtensor_from_bytes
 
