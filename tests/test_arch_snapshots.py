@@ -38,6 +38,8 @@ def test_arch_snapshot(arch, tmp_path):
     path = str(tmp_path / f"{arch}.gguf")
     if arch in ("minicpm3", "mistral4"):  # MLA: deepseek2-style tensor set
         build_deepseek2_gguf(path, arch, seed=11)
+    elif arch == "plm":  # MLA with direct Q + ungated relu^2 MLP
+        build_deepseek2_gguf(path, arch, seed=11, q_lora=0, gated=False)
     else:
         build_arch_gguf(path, arch, seed=11)
     cfg, params, _ = load_model(path)

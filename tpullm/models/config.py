@@ -61,6 +61,24 @@ class ModelConfig:
     qk_l2_norm: bool = False  # weightless rms over the head dim (rope layers)
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
+    # per-head q/k norm flavor: chameleon uses LAYERNORM (with bias) over
+    # the head dim with PER-HEAD weights (src/models/chameleon.cpp:90-104)
+    qk_norm_type: str = "rmsnorm"  # rmsnorm | layernorm
+    # apertus xIELU activation: per-layer (alpha_n, alpha_p, beta, eps)
+    # AFTER the build-time softplus transform (ggml/src/ggml.c ggml_xielu)
+    xielu: tuple = ()
+    # dense FFN runs IN PARALLEL with the MoE branch:
+    #   "grok":   out = sqrt(2)/2 * (dense(h2) + moe(h2))  (grok.cpp:171-183)
+    #   "arctic": out = (dense(h2)+ffn_inp) + moe(norm_exps(x0))  (arctic.cpp)
+    moe_dense_parallel: str = ""
+    # grovemoe adjugate "chunk" experts: second expert bank indexed by
+    # main_expert_id // n_group_experts, same router probs (grovemoe.cpp)
+    n_group_experts: int = 0
+    expert_group_scale: float = 1.0
+    n_ff_chexp: int = 0
+    # afmoe: attention output gated by sigmoid(wqkv_gate @ attn_input)
+    # BEFORE the output projection (src/models/afmoe.cpp:177-190)
+    attn_gate_proj: bool = False
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
     clamp_kqv: float = 0.0
     # ALiBi position bias (mpt/bloom/jais/baichuan-13b families): slope_h *
@@ -254,6 +272,33 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     asc = _k(g, "{arch}.attention.scale")
     if asc is not None:
         cfg.attn_scale = float(asc)
+    for key, attr in (("{arch}.attn_logit_softcapping", "attn_logit_softcap"),
+                      ("{arch}.final_logit_softcapping", "final_logit_softcap")):
+        v = _k(g, key)
+        if v is not None:
+            setattr(cfg, attr, float(v))
+    # apertus xIELU: global (arch-unprefixed) per-layer arrays; stored raw
+    # alphas get the reference's build-time softplus fold (ggml_xielu)
+    xa_n = g.get("xielu.alpha_n")
+    if xa_n is not None:
+        def _arr(k):
+            v = g.get(k)
+            v = [v] * cfg.n_layer if np.isscalar(v) else list(v)
+            return [float(x) for x in v]
+        sp = lambda x: float(np.log1p(np.exp(min(x, 30.0))) if x < 30 else x)
+        a_n, a_p = _arr("xielu.alpha_n"), _arr("xielu.alpha_p")
+        beta = _arr("xielu.beta") if g.get("xielu.beta") is not None else [0.5] * cfg.n_layer
+        eps = _arr("xielu.eps") if g.get("xielu.eps") is not None else [-1e-6] * cfg.n_layer
+        cfg.xielu = tuple((beta[i] + sp(a_n[i]), sp(a_p[i]), beta[i], eps[i])
+                          for i in range(cfg.n_layer))
+    nge = _k(g, "{arch}.experts_per_group")
+    if nge is not None:
+        cfg.n_group_experts = int(nge)
+    egs = _k(g, "{arch}.expert_group_scale")
+    if egs is not None:
+        cfg.expert_group_scale = float(egs)
+    cfg.n_ff_chexp = int(_k(g, "{arch}.expert_chunk_feed_forward_length", 0)
+                         or 0)
     if arch == "qwen":  # qwen-v1 GGUF stores DOUBLE the ffn width
         cfg.n_ff //= 2
     from .registry import apply_arch_defaults

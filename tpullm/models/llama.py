@@ -384,6 +384,10 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
         sel_probs = probs + p["moe_probs_b"][None, None, :]
     else:
         sel_probs = probs
+    if cfg.n_group_experts > 0:
+        # grovemoe: SELECTION uses sigmoid(logits) while the combine
+        # weights stay softmax (build_moe_ffn LLM_ARCH_GROVEMOE branch)
+        sel_probs = jax.nn.sigmoid(router)
     top_p, top_i = jax.lax.top_k(sel_probs, used)  # (B, T, used)
     w = jnp.take_along_axis(probs, top_i, axis=-1)
     if cfg.expert_weights_norm:
@@ -441,6 +445,35 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
         out = one_expert(0)
         for e in range(1, E):
             out = out + one_expert(e)
+
+    if cfg.n_group_experts > 0 and "moe_gate_chexps" in qw:
+        # grovemoe adjugate "chunk" experts (src/models/grovemoe.cpp:154):
+        # chunk id = selected main expert id // experts_per_group; combine
+        # weights are the softmax probs INDEXED AT THE CHUNK ID (the
+        # reference reuses the full-expert probs row with chunk indices),
+        # renormalized, and the chunk output is scaled by expert_group_scale
+        # and added to the main MoE output (which it also reads as input).
+        E_ch = E // cfg.n_group_experts
+        used_ch = min(used, E_ch)
+        chunk_i = top_i[..., :used_ch] // cfg.n_group_experts
+        w_ch = jnp.take_along_axis(probs, chunk_i, axis=-1)
+        if cfg.expert_weights_norm:
+            w_ch = w_ch / jnp.maximum(w_ch.sum(-1, keepdims=True), 1e-9)
+        w_ch = w_ch * cfg.expert_weights_scale
+        xc = out  # the chunk bank reads the MAIN MoE output
+
+        def one_chunk(e):
+            ge = _expert_mm(xc, qw["moe_gate_chexps"], li, e, dtype)
+            ue = _expert_mm(xc, qw["moe_up_chexps"], li, e, dtype)
+            h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
+            de = _expert_mm(h, qw["moe_down_chexps"], li, e, dtype)
+            we = (w_ch * (chunk_i == e)).sum(-1)
+            return de * we[..., None].astype(dtype)
+
+        adj = one_chunk(0)
+        for e in range(1, E_ch):
+            adj = adj + one_chunk(e)
+        out = out + adj * cfg.expert_group_scale
 
     if "ffn_gate_shexp" in qw:  # DeepSeek-style always-on shared experts
         g = _mm(x, qw["ffn_gate_shexp"], dtype, li)
@@ -579,7 +612,19 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
         if "ffn_up_b" in p:
             u = u + p["ffn_up_b"].astype(dtype)
         uf = u.astype(jnp.float32)
-        h = (jax.nn.gelu(uf, approximate=True) if cfg.act_fn == "gelu" else jax.nn.relu(uf) ** 2).astype(dtype)
+        if cfg.act_fn == "gelu":
+            h = jax.nn.gelu(uf, approximate=True).astype(dtype)
+        elif cfg.act_fn == "xielu":
+            # apertus xIELU (ggml-cpu/unary-ops.cpp op_xielu), per-layer
+            # params already softplus-folded at config parse (ggml_xielu):
+            #   x>0: a_p*x^2 + b*x;  x<=0: a_n*(expm1(min(x,eps)) - x) + b*x
+            par = jnp.asarray(np.array(cfg.xielu, np.float32))  # (L, 4)
+            a_n, a_p, b, eps = [par[li, j] for j in range(4)]
+            pos = a_p * uf * uf + b * uf
+            neg = a_n * (jnp.expm1(jnp.minimum(uf, eps)) - uf) + b * uf
+            h = jnp.where(uf > 0, pos, neg).astype(dtype)
+        else:
+            h = (jax.nn.relu(uf) ** 2).astype(dtype)
     out = _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
     if "ffn_down_b" in p:
         out = out + p["ffn_down_b"].astype(dtype)
@@ -714,8 +759,16 @@ def forward(
         k = k.reshape(B, T, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(B, T, cfg.n_head_kv, cfg.head_dim_v)
         if cfg.attn_qk_norm and not cfg.qk_norm_post_rope:
-            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
-            k = rms_norm(k, p["k_norm"], cfg.rms_eps)
+            if cfg.qk_norm_type == "layernorm":
+                # chameleon: LAYERNORM with per-head (H, hd) weights+bias
+                # over the head dim (src/models/chameleon.cpp:90-104,
+                # torch-default eps 1e-5)
+                eps = cfg.norm_eps or 1e-5
+                q = layer_norm(q, p["q_norm"], p.get("q_norm_b"), eps)
+                k = layer_norm(k, p["k_norm"], p.get("k_norm_b"), eps)
+            else:
+                q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, p["k_norm"], cfg.rms_eps)
         if not cfg.use_rope:
             q_r, k_r = q, k
         else:
@@ -892,6 +945,7 @@ def forward(
     def layer(carry, inp):
         x, kv = carry
         p, li, lr = inp
+        x0 = x  # layer input (arctic's MoE branch norms THIS, arctic.cpp)
         # olmo2/exaone4 run attention on the RAW residual stream and
         # normalize only the outputs (src/models/olmo2.cpp:93)
         h = (_norm(x, p.get("attn_norm"), p.get("attn_norm_b"), cfg)
@@ -938,6 +992,12 @@ def forward(
             k = k + p["bk"].astype(dtype)
             v = v + p["bv"].astype(dtype)
         att, kv = _attend(q, k, v, p, kv, li, lr)
+        if cfg.attn_gate_proj and "wqkv_gate" in qw:
+            # afmoe: attn_out * sigmoid(gate(attn_input)) BEFORE the output
+            # projection (src/models/afmoe.cpp:177-190)
+            gate = _mm(h, qw["wqkv_gate"], dtype, li)
+            att = (att.astype(jnp.float32)
+                   * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(dtype)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path
@@ -979,7 +1039,28 @@ def forward(
             x = x + att
             h2 = (_norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
                   if cfg.pre_norm else x)
-            f, hmid = _ffn(h2)
+            if (cfg.moe_dense_parallel == "grok" and cfg.n_expert > 0
+                    and "moe_gate_inp" in qw):
+                # grok: out = sqrt(2)/2 * (dense(h2) + moe(h2)) when the
+                # dense FFN exists, else just the MoE (grok.cpp:158-185)
+                moe = moe_ffn(h2, p, qw, li, cfg, dtype)
+                if "ffn_up" in qw or "ffn_gateup" in qw:
+                    dense = ffn(h2, qw, li, cfg, dtype, p)
+                    f = ((dense.astype(jnp.float32) + moe.astype(jnp.float32))
+                         * float(np.sqrt(2) / 2)).astype(dtype)
+                else:
+                    f = moe
+                hmid = None
+            elif (cfg.moe_dense_parallel == "arctic" and cfg.n_expert > 0
+                    and "moe_gate_inp" in qw):
+                # arctic: dense residual MLP on ffn_inp PLUS a MoE branch
+                # normed from the LAYER INPUT (arctic.cpp:128-155):
+                #   out = (dense(norm(ffn_inp)) + ffn_inp) + moe(norm_exps(x0))
+                dense, hmid = ffn(h2, qw, li, cfg, dtype, p, want_mid=True)
+                h_exp = _norm(x0, p.get("ffn_norm_exps"), None, cfg)
+                f = dense + moe_ffn(h_exp, p, qw, li, cfg, dtype)
+            else:
+                f, hmid = _ffn(h2)
             if tp_axis:  # row-parallel ffn_down partials
                 f = jax.lax.psum(f.astype(jnp.float32), tp_axis).astype(dtype)
             if cfg.post_norms and "post_ffn_norm" in p:

@@ -41,7 +41,12 @@ ARCH_REGISTRY: dict[str, dict] = {
                      expert_weights_norm=True),
     "qwen2moe": dict(rope_type="neox", attn_bias=True),
     "gemma": dict(rope_type="neox", act_fn="gelu", embedding_scale=-1.0),
-    "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True, embedding_scale=-1.0, swa_pattern=2),
+    "gemma2": dict(rope_type="neox", act_fn="gelu", post_norms=True,
+                   embedding_scale=-1.0, swa_pattern=2,
+                   # reference defaults when the GGUF lacks the keys
+                   # (src/models/gemma2.cpp: ml.get_key(..., false) over
+                   # hparams.h defaults 50/30)
+                   attn_logit_softcap=50.0, final_logit_softcap=30.0),
     "gemma3": dict(rope_type="neox", act_fn="gelu", post_norms=True, attn_qk_norm=True, embedding_scale=-1.0, swa_pattern=6),
     "phi2": dict(rope_type="neox", parallel_residual=True, norm_type="layernorm", act_fn="gelu", ffn_gate=False, attn_bias=True),
     "phi3": dict(rope_type="neox"),
@@ -179,6 +184,52 @@ ARCH_REGISTRY: dict[str, dict] = {
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),
+    # grok-1 (src/models/grok.cpp): attention logits softcapped at 30 with
+    # the scale applied INSIDE the tanh (build_attn LLM_ARCH_GROK branch,
+    # llama-graph.cpp:2009-2020), post-attn/ffn norms, scaled embeddings +
+    # logits, GELU MoE with renormalized router, optional dense FFN summed
+    # with the MoE output at sqrt(2)/2. (The router_logit_softcapping hparam
+    # is loaded by the reference but never applied in its graph.)
+    "grok": dict(rope_type="neox", act_fn="gelu", post_norms=True,
+                 expert_weights_norm=True, attn_logit_softcap=30.0,
+                 attn_scale=0.08838834764831845,
+                 embedding_scale=78.38367176906169,
+                 logit_scale=0.5773502691896257,
+                 moe_dense_parallel="grok"),
+    # arctic (src/models/arctic.cpp): dense n_embd-wide residual MLP plus a
+    # parallel MoE read from its own norm of the LAYER INPUT (ffn_norm_exps)
+    "arctic": dict(rope_type="norm", expert_weights_norm=True,
+                   moe_dense_parallel="arctic"),
+    # chameleon (src/models/chameleon.cpp): per-head LAYERNORM q/k-norm
+    # (with bias) before rope; swin_norm variant not fabricated
+    "chameleon": dict(rope_type="norm", attn_qk_norm=True,
+                      qk_norm_type="layernorm"),
+    # plm (src/models/plm.cpp): MLA attention (direct wq + legacy wkv_b)
+    # with a relu^2 ungated MLP
+    "plm": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
+    # apertus (src/models/apertus.cpp): qk RMS norm + ungated xIELU MLP
+    "apertus": dict(rope_type="neox", attn_qk_norm=True, ffn_gate=False,
+                    act_fn="xielu"),
+    # bailingmoe2 (src/models/bailingmoe2.cpp): fused wqkv, per-head
+    # qk-norm, leading dense layers, router probs bias + shared experts,
+    # gating func from GGUF (sigmoid in shipped checkpoints)
+    "bailingmoe2": dict(rope_type="neox", attn_qk_norm=True),
+    # grovemoe (src/models/grovemoe.cpp): qwen3-style attention; MoE plus
+    # adjugate "chunk" experts indexed main_id // experts_per_group, scaled
+    # by expert_group_scale, sharing the main router's sigmoid probs
+    "grovemoe": dict(rope_type="neox", attn_qk_norm=True,
+                     expert_weights_norm=True),
+    # afmoe (src/models/afmoe.cpp): gemma-scaled embeddings, iSWA 3:1 with
+    # iRoPE-style no-rope on every 4th layer, per-head qk-norm, attention
+    # output gate (sigmoid of a separate projection of the attn input),
+    # dual pre/post norms, sigmoid MoE with probs bias + shared expert
+    "afmoe": dict(rope_type="neox", attn_qk_norm=True, post_norms=True,
+                  attn_gate_proj=True, embedding_scale=-1.0,
+                  no_rope_interval=4, swa_pattern=4,
+                  expert_gating="sigmoid"),
+    # rnd1 (src/models/rnd1.cpp): qwen3moe graph in diffusion mode
+    "rnd1": dict(rope_type="neox", attn_qk_norm=True,
+                 expert_weights_norm=True, diffusion=True),
     # diffusion LMs (src/models/llada.cpp, dream.cpp, llada-moe.cpp):
     # hparams.causal_attn = false; generation runs the iterative denoising
     # loop in runtime/diffusion.py (examples/diffusion/diffusion.cpp)
@@ -193,7 +244,16 @@ def get_arch(name: str) -> dict:
 
 
 def apply_arch_defaults(cfg) -> None:
+    """Registry rows are per-arch DEFAULTS, not overrides: a value the GGUF
+    set explicitly (i.e. the field no longer holds its dataclass default)
+    wins — matching the reference's hparams pattern of presetting defaults
+    then ml.get_key(..., required=false) (e.g. src/models/grok.cpp:4-22)."""
+    import dataclasses
+
+    field_defaults = {f.name: f.default for f in dataclasses.fields(type(cfg))}
     for k, v in get_arch(cfg.arch).items():
+        if k in field_defaults and getattr(cfg, k) != field_defaults[k]:
+            continue  # GGUF-provided value takes precedence
         if k == "embedding_scale" and v == -1.0:
             cfg.embedding_scale = float(cfg.n_embd) ** 0.5
         else:

@@ -69,7 +69,9 @@ def fuse_layer_weights(layers: dict, cfg=None) -> dict:
         for k in ("wq", "wk", "wv"):
             del out[k]
     gu = [layers.get(k) for k in ("ffn_gate", "ffn_up")]
-    if can_fuse(gu):
+    # ffn() slices the fused tensor at cfg.n_ff offsets — a dense FFN of a
+    # different width (arctic's n_embd-wide parallel MLP) must stay unfused
+    if can_fuse(gu) and (cfg is None or gu[0].n_out == cfg.n_ff):
         out["ffn_gateup"] = concat_kmajor(gu)
         for k in ("ffn_gate", "ffn_up"):
             del out[k]

@@ -414,6 +414,9 @@ def supported(cfg, qw) -> bool:
         return False
     if cfg.norm_type != "rmsnorm":
         return False
+    # kernel computes a plain silu/gelu gated MLP + ungated attention
+    if cfg.act_fn == "xielu" or cfg.attn_gate_proj or cfg.moe_dense_parallel:
+        return False
     for k in ("wo", "ffn_gateup", "ffn_down"):
         if qw[k].layout != "kmajor":
             return False

@@ -64,6 +64,11 @@ LAYER_TENSORS = {
     "ffn_gate_exps.weight": "moe_gate_exps",
     "ffn_up_exps.weight": "moe_up_exps",
     "ffn_down_exps.weight": "moe_down_exps",
+    "ffn_norm_exps.weight": "ffn_norm_exps",  # arctic parallel-MoE norm
+    # grovemoe adjugate chunk-expert banks (src/models/grovemoe.cpp)
+    "ffn_gate_chexps.weight": "moe_gate_chexps",
+    "ffn_up_chexps.weight": "moe_up_chexps",
+    "ffn_down_chexps.weight": "moe_down_chexps",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
@@ -306,6 +311,10 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 layers[key] = _stack_qtensors(seg, device_put=False)
             else:
                 layers[key] = np.stack(seg)
+        if cfg.arch == "grok" and "attn_out_norm" in layers:
+            # grok's post-attention norm ships as attn_output_norm
+            # (src/models/grok.cpp ATTN_OUT_NORM -> our post_norms slot)
+            layers["post_attn_norm"] = layers.pop("attn_out_norm")
         if cfg.arch == "dbrx" and "attn_out_norm" in layers:
             # dbrx's attn_output_norm plays the ffn_norm role
             # (src/models/dbrx.cpp: build_norm(ffn_inp, attn_out_norm))
@@ -321,7 +330,7 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
         if fuse:
             from ..ops.fuse import fuse_layer_weights
 
-            layers = fuse_layer_weights(layers)
+            layers = fuse_layer_weights(layers, cfg)
         if device_put:
             def _up(v):
                 if isinstance(v, QTensor):

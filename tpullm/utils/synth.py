@@ -843,8 +843,12 @@ def build_deepseek2_gguf(
     seed: int = 0,
     scale: float = 0.05,
     with_vocab: bool = True,
+    gated: bool = True,
 ) -> str:
     """Synthetic deepseek2 (MLA) checkpoint, all-dense FFN layers.
+
+    q_lora=0 emits a direct attn_q projection and gated=False an ungated
+    MLP — the plm tensor set (src/models/plm.cpp load_arch_tensors).
 
     Writes the legacy UNSPLIT attn_kv_b (src/models/deepseek2.cpp non-is_mla
     branch): the reference then evaluates the decompressed-MHA form while
@@ -866,7 +870,8 @@ def build_deepseek2_gguf(
     w.add_float32(f"{arch}.rope.freq_base", 10000.0)
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
-    w.add_uint32(f"{arch}.attention.q_lora_rank", q_lora)
+    if q_lora:
+        w.add_uint32(f"{arch}.attention.q_lora_rank", q_lora)
     w.add_uint32(f"{arch}.attention.kv_lora_rank", kv_lora)
     # all layers dense (no MoE tensors needed); keys the reference requires
     w.add_uint32(f"{arch}.leading_dense_block_count", n_layer)
@@ -888,16 +893,20 @@ def build_deepseek2_gguf(
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
         w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
-        addq(p + "attn_q_a.weight", rand(q_lora, n_embd))
-        w.add_tensor(p + "attn_q_a_norm.weight",
-                     np.ones(q_lora, np.float32) + rand(q_lora))
-        addq(p + "attn_q_b.weight", rand(n_head * head_dim, q_lora))
+        if q_lora:
+            addq(p + "attn_q_a.weight", rand(q_lora, n_embd))
+            w.add_tensor(p + "attn_q_a_norm.weight",
+                         np.ones(q_lora, np.float32) + rand(q_lora))
+            addq(p + "attn_q_b.weight", rand(n_head * head_dim, q_lora))
+        else:  # plm: direct Q projection
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
         addq(p + "attn_kv_a_mqa.weight", rand(kv_lora + qk_rope, n_embd))
         w.add_tensor(p + "attn_kv_a_norm.weight",
                      np.ones(kv_lora, np.float32) + rand(kv_lora))
         addq(p + "attn_kv_b.weight", rand(n_head * (qk_nope + v_dim), kv_lora))
         addq(p + "attn_output.weight", rand(n_embd, n_head * v_dim))
-        addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        if gated:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
         addq(p + "ffn_up.weight", rand(n_ff, n_embd))
         addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
@@ -953,6 +962,32 @@ SYNTH_HINTS: dict[str, dict] = {
     # minimax-m2: all-MoE, sigmoid routing with probs bias, flat qk norms
     "minimax-m2": dict(moe=True, moe_probs_b=True, gating=2,
                        qk_norm_flat=True),
+    # grok-1: every-layer GELU MoE + parallel dense FFN, post norms under
+    # grok's own tensor names (src/models/grok.cpp load_arch_tensors)
+    "grok": dict(moe=True, moe_plus_dense=True, ff_exp=True, ew_norm=True,
+                 post_attn_name="attn_output_norm"),
+    # arctic: n_embd-wide dense MLP + parallel MoE with its own input norm
+    "arctic": dict(moe=True, moe_plus_dense=True, dense_ff_embd=True,
+                   ffn_norm_exps=True, ew_norm=True),
+    # chameleon: per-head LAYERNORM q/k norms with bias
+    "chameleon": dict(qk_norm_per_head_ln=True),
+    # apertus: global per-layer xIELU activation parameter arrays
+    "apertus": dict(xielu=True),
+    # bailingmoe2: fused wqkv, dense lead, sigmoid router with probs bias,
+    # shared expert (src/models/bailingmoe2.cpp)
+    "bailingmoe2": dict(fused_qkv=True, moe=True, moe_probs_b=True,
+                        moe_shexp=True, dense_lead=1, gating=2, ff_exp=True,
+                        ew_norm=True),
+    # grovemoe: adjugate chunk-expert banks + group keys
+    "grovemoe": dict(moe=True, ff_exp=True, moe_chexps=2, ew_norm=True),
+    # afmoe: attention gate projection, dual norms (afmoe tensor names),
+    # iSWA 3:1, sigmoid MoE with REQUIRED probs bias + shared expert
+    "afmoe": dict(moe=True, moe_probs_b=True, moe_shexp=True, dense_lead=1,
+                  gating=2, ff_exp=True, attn_gate=True, swa=(32, 4),
+                  post_attn_name="attn_post_norm",
+                  post_ffn_name="ffn_post_norm"),
+    # rnd1: qwen3moe tensor set in diffusion mode
+    "rnd1": dict(moe=True, ff_exp=True),
 }
 
 
@@ -1032,6 +1067,16 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
         w.add_string("tokenizer.chat_template",
                      "{% for m in messages %}{{ m['content'] }}"
                      "{% endfor %}")
+    if hints.get("xielu"):  # apertus per-layer activation parameters
+        w.add_array("xielu.alpha_n", (0.8 + 0.02 * np.arange(n_layer)).astype(np.float32))
+        w.add_array("xielu.alpha_p", (0.8 - 0.01 * np.arange(n_layer)).astype(np.float32))
+        w.add_array("xielu.beta", np.full(n_layer, 0.5, np.float32))
+        w.add_array("xielu.eps", np.full(n_layer, -1e-6, np.float32))
+    if hints.get("moe_chexps"):
+        w.add_uint32(f"{arch}.experts_per_group", hints["moe_chexps"])
+        w.add_float32(f"{arch}.expert_group_scale", 0.05)
+        w.add_uint32(f"{arch}.expert_chunk_feed_forward_length",
+                     2 * n_ff if hints.get("double_ff") else n_ff)
     add_spm_toy_vocab(w, vocab_size)
 
     norm_type = flags.get("norm_type", "rmsnorm")
@@ -1090,7 +1135,19 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
         if hints.get("dense_bias") or hints.get("wo_bias"):
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
-        if flags.get("attn_qk_norm"):
+        if hints.get("attn_gate"):  # afmoe: attn output gate projection
+            addq(p + "attn_gate.weight", rand(n_head * head_dim, n_embd))
+        if hints.get("qk_norm_per_head_ln"):
+            # chameleon: (head_dim, n_head) LAYERNORM weights + biases
+            w.add_tensor(p + "attn_q_norm.weight",
+                         np.ones((n_head, head_dim), np.float32)
+                         + rand(n_head, head_dim))
+            w.add_tensor(p + "attn_q_norm.bias", rand(n_head, head_dim))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones((n_head_kv, head_dim), np.float32)
+                         + rand(n_head_kv, head_dim))
+            w.add_tensor(p + "attn_k_norm.bias", rand(n_head_kv, head_dim))
+        elif flags.get("attn_qk_norm"):
             w.add_tensor(p + "attn_q_norm.weight",
                          np.ones(head_dim, np.float32) + rand(head_dim))
             w.add_tensor(p + "attn_k_norm.weight",
@@ -1107,8 +1164,10 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 w.add_tensor(p + "attn_k_norm.bias",
                              rand(n_head_kv * head_dim))
         if flags.get("post_norms"):
-            norm_pair(p + "post_attention_norm", n_embd)
-            norm_pair(p + "post_ffw_norm", n_embd)
+            norm_pair(p + hints.get("post_attn_name", "post_attention_norm"),
+                      n_embd)
+            norm_pair(p + hints.get("post_ffn_name", "post_ffw_norm"),
+                      n_embd)
         if arch == "gpt-oss":
             w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
         if moe and i >= dense_lead:
@@ -1125,6 +1184,22 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 addq(p + "ffn_gate_shexp.weight", rand(n_ff, n_embd))
                 addq(p + "ffn_up_shexp.weight", rand(n_ff, n_embd))
                 addq(p + "ffn_down_shexp.weight", rand(n_embd, n_ff))
+            if hints.get("moe_chexps"):
+                n_chunk = n_expert // hints["moe_chexps"]
+                _add_quant_tensor(w, p + "ffn_gate_chexps.weight",
+                                  rand(n_chunk, n_ff, n_embd), qtype)
+                _add_quant_tensor(w, p + "ffn_up_chexps.weight",
+                                  rand(n_chunk, n_ff, n_embd), qtype)
+                _add_quant_tensor(w, p + "ffn_down_chexps.weight",
+                                  rand(n_chunk, n_embd, n_ff), qtype)
+            if hints.get("moe_plus_dense"):
+                dff = n_embd if hints.get("dense_ff_embd") else n_ff
+                addq(p + "ffn_gate.weight", rand(dff, n_embd))
+                addq(p + "ffn_up.weight", rand(dff, n_embd))
+                addq(p + "ffn_down.weight", rand(n_embd, dff))
+                if hints.get("ffn_norm_exps"):
+                    w.add_tensor(p + "ffn_norm_exps.weight",
+                                 np.ones(n_embd, np.float32) + rand(n_embd))
         elif hints.get("combined_gateup"):  # chatglm: one [gate;up] tensor
             addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
             addq(p + "ffn_down.weight", rand(n_embd, n_ff))
