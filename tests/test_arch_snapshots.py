@@ -28,7 +28,10 @@ UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 # families with their own builders/tests (not the shared decoder graph)
 _SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
          "nemotron_h", "granitehybrid", "falcon-h1",
-         "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder"}
+         "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder",
+         # encoder family: snapshot-locked in test_encoder_family.py
+         "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
+         "modern-bert", "neo-bert", "eurobert", "gemma-embedding"}
 
 ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 

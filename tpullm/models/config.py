@@ -79,6 +79,16 @@ class ModelConfig:
     # afmoe: attention output gated by sigmoid(wqkv_gate @ attn_input)
     # BEFORE the output projection (src/models/afmoe.cpp:177-190)
     attn_gate_proj: bool = False
+    # bitnet (src/models/bitnet.cpp): RMS sub-norms applied to the
+    # attention output BEFORE wo and to the FFN hidden BEFORE down,
+    # plus optional per-tensor {1} output scales (wq_s, ffn_up_s, ...)
+    sub_norms: bool = False
+    # nomic-bert-moe: layer i is MoE iff i %% moe_every_n == 1
+    # (src/models/nomic-bert.cpp LLM_KV_MOE_EVERY_N_LAYERS)
+    moe_every_n: int = 0
+    # encoder symmetric SWA (modern-bert/gemma-embedding): local layers may
+    # rope at a different frequency base (LLM_KV_ROPE_FREQ_BASE_SWA)
+    rope_base_swa: float = 0.0
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
     clamp_kqv: float = 0.0
     # ALiBi position bias (mpt/bloom/jais/baichuan-13b families): slope_h *
@@ -299,6 +309,12 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         cfg.expert_group_scale = float(egs)
     cfg.n_ff_chexp = int(_k(g, "{arch}.expert_chunk_feed_forward_length", 0)
                          or 0)
+    cfg.moe_every_n = int(_k(g, "{arch}.moe_every_n_layers", 0) or 0)
+    lc = _k(g, "{arch}.shortconv.l_cache")
+    if lc:  # lfm2: conv mixer state sized like a d_conv=l_cache SSM conv
+        cfg.ssm_d_conv = int(lc)
+        cfg.ssm_d_inner = n_embd
+    cfg.rope_base_swa = float(_k(g, "{arch}.rope.freq_base_swa", 0.0) or 0.0)
     if arch == "qwen":  # qwen-v1 GGUF stores DOUBLE the ffn width
         cfg.n_ff //= 2
     from .registry import apply_arch_defaults

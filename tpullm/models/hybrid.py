@@ -33,7 +33,8 @@ from .config import ModelConfig
 from .gdn import gdn_layer
 from .llama import attention, ffn, moe_ffn, rms_norm
 from .mamba import (RecurrentState, _layer as mamba_layer,
-                    _layer2 as mamba2_layer, conv_channels)
+                    _layer2 as mamba2_layer, conv_channels,
+                    shortconv_layer)
 
 
 def is_hybrid(cfg: ModelConfig) -> bool:
@@ -209,14 +210,16 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         L_g = next(iter(gl.values())).shape[0]
         is_gdn = "ssm_ba" in gl  # gated delta net (qwen3next)
-        recurrent = "ssm_in" in qw or is_gdn
+        is_shortconv = "shortconv_in" in qw  # lfm2 conv mixer
+        recurrent = "ssm_in" in qw or is_gdn or is_shortconv
         # gdn layers reuse the attn_qkv projection name for their packed
         # [q|k|v]; they are NOT attention layers
         has_attn = ("wq" in qw or "wqkv" in qw
                     or "wqkv_cat" in qw) and not is_gdn
         has_ffn = ("ffn_up" in qw or "moe_gate_inp" in qw
                    or "ffn_up_exps" in qw)
-        rec_fn = (gdn_layer if is_gdn
+        rec_fn = (shortconv_layer if is_shortconv
+                  else gdn_layer if is_gdn
                   else mamba2_layer if recurrent and "ssm_norm" in gl
                   else mamba_layer)
         # qwen3next norms the FFN input with attn_post_norm (the residual

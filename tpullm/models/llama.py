@@ -589,6 +589,10 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
             u = _mm(x, qw["ffn_up"], dtype, li)
         g = _lora_add(g, x, p, "ffn_gate", dtype)
         u = _lora_add(u, x, p, "ffn_up", dtype)
+        if "ffn_gate_s" in p:  # bitnet per-tensor output scales
+            g = g * p["ffn_gate_s"].astype(dtype)
+        if "ffn_up_s" in p:
+            u = u * p["ffn_up_s"].astype(dtype)
         if "ffn_gate_b" in p:
             g = g + p["ffn_gate_b"].astype(dtype)
         if "ffn_up_b" in p:
@@ -625,7 +629,12 @@ def ffn(x, qw, li, cfg: ModelConfig, dtype, p=None, want_mid=False):
             h = jnp.where(uf > 0, pos, neg).astype(dtype)
         else:
             h = (jax.nn.relu(uf) ** 2).astype(dtype)
+    if cfg.sub_norms and "ffn_sub_norm" in p:
+        # bitnet: RMS over the gated hidden BEFORE the down projection
+        h = rms_norm(h, p["ffn_sub_norm"], cfg.rms_eps)
     out = _lora_add(_mm(h, qw["ffn_down"], dtype, li), h, p, "ffn_down", dtype)
+    if "ffn_down_s" in p:
+        out = out * p["ffn_down_s"].astype(dtype)
     if "ffn_down_b" in p:
         out = out + p["ffn_down_b"].astype(dtype)
     return (out, h) if want_mid else out
@@ -987,6 +996,10 @@ def forward(
         q = _lora_add(q, h, p, "wq", dtype)
         k = _lora_add(k, h, p, "wk", dtype)
         v = _lora_add(v, h, p, "wv", dtype)
+        if "wq_s" in p:  # bitnet per-tensor output scales
+            q = q * p["wq_s"].astype(dtype)
+            k = k * p["wk_s"].astype(dtype)
+            v = v * p["wv_s"].astype(dtype)
         if cfg.attn_bias and "bq" in p:
             q = q + p["bq"].astype(dtype)
             k = k + p["bk"].astype(dtype)
@@ -1008,8 +1021,14 @@ def forward(
                 x = x + p["cvec"].astype(dtype)
             return (x, kv), None
         att_in = att
+        if cfg.sub_norms and "attn_sub_norm" in p:
+            # bitnet: RMS over the attention output BEFORE the projection
+            att = rms_norm(att, p["attn_sub_norm"], cfg.rms_eps)
+            att_in = att
         att = _mm(att, qw["wo"], dtype, li)
         att = _lora_add(att, att_in, p, "wo", dtype)
+        if "wo_s" in p:
+            att = att * p["wo_s"].astype(dtype)
         if "bo" in p:
             att = att + p["bo"].astype(dtype)
         if tp_axis:  # Megatron row-parallel wo: partial sums -> all-reduce

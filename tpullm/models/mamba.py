@@ -118,6 +118,30 @@ def _ssm_scan(s0, x_dt, dA, B_t, C_t):
     return y, states[:, -1]
 
 
+def shortconv_layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state,
+                    dtype, pad_mask=None, n_valid=None):
+    """LFM2 short-convolution mixer (src/models/lfm2.cpp
+    build_shortconv_block): in_proj emits [b | c | x]; the gated product
+    b*x runs through a depthwise causal conv of width l_cache (carried
+    tail = l_cache-1 inputs), the output is gated by c and projected back.
+    Returns (out, new_tail, ssm_state) — the ssm bank passes through
+    untouched (no state-space part)."""
+    B, T, D = x.shape
+    h = rms_norm(x, p["attn_norm"][li], cfg.rms_eps)
+    bcx = _mm(h, p["shortconv_in"], dtype, layer=li)  # (B,T,3*D)
+    b, c, xs = bcx[..., :D], bcx[..., D:2 * D], bcx[..., 2 * D:3 * D]
+    bx = (b.astype(jnp.float32) * xs.astype(jnp.float32)).astype(dtype)
+    if pad_mask is not None:
+        # padded positions contribute nothing to the conv window
+        bx = jnp.where(pad_mask[..., None], 0.0, bx)
+    w = p["shortconv_conv"][li]  # (D, l_cache)
+    y, new_tail = _causal_conv(bx, conv_tail, w, jnp.zeros((D,), jnp.float32),
+                               n_valid)
+    y = (c.astype(jnp.float32) * y.astype(jnp.float32)).astype(dtype)
+    out = _mm(y, p["shortconv_out"], dtype, layer=li)
+    return out, new_tail, ssm_state
+
+
 def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
            pad_mask=None, n_valid=None):
     """One Mamba block on (B,T,D); returns (out, new_tail, new_ssm).

@@ -100,9 +100,41 @@ ARCH_REGISTRY: dict[str, dict] = {
     # encoder-decoder family — src/models/t5.cpp (rel-pos buckets, no rope)
     "t5": dict(),
     "t5encoder": dict(causal=False),
-    # encoder (bidirectional) family — src/models/bert.cpp
+    # encoder (bidirectional) family — src/models/bert.cpp shares one
+    # post-LN graph across bert/nomic/jina; modern/neo/euro/gemma-embedding
+    # have pre-norm graphs (models/bert.py covers all of them)
     "bert": dict(norm_type="layernorm", act_fn="gelu", ffn_gate=False,
                  attn_bias=True, causal=False),
+    # nomic-bert (src/models/nomic-bert.cpp): rope (neox) + gated-SILU MLP
+    "nomic-bert": dict(rope_type="neox", norm_type="layernorm",
+                       causal=False),
+    # nomic-bert-moe: GELU MoE every 2nd layer, bert-style dense layers
+    "nomic-bert-moe": dict(rope_type="neox", norm_type="layernorm",
+                           act_fn="gelu", ffn_gate=False, causal=False),
+    # jina-bert-v2 (src/models/jina-bert-v2.cpp): bidirectional ALiBi,
+    # optional flat LN qk-norm, gated-GELU MLP, no positions
+    "jina-bert-v2": dict(norm_type="layernorm", act_fn="gelu",
+                         attn_bias=True, alibi_max_bias=8.0,
+                         attn_qk_norm_flat=True, causal=False),
+    # jina-bert-v3: the bert graph + neox rope, no learned positions
+    "jina-bert-v3": dict(rope_type="neox", norm_type="layernorm",
+                         act_fn="gelu", ffn_gate=False, causal=False),
+    # modern-bert (src/models/modern-bert.cpp): pre-LN, fused wqkv, GEGLU
+    # (fused [gate;up]), symmetric local attention 2-of-3 layers
+    "modern-bert": dict(rope_type="neox", norm_type="layernorm",
+                        act_fn="gelu", swa_pattern=3, swa_dense_first=True,
+                        causal=False),
+    # neo-bert (src/models/neo-bert.cpp): pre-LN RMS, fused-SWIGLU MLP
+    "neo-bert": dict(rope_type="norm", causal=False),
+    # eurobert (src/models/eurobert.cpp): pre-LN RMS llama-shaped encoder
+    "eurobert": dict(rope_type="neox", causal=False),
+    # gemma-embedding (src/models/gemma-embedding.cpp): gemma3 block in
+    # bidirectional embedding mode (scaled embeddings, qk RMS, post norms,
+    # symmetric SWA with its own rope base)
+    "gemma-embedding": dict(rope_type="neox", act_fn="gelu",
+                            attn_qk_norm=True, post_norms=True,
+                            embedding_scale=-1.0, swa_pattern=6,
+                            causal=False),
     "command-r": dict(rope_type="norm", norm_type="layernorm", parallel_residual=True),
     # ---- legacy GPT family (layernorm + biases, learned/ALiBi positions,
     # src/models/{gpt2,starcoder,bloom,mpt,jais,codeshell}.cpp) ----
@@ -184,6 +216,25 @@ ARCH_REGISTRY: dict[str, dict] = {
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),
+    # qwen3vl/qwen3vlmoe (src/models/qwen3vl.cpp): the qwen3 graph with
+    # interleaved M-RoPE (ggml_rope_multi IMROPE). For TEXT tokens every
+    # position channel is equal, under which each interleaved section
+    # rotates by the same angle as plain neox rope — image-grid positions
+    # route through the mtmd path. Deepstack visual layers only act on
+    # image embeddings (n_deepstack_layers extra channels).
+    "qwen3vl": dict(rope_type="neox", attn_qk_norm=True),
+    "qwen3vlmoe": dict(rope_type="neox", attn_qk_norm=True,
+                       expert_weights_norm=True),
+    # lfm2 / lfm2moe (src/models/lfm2.cpp): hybrid of short-convolution
+    # mixers (recurrent layers) and qk-normed roped attention; per-layer
+    # head_count_kv zeros mark the conv layers. lfm2moe adds sigmoid MoE
+    # with probs bias past the dense lead.
+    "lfm2": dict(rope_type="neox", attn_qk_norm=True, hybrid_rope=True),
+    "lfm2moe": dict(rope_type="neox", attn_qk_norm=True, hybrid_rope=True,
+                    expert_gating="sigmoid"),
+    # bitnet b1.58 (src/models/bitnet.cpp): RMS sub-norms inside the
+    # attention/FFN blocks, per-tensor output scales, tied lm_head
+    "bitnet": dict(rope_type="neox", sub_norms=True),
     # grok-1 (src/models/grok.cpp): attention logits softcapped at 30 with
     # the scale applied INSIDE the tanh (build_attn LLM_ARCH_GROK branch,
     # llama-graph.cpp:2009-2020), post-attn/ffn norms, scaled embeddings +

@@ -47,6 +47,16 @@ LAYER_TENSORS = {
     "attn_v_b.weight": "wv_b",
     "attn_kv_b.weight": "wkv_b",  # legacy unsplit; split at load
     "attn_sinks.weight": "attn_sinks",  # per-head sink logits (gpt-oss)
+    # bitnet sub-norms + per-tensor output scales (src/models/bitnet.cpp)
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
+    "attn_q.scale": "wq_s",
+    "attn_k.scale": "wk_s",
+    "attn_v.scale": "wv_s",
+    "attn_output.scale": "wo_s",
+    "ffn_gate.scale": "ffn_gate_s",
+    "ffn_up.scale": "ffn_up_s",
+    "ffn_down.scale": "ffn_down_s",
     "ffn_norm.weight": "ffn_norm",
     # falcon-h1 stores the ffn norm with NO .weight suffix
     # (src/models/falcon-h1.cpp: tn(LLM_TENSOR_FFN_NORM, i))
@@ -90,6 +100,10 @@ LAYER_TENSORS = {
     "ssm_d": "ssm_d",
     "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
+    # LFM2 short-convolution mixer (src/models/lfm2.cpp)
+    "shortconv.conv.weight": "shortconv_conv",
+    "shortconv.in_proj.weight": "shortconv_in",
+    "shortconv.out_proj.weight": "shortconv_out",
     # gated delta net (qwen3next, src/models/qwen3next.cpp): packed
     # [q|k|v] projection reuses attn_qkv; attn_gate is the z gate
     "attn_gate.weight": "wqkv_gate",
@@ -163,12 +177,15 @@ GLOBAL_TENSORS = {
     "cls.bias": "cls_b",
     "cls.output.weight": "cls_out_w",
     "cls.output.bias": "cls_out_b",
+    "cls.norm.weight": "cls_norm",  # modern-bert head norm
+    "enc.output_norm.weight": "output_norm_enc",  # neo-bert / t5 encoder
 }
 
 # global tensors kept as plain f32 arrays (small, or added elementwise)
 _FLOAT_GLOBALS = {
     "output_norm", "output_norm_b", "rope_freqs", "pos_embd", "type_embd",
     "tok_norm", "tok_norm_b", "cls_w", "cls_b", "cls_out_w", "cls_out_b",
+    "cls_norm", "output_norm_enc",
 }
 
 _FLOAT_TYPES = {GGMLType.F32, GGMLType.F16, GGMLType.BF16}
@@ -242,6 +259,7 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
         return cfg, load_t5(g, cfg, device_put=device_put), g
     if not cfg.causal:
         fuse = False  # encoder graph reads unfused q/k/v (+ biases)
+    lfm2_fix = cfg.arch.startswith("lfm2")
     params: dict[str, Any] = {}
 
     for tname, key in GLOBAL_TENSORS.items():
@@ -272,6 +290,7 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
             if ti.ggml_type in _FLOAT_TYPES and (
                 "norm" in key or key.startswith("b") or key.endswith("_b")
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
+                           "shortconv_conv",
                            "attn_sinks", "moe_gate_inp_shexp")
                 or key.startswith("tm_") and key not in ("tm_k", "tm_v",
                                                          "tm_r", "tm_out",
@@ -344,6 +363,10 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
     groups = [build_group(lo, hi) for lo, hi in zip(bounds[:-1], bounds[1:])]
     params["layers"] = groups[0] if len(groups) == 1 else {"__groups__": groups}
 
+    if lfm2_fix and "tok_norm" in params:
+        # lfm2 ships its FINAL norm under the historical name
+        # token_embd_norm (LLM_TENSOR_OUTPUT_NORM_LFM2, llama-arch.cpp:347)
+        params["output_norm"] = params.pop("tok_norm")
     if device_put:
         for key in ("tok_embd", "output"):
             qt = params[key]

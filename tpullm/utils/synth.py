@@ -415,6 +415,246 @@ def build_bert_gguf(
     return path
 
 
+def build_lfm2_gguf(
+    path: str,
+    arch: str = "lfm2",
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    pattern: str = "ccac",  # c = shortconv mixer, a = attention
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    l_cache: int = 3,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic LFM2(-MoE) checkpoint: per-layer kinds 'c' (short-conv
+    mixer) / 'a' (qk-normed roped attention), FFN on every layer; the
+    final norm ships under the historical token_embd_norm name
+    (src/models/lfm2.cpp load_arch_tensors, llama-arch.cpp:347)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    n_layer = len(pattern)
+    moe = arch == "lfm2moe"
+    dense_lead = 1 if moe else n_layer
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray([n_head_kv if k == "a" else 0 for k in pattern],
+                           np.uint32))
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.shortconv.l_cache", l_cache)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    if moe:
+        w.add_uint32(f"{arch}.expert_count", 4)
+        w.add_uint32(f"{arch}.expert_used_count", 2)
+        w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_uint32(f"{arch}.leading_dense_block_count", dense_lead)
+        w.add_uint32(f"{arch}.expert_gating_func", 2)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    w.add_tensor("token_embd_norm.weight",
+                 np.ones(n_embd, np.float32) + rand(n_embd))
+    for i, kind in enumerate(pattern):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight",
+                     np.ones(n_embd, np.float32) + rand(n_embd))
+        w.add_tensor(p + "ffn_norm.weight",
+                     np.ones(n_embd, np.float32) + rand(n_embd))
+        if kind == "a":
+            w.add_tensor(p + "attn_q_norm.weight",
+                         np.ones(head_dim, np.float32) + rand(head_dim))
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones(head_dim, np.float32) + rand(head_dim))
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        else:
+            w.add_tensor(p + "shortconv.conv.weight", rand(n_embd, l_cache))
+            addq(p + "shortconv.in_proj.weight", rand(3 * n_embd, n_embd))
+            addq(p + "shortconv.out_proj.weight", rand(n_embd, n_embd))
+        if moe and i >= dense_lead:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(4, n_embd))
+            w.add_tensor(p + "exp_probs_b.bias", rand(4))
+            _add_quant_tensor(w, p + "ffn_gate_exps.weight",
+                              rand(4, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_up_exps.weight",
+                              rand(4, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_down_exps.weight",
+                              rand(4, n_embd, n_ff), qtype)
+        else:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
+
+
+def build_encoder_gguf(
+    path: str,
+    arch: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 3,
+    n_head: int = 4,
+    n_head_kv: int = 4,
+    n_ff: int = 96,
+    n_ctx: int = 64,
+    pooling: int = 1,  # mean
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic encoder checkpoint for the bert FAMILY variants — each
+    arch gets exactly the tensor set its reference load_arch_tensors
+    declares (src/models/{nomic-bert,jina-bert-v2,jina-bert-v3,modern-bert,
+    neo-bert,eurobert,gemma-embedding}.cpp)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    postln = arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+                      "jina-bert-v3")
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", n_ctx)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_uint32(f"{arch}.pooling_type", pooling)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    if arch == "nomic-bert-moe":
+        w.add_uint32(f"{arch}.moe_every_n_layers", 2)
+        w.add_uint32(f"{arch}.expert_count", 4)
+        w.add_uint32(f"{arch}.expert_used_count", 2)
+    if arch in ("modern-bert", "gemma-embedding"):
+        w.add_uint32(f"{arch}.attention.sliding_window", 16)
+        w.add_uint32(f"{arch}.attention.sliding_window_pattern",
+                     3 if arch == "modern-bert" else 2)
+        w.add_float32(f"{arch}.rope.freq_base_swa", 5000.0)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        _add_quant_tensor(w, name, arr, qtype)
+
+    def add_norm(name, n, bias=postln):
+        w.add_tensor(name + ".weight", np.ones(n, np.float32) + rand(n))
+        if bias:
+            w.add_tensor(name + ".bias", rand(n))
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    if postln:
+        if arch != "jina-bert-v3":
+            w.add_tensor("token_types.weight", rand(2, n_embd))
+        add_norm("token_embd_norm", n_embd)
+    elif arch == "modern-bert":
+        add_norm("token_embd_norm", n_embd, bias=False)
+    if not postln:
+        name = ("enc.output_norm" if arch == "neo-bert" else "output_norm")
+        add_norm(name, n_embd, bias=False)
+    nkv = n_head_kv * head_dim
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        if arch == "modern-bert":
+            if i != 0:
+                add_norm(p + "attn_norm", n_embd, bias=False)
+            addq(p + "attn_qkv.weight", rand(n_embd + 2 * nkv, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_embd))
+            add_norm(p + "ffn_norm", n_embd, bias=False)
+            addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+            continue
+        if not postln:  # neo-bert / eurobert / gemma-embedding
+            add_norm(p + "attn_norm", n_embd, bias=False)
+            addq(p + "attn_q.weight", rand(n_embd, n_embd))
+            addq(p + "attn_k.weight", rand(nkv, n_embd))
+            addq(p + "attn_v.weight", rand(nkv, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_embd))
+            if arch == "gemma-embedding":
+                add_norm(p + "attn_q_norm", head_dim, bias=False)
+                add_norm(p + "attn_k_norm", head_dim, bias=False)
+                add_norm(p + "post_attention_norm", n_embd, bias=False)
+                add_norm(p + "post_ffw_norm", n_embd, bias=False)
+            add_norm(p + "ffn_norm", n_embd, bias=False)
+            if arch == "neo-bert":
+                addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+            else:
+                addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+                addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+            continue
+        # post-LN family (nomic / jina)
+        addq(p + "attn_q.weight", rand(n_embd, n_embd))
+        addq(p + "attn_k.weight", rand(nkv, n_embd))
+        addq(p + "attn_v.weight", rand(nkv, n_embd))
+        if arch == "jina-bert-v2":
+            w.add_tensor(p + "attn_q.bias", rand(n_embd))
+            w.add_tensor(p + "attn_k.bias", rand(nkv))
+            w.add_tensor(p + "attn_v.bias", rand(nkv))
+            add_norm(p + "attn_q_norm", n_embd)
+            add_norm(p + "attn_k_norm", nkv)
+        addq(p + "attn_output.weight", rand(n_embd, n_embd))
+        if arch in ("jina-bert-v2", "jina-bert-v3"):
+            w.add_tensor(p + "attn_output.bias", rand(n_embd))
+        add_norm(p + "attn_output_norm", n_embd)
+        if arch == "nomic-bert-moe" and i % 2 == 1:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(4, n_embd))
+            _add_quant_tensor(w, p + "ffn_up_exps.weight",
+                              rand(4, n_ff, n_embd), qtype)
+            _add_quant_tensor(w, p + "ffn_down_exps.weight",
+                              rand(4, n_embd, n_ff), qtype)
+        elif arch == "jina-bert-v2":
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+            w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+        elif arch in ("jina-bert-v3", "nomic-bert-moe"):
+            # bert-style ungated GELU with biases
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            w.add_tensor(p + "ffn_up.bias", rand(n_ff))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+            w.add_tensor(p + "ffn_down.bias", rand(n_embd))
+        else:  # nomic-bert: gated SILU, no biases
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        add_norm(p + "layer_output_norm", n_embd)
+    w.write()
+    return path
+
+
 def build_mamba_gguf(
     path: str,
     *,
@@ -988,6 +1228,10 @@ SYNTH_HINTS: dict[str, dict] = {
                   post_ffn_name="ffn_post_norm"),
     # rnd1: qwen3moe tensor set in diffusion mode
     "rnd1": dict(moe=True, ff_exp=True),
+    # qwen3vlmoe: qwen3moe tensor set (text side)
+    "qwen3vlmoe": dict(moe=True, ff_exp=True, ew_norm=True),
+    # bitnet: sub-norms + per-tensor scales, lm_head tied to tok_embd
+    "bitnet": dict(sub_norms=True, no_output=True, tensor_scales=True),
 }
 
 
@@ -1098,7 +1342,8 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
             w.add_tensor(name + ".bias", rand(n))
 
     addq("token_embd.weight", rand(vocab_size, n_embd))
-    addq("output.weight", rand(vocab_size, n_embd))
+    if not hints.get("no_output"):
+        addq("output.weight", rand(vocab_size, n_embd))
     norm_pair("output_norm", n_embd)
     if hints.get("pos_embd"):
         w.add_tensor("position_embd.weight", rand(512, n_embd))
@@ -1135,6 +1380,16 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 w.add_tensor(p + "attn_v.bias", rand(n_head_kv * head_dim))
         if hints.get("dense_bias") or hints.get("wo_bias"):
             w.add_tensor(p + "attn_output.bias", rand(n_embd))
+        if hints.get("sub_norms"):
+            w.add_tensor(p + "attn_sub_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            w.add_tensor(p + "ffn_sub_norm.weight",
+                         np.ones(n_ff, np.float32) + rand(n_ff))
+        if hints.get("tensor_scales"):
+            for t in ("attn_q", "attn_k", "attn_v", "attn_output",
+                      "ffn_gate", "ffn_up", "ffn_down"):
+                w.add_tensor(p + t + ".scale",
+                             np.full(1, 0.9 + 0.05 * i, np.float32))
         if hints.get("attn_gate"):  # afmoe: attn output gate projection
             addq(p + "attn_gate.weight", rand(n_head * head_dim, n_embd))
         if hints.get("qk_norm_per_head_ln"):
