@@ -31,7 +31,9 @@ _SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
          "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder",
          # encoder family: snapshot-locked in test_encoder_family.py
          "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
-         "modern-bert", "neo-bert", "eurobert", "gemma-embedding"}
+         "modern-bert", "neo-bert", "eurobert", "gemma-embedding",
+         # TTS vocoder: tested in test_tts.py
+         "wavtokenizer-dec"}
 
 ARCHS = sorted(a for a in ARCH_REGISTRY if a not in _SKIP)
 

@@ -232,6 +232,10 @@ ARCH_REGISTRY: dict[str, dict] = {
     "lfm2": dict(rope_type="neox", attn_qk_norm=True, hybrid_rope=True),
     "lfm2moe": dict(rope_type="neox", attn_qk_norm=True, hybrid_rope=True,
                     expert_gating="sigmoid"),
+    # wavtokenizer-dec (src/models/wavtokenizer-dec.cpp): the TTS vocoder —
+    # codes -> conv/PosNet/ConvNeXt -> ISTFT head (models/wavtokenizer.py)
+    "wavtokenizer-dec": dict(norm_type="layernorm", causal=False,
+                             use_rope=False),
     # bitnet b1.58 (src/models/bitnet.cpp): RMS sub-norms inside the
     # attention/FFN blocks, per-tensor output scales, tied lm_head
     "bitnet": dict(rope_type="neox", sub_norms=True),

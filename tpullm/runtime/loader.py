@@ -257,6 +257,10 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
         from ..models.t5 import load_t5
 
         return cfg, load_t5(g, cfg, device_put=device_put), g
+    if cfg.arch == "wavtokenizer-dec":
+        from ..models.wavtokenizer import load_wavtokenizer
+
+        return cfg, load_wavtokenizer(g, cfg, device_put=device_put), g
     if not cfg.causal:
         fuse = False  # encoder graph reads unfused q/k/v (+ biases)
     lfm2_fix = cfg.arch.startswith("lfm2")

@@ -415,6 +415,93 @@ def build_bert_gguf(
     return path
 
 
+def build_wavtokenizer_gguf(
+    path: str,
+    *,
+    vocab_size: int = 64,   # audio codebook size
+    n_feat: int = 32,       # code embedding width (features_length)
+    n_pos: int = 32,        # posnet width
+    n_cnx: int = 32,        # convnext width
+    n_ff: int = 48,
+    n_out: int = 18,        # n_fft/2+1 bins x2 (n_fft=16 for the test)
+    n_convnext: int = 2,
+    groups: int = 4,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic wavtokenizer-dec checkpoint: the exact tensor set of
+    src/models/wavtokenizer-dec.cpp load_arch_tensors (posnet layers
+    0,1=resnet 2=attention 3,4=resnet 5=groupnorm + a ConvNeXt stack)."""
+    arch = "wavtokenizer-dec"
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-wavtok")
+    w.add_uint32(f"{arch}.context_length", 8192)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    w.add_uint32(f"{arch}.features_length", n_feat)
+    w.add_uint32(f"{arch}.embedding_length", n_out)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.block_count", 6)
+    w.add_uint32(f"{arch}.attention.head_count", 1)
+    w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-6)
+    w.add_float32(f"{arch}.attention.group_norm_epsilon", 1e-6)
+    w.add_uint32(f"{arch}.attention.group_norm_groups", groups)
+    w.add_uint32(f"{arch}.posnet.embedding_length", n_pos)
+    w.add_uint32(f"{arch}.posnet.block_count", 6)
+    w.add_uint32(f"{arch}.convnext.embedding_length", n_cnx)
+    w.add_uint32(f"{arch}.convnext.block_count", n_convnext)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def ones_r(*shape):
+        return (np.ones(shape) + rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand(vocab_size, n_feat))
+    w.add_tensor("conv1d.weight", rand(n_pos, n_feat, 7))
+    w.add_tensor("conv1d.bias", rand(1, n_pos))
+    for i in range(6):
+        p = f"posnet.{i}."
+        if i in (0, 1, 3, 4):
+            w.add_tensor(p + "norm1.weight", ones_r(1, n_pos))
+            w.add_tensor(p + "norm1.bias", rand(1, n_pos))
+            w.add_tensor(p + "conv1.weight", rand(n_pos, n_pos, 3))
+            w.add_tensor(p + "conv1.bias", rand(1, n_pos))
+            w.add_tensor(p + "norm2.weight", ones_r(1, n_pos))
+            w.add_tensor(p + "norm2.bias", rand(1, n_pos))
+            w.add_tensor(p + "conv2.weight", rand(n_pos, n_pos, 3))
+            w.add_tensor(p + "conv2.bias", rand(1, n_pos))
+        elif i == 2:
+            w.add_tensor(p + "attn_norm.weight", ones_r(1, n_pos))
+            w.add_tensor(p + "attn_norm.bias", rand(1, n_pos))
+            for t in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(p + t + ".weight", rand(n_pos, n_pos, 1))
+                w.add_tensor(p + t + ".bias", rand(1, n_pos))
+        else:  # final groupnorm reuses the attn_norm slot
+            w.add_tensor(p + "attn_norm.weight", ones_r(1, n_pos))
+            w.add_tensor(p + "attn_norm.bias", rand(1, n_pos))
+    w.add_tensor("token_embd_norm.weight", ones_r(n_pos))
+    w.add_tensor("token_embd_norm.bias", rand(n_pos))
+    for i in range(n_convnext):
+        p = f"convnext.{i}."
+        w.add_tensor(p + "dw.weight", rand(n_cnx, 1, 7))
+        w.add_tensor(p + "dw.bias", rand(1, n_cnx))
+        w.add_tensor(p + "norm.weight", ones_r(n_cnx))
+        w.add_tensor(p + "norm.bias", rand(n_cnx))
+        w.add_tensor(p + "pw1.weight", rand(n_ff, n_cnx))
+        w.add_tensor(p + "pw1.bias", rand(n_ff))
+        w.add_tensor(p + "pw2.weight", rand(n_cnx, n_ff))
+        w.add_tensor(p + "pw2.bias", rand(n_cnx))
+        w.add_tensor(p + "gamma.weight", ones_r(n_cnx))
+    w.add_tensor("output_norm.weight", ones_r(n_cnx))
+    w.add_tensor("output_norm.bias", rand(n_cnx))
+    w.add_tensor("output.weight", rand(n_out, n_cnx))
+    w.add_tensor("output.bias", rand(n_out))
+    w.write()
+    return path
+
+
 def build_lfm2_gguf(
     path: str,
     arch: str = "lfm2",
