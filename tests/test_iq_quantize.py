@@ -19,6 +19,8 @@ TYPES = [
     (GGMLType.IQ2_S, iqq.q_iq2_s),
     (GGMLType.IQ3_XXS, iqq.q_iq3_xxs),
     (GGMLType.IQ3_S, iqq.q_iq3_s),
+    (GGMLType.IQ1_S, iqq.q_iq1_s),
+    (GGMLType.IQ1_M, iqq.q_iq1_m),
 ]
 
 # expected worst-case relative RMSE on N(0,1) data (these are 2-3 bpw codes;
@@ -26,6 +28,7 @@ TYPES = [
 MAX_RMSE = {
     GGMLType.IQ2_XXS: 0.42, GGMLType.IQ2_XS: 0.38, GGMLType.IQ2_S: 0.33,
     GGMLType.IQ3_XXS: 0.24, GGMLType.IQ3_S: 0.18,
+    GGMLType.IQ1_S: 0.62, GGMLType.IQ1_M: 0.58,
 }
 
 
@@ -102,3 +105,56 @@ def test_zero_blocks_encode_to_zero():
         blocks = fn(x, qw=None)
         y = dequantize(blocks.reshape(1, -1), qtype)
         assert np.all(y == 0), qtype
+
+
+# ---------------------------------------------------------------------------
+# round-4 encoders: IQ1_S / IQ1_M (split-search + grid snap), TQ1_0, NVFP4
+
+
+def _roundtrip(qtype, n=256, rows=16, scale=0.1, imatrix=True, seed=3):
+    from tpullm.quant.numpy_impl import dequantize, quantize
+    from tpullm.gguf.constants import GGML_QUANT_SIZES
+
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((rows, n)) * scale).astype(np.float32)
+    im = (rng.random(n).astype(np.float32) + 0.1) if imatrix else None
+    blob = quantize(x, qtype, imatrix=im)
+    blk, bs = GGML_QUANT_SIZES[qtype]
+    y = np.asarray(dequantize(blob.reshape(rows, -1, bs), qtype)).reshape(
+        x.shape)
+    return x, blob, y
+
+
+@pytest.mark.parametrize("qtype,max_rel", [
+    (GGMLType.IQ1_S, 0.62), (GGMLType.IQ1_M, 0.58),
+    (GGMLType.TQ1_0, 0.85), (GGMLType.NVFP4, 0.12),
+])
+def test_new_encoder_roundtrip(qtype, max_rel):
+    n = 64 if qtype == GGMLType.NVFP4 else 256
+    x, blob, y = _roundtrip(qtype, n=n)
+    assert np.isfinite(y).all()
+    rel = float(np.sqrt(((y - x) ** 2).mean() / (x ** 2).mean()))
+    assert rel < max_rel, rel
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.IQ1_S, GGMLType.IQ1_M,
+                                   GGMLType.TQ1_0, GGMLType.NVFP4])
+def test_new_encoder_ggufpy_decode(qtype):
+    """Byte-layout compatibility: gguf-py (the reference's own Python
+    decoders) must decode our packed bytes to exactly our dequant values."""
+    gguf = pytest.importorskip("gguf")
+    from tpullm.gguf.constants import GGML_QUANT_SIZES
+
+    n = 64 if qtype == GGMLType.NVFP4 else 256
+    x, blob, y = _roundtrip(qtype, n=n)
+    blk, bs = GGML_QUANT_SIZES[qtype]
+    theirs = gguf.quants.dequantize(blob.reshape(-1, bs),
+                                    qtype.value).reshape(x.shape)
+    np.testing.assert_allclose(theirs, y, rtol=1e-5, atol=1e-7)
+
+
+def test_iq1_no_imatrix_fallback():
+    """The reference REFUSES IQ1_S without an imatrix; we degrade to
+    uniform importance (documented deviation) — must stay decodable."""
+    x, blob, y = _roundtrip(GGMLType.IQ1_S, imatrix=False)
+    assert np.isfinite(y).all()

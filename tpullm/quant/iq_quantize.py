@@ -56,6 +56,14 @@ _PARAMS = {
     GGMLType.IQ3_S: dict(gname="IQ3_S", per=4, kmax=8, gbits=3, nwant=3,
                          group=32, is_lo=-9, is_hi=9, is_step=0.2,
                          parity=False, sigma2x=2.0, eps=0.0, fudge=1.033),
+    # IQ1_S/M: 2048-point ternary grid, 3 neighbour shells, split-search
+    # quantizer (quantize_row_iq1_{s,m}_impl) instead of the sign search
+    GGMLType.IQ1_S: dict(gname="IQ1_S", per=8, kmax=3, gbits=2, nwant=3,
+                         group=32, parity=False, sigma2x=2.0,
+                         eps=1e-8, fudge=1.125),
+    GGMLType.IQ1_M: dict(gname="IQ1_M", per=8, kmax=3, gbits=2, nwant=3,
+                         group=16, parity=False, sigma2x=2.0,
+                         eps=1e-7, fudge=1.1125),
 }
 
 _TABLES: dict = {}
@@ -63,11 +71,12 @@ _TABLES: dict = {}
 
 def _levels_from_grid(g: np.ndarray) -> np.ndarray:
     """Dequant magnitudes -> search levels l (rank in the sorted value set:
-    iq2 {8,25,43}->{0,1,2}, iq3_xxs {4..62}->{0..7}, iq3_s 2l+1->l)."""
+    iq2 {8,25,43}->{0,1,2}, iq3_xxs {4..62}->{0..7}, iq3_s 2l+1->l,
+    iq1 {-1,0,1}->{0,1,2})."""
     vals = np.unique(g)
-    lut = np.zeros(int(vals.max()) + 1, np.int64)
-    lut[vals] = np.arange(len(vals))
-    return lut[g]
+    lut = np.zeros(int(vals.max()) - int(vals.min()) + 1, np.int64)
+    lut[vals - vals.min()] = np.arange(len(vals))
+    return lut[g - vals.min()]
 
 
 def _tables(qtype: GGMLType):
@@ -506,3 +515,277 @@ def q_iq3_s(x, qw=None):
 # Note on signs for the XXS/XS variants: the stored 7-bit sign index implies
 # bit 7 = parity of the low 7 (the KSIGNS table used at decode); the search
 # produces even-parity sign bytes whose low 7 bits ARE that index.
+
+
+# ---------------------------------------------------------------------------
+# IQ1_S / IQ1_M: ternary-grid quantizers (quantize_row_iq1_{s,m}_impl,
+# ggml/src/ggml-quants.c:4336-4660). Unlike the IQ2/IQ3 sign-search, the
+# IQ1 search solves the weighted SSD split problem exactly: per sub-block,
+# sort the values, sweep all (i1 <= i2) 3-way splits against the shifted
+# level sets x_p = {-1,0,1}+0.125 and x_m = {-1,0,1}-0.125, then snap each
+# 8-group onto the 2048-point grid via the neighbour shells.
+
+_IQ1_DELTA = 0.125
+
+
+def _iq1_levels(shift):
+    base = np.asarray([-1.0, 0.0, 1.0], np.float64)
+    return base + shift * _IQ1_DELTA
+
+
+def _iq1_split_search(xb, wb, variants):
+    """xb/wb (R, bs): exhaustive two-boundary split search.
+
+    variants: list of per-half shift patterns; each entry is (bs,) arrays of
+    +1/-1 (IQ1_S: uniform +1 and uniform -1; IQ1_M: the 4 half-block
+    combinations). Returns (scale (R,), L (R, bs) levels 0..2,
+    kbest (R,) variant index) maximizing sumqx^2/sumq2 (first-max order
+    matching the reference's i1-outer/i2-inner/variant sweep)."""
+    R, bs = xb.shape
+    order = np.argsort(xb, axis=1, kind="stable")
+    xs = np.take_along_axis(xb, order, axis=1)
+    ws = np.take_along_axis(wb, order, axis=1)
+    nv = len(variants)
+    # per-variant per-sorted-position shifted level values for the three
+    # segments: seg value depends on the ORIGINAL index's half (IQ1_M)
+    shifts = np.stack([np.take_along_axis(
+        np.broadcast_to(v, (R, bs)), order, axis=1) for v in variants])
+    # prefix sums of w*x and w per (variant-independent) sorted order
+    zx = np.zeros((R, 1))
+    Sx = np.concatenate([zx, np.cumsum(ws * xs, axis=1)], axis=1)  # (R,bs+1)
+    Sw = np.concatenate([zx, np.cumsum(ws, axis=1)], axis=1)
+    # per-variant prefix sums of w*delta and w*x*delta terms: level value
+    # for segment s is (s-1) + shift*DELTA, so
+    #   sumqx = sum_s [ (s-1)*Sx_seg + DELTA*Sxd_seg ]
+    #   sumq2 = sum_s [ (s-1)^2*Sw_seg + 2(s-1)*DELTA*Swd_seg + D^2*Swd2_seg ]
+    Sxd = np.concatenate([np.zeros((nv, R, 1)),
+                          np.cumsum(ws * xs * shifts, axis=2)], axis=2)
+    Swd = np.concatenate([np.zeros((nv, R, 1)),
+                          np.cumsum(ws * shifts, axis=2)], axis=2)
+    # shift^2 == 1 always, so Swd2 == Sw
+    i1 = np.arange(bs + 1)[:, None]  # (bs+1, 1)
+    i2 = np.arange(bs + 1)[None, :]
+    valid = i2 >= i1  # (bs+1, bs+1)
+    D = _IQ1_DELTA
+
+    def seg(S, a, b):  # S (..., bs+1) -> (..., bs+1, bs+1) segment sums
+        return S[..., b] - S[..., a]
+
+    best_score = np.full(R, -np.inf)
+    best_scale = np.zeros(R)
+    best_i1 = np.zeros(R, np.int64)
+    best_i2 = np.zeros(R, np.int64)
+    best_k = np.zeros(R, np.int64)
+    for k in range(nv):
+        # segment endpoint helpers (broadcast over the i1/i2 grid)
+        sx_a = Sx[:, i1[:, 0]][:, :, None]  # (R, bs+1, 1)
+        sx_b = Sx[:, i2[0]][:, None, :]     # (R, 1, bs+1)
+        sx_end = Sx[:, -1][:, None, None]
+        sw_a = Sw[:, i1[:, 0]][:, :, None]
+        sw_b = Sw[:, i2[0]][:, None, :]
+        sw_end = Sw[:, -1][:, None, None]
+        sxd_a = Sxd[k][:, i1[:, 0]][:, :, None]
+        sxd_b = Sxd[k][:, i2[0]][:, None, :]
+        sxd_end = Sxd[k][:, -1][:, None, None]
+        swd_a = Swd[k][:, i1[:, 0]][:, :, None]
+        swd_b = Swd[k][:, i2[0]][:, None, :]
+        swd_end = Swd[k][:, -1][:, None, None]
+        # segment sums: [0,i1): level -1; [i1,i2): level 0; [i2,end): +1;
+        # every element also carries its +/-DELTA shift
+        sumqx = (-1.0) * sx_a + 1.0 * (sx_end - sx_b) + D * sxd_end
+        sumq2 = (1.0 * sw_a + 0.0 + 1.0 * (sw_end - sw_b)
+                 + 2 * D * (-1.0 * swd_a + 0.0 + (swd_end - swd_b))
+                 + D * D * sw_end)
+        score = np.where(valid[None] & (sumq2 > 0),
+                         sumqx * sumqx / np.where(sumq2 <= 0, 1, sumq2),
+                         -np.inf)
+        flat = score.reshape(R, -1)
+        am = flat.argmax(1)
+        sc_k = flat[np.arange(R), am]
+        better = sc_k > best_score
+        q2 = sumq2.reshape(R, -1)[np.arange(R), am]
+        qx = sumqx.reshape(R, -1)[np.arange(R), am]
+        best_scale = np.where(better, qx / np.where(q2 <= 0, 1, q2),
+                              best_scale)
+        best_score = np.where(better, sc_k, best_score)
+        best_i1 = np.where(better, am // (bs + 1), best_i1)
+        best_i2 = np.where(better, am % (bs + 1), best_i2)
+        best_k = np.where(better, k, best_k)
+    # levels in ORIGINAL order
+    pos = np.empty((R, bs), np.int64)
+    np.put_along_axis(pos, order, np.arange(bs)[None].repeat(R, 0), axis=1)
+    L = np.where(pos < best_i1[:, None], 0,
+                 np.where(pos < best_i2[:, None], 1, 2)).astype(np.int8)
+    neg = best_scale < 0
+    L = np.where(neg[:, None], 2 - L, L)
+    best_scale = np.abs(best_scale)
+    # scale<0 flips the shift variant: IQ1_S k in {0(p),1(m)} -> 1-k;
+    # IQ1_M k in 0..3 -> 3-k (reference's explicit remap table)
+    best_k = np.where(neg, (len(variants) - 1) - best_k, best_k)
+    return best_scale, L, best_k, best_score
+
+
+def _iq1_snap(t, L, xb3, w3, scale, shift3):
+    """Snap (R, ncw, 8) levels to the IQ1 grid. shift3 (R, ncw, 1) in
+    {+1,-1} selects the level set; metric = sum w*(scale*xx[L] - x)^2
+    (iq1_find_best_neighbour2)."""
+    R, ncw, per = L.shape
+    pat = (L.astype(np.int64) << t["shifts"]).sum(-1)
+    gidx = t["kmap"][pat]
+    off = gidx < 0
+    if off.any():
+        nbr = t["nbr"][t["off_index"][pat[off]]]  # (n, max_n)
+        nb_ok = nbr >= 0
+        cand = t["glev"][np.where(nbr < 0, 0, nbr)]  # (n, max_n, 8) levels
+        lvl = (cand.astype(np.float64) - 1.0)  # {-1,0,1}
+        sh_off = np.broadcast_to(shift3[..., 0], off.shape)[off]
+        q = lvl + sh_off[:, None, None] * _IQ1_DELTA
+        xo = xb3[off][:, None]  # (n, 1, 8)
+        wo = w3[off][:, None]
+        sc = np.broadcast_to(scale[..., 0], off.shape)[off][:, None, None]
+        d2 = (wo * (sc * q - xo) ** 2).sum(-1)
+        d2 = np.where(nb_ok, d2, np.inf)
+        pick = d2.argmin(1)
+        gsel = nbr[np.arange(len(pick)), pick]
+        gidx = gidx.copy()
+        gidx[off] = gsel
+        L = L.copy()
+        L[off] = t["glev"][gsel]
+    return gidx, L, ~off
+
+
+def q_iq1_s(x, qw=None):
+    """(B, 256) -> (B, 50) block_iq1_s bytes (quantize_row_iq1_s_impl).
+
+    The reference REQUIRES an imatrix for IQ1_S; without one we degrade to
+    uniform importance (documented deviation; quality will be worse)."""
+    t = _tables(GGMLType.IQ1_S)
+    x = x.reshape(-1, 256).astype(np.float64)
+    B = x.shape[0]
+    sigma2 = 2.0 * (x * x).mean(1)
+    xg = x.reshape(-1, 32)  # (B*8, 32)
+    s2 = np.repeat(sigma2, 8)[:, None]
+    w = (np.broadcast_to(np.asarray(qw, np.float64).reshape(1, 256),
+                         (B, 256)).reshape(-1, 32)
+         if qw is not None else np.ones_like(xg))
+    wg = w * np.sqrt(s2 + xg * xg)
+    R = xg.shape[0]
+    dead = np.abs(xg).max(1) < 1e-8
+    ones = np.ones(32)
+    scale, L, kbest, _ = _iq1_split_search(xg, wg, [ones, -ones])
+    shift = np.where(kbest == 0, 1.0, -1.0)  # +1 -> x_p, -1 -> x_m
+    L3 = L.reshape(R, 4, 8)
+    gidx, L3, on = _iq1_snap(t, L3, xg.reshape(R, 4, 8), wg.reshape(R, 4, 8),
+                             scale[:, None, None], shift[:, None, None])
+    # off-grid blocks: refit scale at the final grid levels
+    redo = (~on).any(1) & (scale > 0)
+    if redo.any():
+        q = (L3.astype(np.float64) - 1.0) + shift[:, None, None] * _IQ1_DELTA
+        qf = q.reshape(R, 32)
+        sumqx = (wg * qf * xg).sum(1)
+        sumq2 = (wg * qf * qf).sum(1)
+        ok = redo & (sumqx > 0) & (sumq2 > 0)
+        scale = np.where(ok, sumqx / np.where(sumq2 == 0, 1, sumq2), scale)
+    scale = np.where(dead, 0.0, scale)
+    shift = np.where(dead, 1.0, shift)
+    gidx = np.where(dead[:, None], 0, gidx)
+
+    sc = scale.reshape(B, 8)
+    gi = gidx.reshape(B, 8, 4).astype(np.uint32)
+    sh = shift.reshape(B, 8)
+    mx = sc.max(1)
+    d = mx / 15.0
+    live = d > 0
+    idd = np.where(live, 1.0 / np.where(d == 0, 1, d), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * sc - 1)), 0, 7)
+    qh = ((gi >> 8) << (3 * np.arange(4, dtype=np.uint32))).sum(-1)
+    qh |= ls.astype(np.uint32) << 12
+    qh |= np.where(sh < 0, np.uint32(0x8000), np.uint32(0))
+    out = np.zeros((B, 50), np.uint8)
+    out[:, 0:2] = _f16(np.where(live, d * 1.125, 0.0)).reshape(B, 2)
+    out[:, 2:34] = (gi & 255).reshape(B, 32).astype(np.uint8)
+    hw = qh.astype(np.uint16).view(np.uint8).reshape(B, 16)
+    out[:, 34:50] = hw
+    return out
+
+
+def q_iq1_m(x, qw=None):
+    """(B, 256) -> (B, 56) block_iq1_m bytes (quantize_row_iq1_m_impl):
+    16-element sub-blocks, per-HALF shift variants, the f16 super-scale
+    packed into the scale words' top nibbles."""
+    t = _tables(GGMLType.IQ1_M)
+    x = x.reshape(-1, 256).astype(np.float64)
+    B = x.shape[0]
+    sigma2 = 2.0 * (x * x).mean(1)
+    xg = x.reshape(-1, 16)  # (B*16, 16)
+    s2 = np.repeat(sigma2, 16)[:, None]
+    if qw is not None:
+        w = np.broadcast_to(np.asarray(qw, np.float64).reshape(1, 256),
+                            (B, 256)).reshape(-1, 16)
+        wg = w * np.sqrt(s2 + xg * xg)
+    else:
+        wg = xg * xg
+    R = xg.shape[0]
+    dead = np.abs(xg).max(1) < 1e-7
+    half = np.concatenate([np.ones(8), -np.ones(8)])
+    # variants k=0..3: (first-half shift, second-half shift) =
+    # (+,+), (+,-), (-,+), (-,-)  [masks {0x00,0x80,0x08,0x88}]
+    variants = [np.ones(16), np.where(np.arange(16) < 8, 1.0, -1.0),
+                np.where(np.arange(16) < 8, -1.0, 1.0), -np.ones(16)]
+    scale, L, kbest, _ = _iq1_split_search(xg, wg, variants)
+    # per-8-group shift: group 0 -> k<2 ? + : -, group 1 -> k%2==0 ? + : -
+    sh0 = np.where(kbest < 2, 1.0, -1.0)
+    sh1 = np.where(kbest % 2 == 0, 1.0, -1.0)
+    shift3 = np.stack([sh0, sh1], axis=1)[..., None]  # (R, 2, 1)
+    L3 = L.reshape(R, 2, 8)
+    gidx, L3, on = _iq1_snap(t, L3, xg.reshape(R, 2, 8), wg.reshape(R, 2, 8),
+                             scale[:, None, None], shift3)
+    redo = (~on).any(1) & (scale > 0)
+    if redo.any():
+        q = (L3.astype(np.float64) - 1.0) + shift3 * _IQ1_DELTA
+        qf = q.reshape(R, 16)
+        sumqx = (wg * qf * xg).sum(1)
+        sumq2 = (wg * qf * qf).sum(1)
+        ok = redo & (sumqx > 0) & (sumq2 > 0)
+        scale = np.where(ok, sumqx / np.where(sumq2 == 0, 1, sumq2), scale)
+    scale = np.where(dead, 0.0, scale)
+    gidx = np.where(dead[:, None], 0, gidx)
+    kbest = np.where(dead, 0, kbest)
+
+    sc = scale.reshape(B, 16)
+    gi = gidx.reshape(B, 16, 2).astype(np.uint32)
+    kb = kbest.reshape(B, 16)
+    mx = sc.max(1)
+    d0 = mx / 15.0
+    live = d0 > 0
+    idd = np.where(live, 1.0 / np.where(d0 == 0, 1, d0), 0.0)
+    ls = np.clip(_nearest_int(0.5 * (idd[:, None] * sc - 1)), 0, 7)
+    # final d refit over ALL blocks at the chosen levels (reference tail)
+    lvl = t["glev"][gidx].astype(np.float64) - 1.0  # (R, 2, 8)
+    q = (lvl + np.stack([np.where(kbest < 2, 1.0, -1.0),
+                         np.where(kbest % 2 == 0, 1.0, -1.0)],
+                        axis=1)[..., None] * _IQ1_DELTA)
+    qf = q.reshape(B, 16, 16) * (2 * ls + 1)[:, :, None]
+    wgf = wg.reshape(B, 16, 16)
+    xf = xg.reshape(B, 16, 16)
+    sumqx = (wgf * qf * xf).sum((1, 2))
+    sumq2 = (wgf * qf * qf).sum((1, 2))
+    d = np.where(live & (sumq2 > 0),
+                 sumqx / np.where(sumq2 == 0, 1, sumq2), d0)
+    masks = np.asarray([0x00, 0x80, 0x08, 0x88], np.uint32)
+    qh = (gi[..., 0] >> 8) | ((gi[..., 1] >> 8) << 4)
+    qh = qh | masks[kb]
+    out = np.zeros((B, 56), np.uint8)
+    out[:, 0:32] = (gi & 255).reshape(B, 32).astype(np.uint8)
+    out[:, 32:48] = qh.astype(np.uint8)
+    # scale words: 4 u16, each holding four 3-bit ls + a nibble of f16(d)
+    du16 = _f16(np.where(live, d * 1.1125, 0.0)).reshape(B, 2)
+    dbits = du16.view(np.uint16).reshape(B).astype(np.uint32)
+    lsq = ls.reshape(B, 4, 4).astype(np.uint32)
+    sw = (lsq[..., 0] | (lsq[..., 1] << 3) | (lsq[..., 2] << 6)
+          | (lsq[..., 3] << 9))
+    # scale word j's top nibble holds bits [4j, 4j+4) of the f16 d
+    sw = sw | ((((dbits[:, None] >> (4 * np.arange(4, dtype=np.uint32)))
+                 & 0xF) << 12).astype(np.uint32))
+    out[:, 48:56] = sw.astype(np.uint16).view(np.uint8).reshape(B, 8)
+    return out

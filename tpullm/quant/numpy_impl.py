@@ -359,6 +359,82 @@ def _dq_nvfp4(blk):
     return (d[..., None] * sub).reshape(*blk.shape[:-1], 64)
 
 
+def _q_tq1_0(x):
+    """quantize_row_tq1_0_ref (ggml-quants.c:2240): d = amax, trits
+    q = round(x/d)+1 packed base-3 (first element at the highest power),
+    then byte = ceil(q * 256 / 243) so decode's (byte*3^n & 0xFF)*3 >> 8
+    recovers digit n."""
+    x = x.reshape(-1, 256).astype(np.float32)
+    d = np.abs(x).max(axis=-1)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1), 0.0)
+    q = (np.clip(_rint(x * inv[:, None]), -1, 1) + 1).astype(np.uint16)
+
+    def pack(vals, m):
+        # vals (..., 5, m) element-major planes -> (..., m) bytes
+        b = np.zeros(vals.shape[:-2] + (m,), np.uint16)
+        for n in range(5):
+            b = b * 3 + vals[..., n, :]
+        return ((b * 256 + 242) // 243).astype(np.uint8)
+
+    a = pack(q[:, 0:160].reshape(-1, 5, 32), 32)
+    bq = pack(q[:, 160:240].reshape(-1, 5, 16), 16)
+    ch = np.zeros((x.shape[0], 4), np.uint16)
+    hq = q[:, 240:256].reshape(-1, 4, 4)
+    for n in range(4):
+        ch = ch * 3 + hq[:, n, :]
+    # qh packs only 4 trits; decode multiplies by 3^n for n<4, so scale
+    # the base-3 number to the top of the byte the same ceil-way
+    ch = ((ch * 3) * 256 + 242) // 243  # digits d0..d3 + a zero 5th trit
+    out = np.zeros((x.shape[0], 54), np.uint8)
+    out[:, 0:32] = a
+    out[:, 32:48] = bq
+    out[:, 48:52] = ch.astype(np.uint8)
+    _store_f16(out, 52, d)
+    return out
+
+
+def _fp32_to_ue4m3(x):
+    """ggml_fp32_to_ue4m3 (ggml-impl.h:517), vectorized."""
+    x = np.asarray(x, np.float32)
+    out = np.zeros(x.shape, np.uint8)
+    pos = x > 0
+    xv = np.minimum(np.where(pos, x, 1.0), 448.0)
+    bits = np.ascontiguousarray(xv).view(np.uint32).reshape(x.shape)
+    fe = ((bits >> 23) & 0xFF).astype(np.int32) - 127
+    fm = ((bits >> 20) & 0x7).astype(np.int32)
+    ue = fe + 7
+    rnd = ((bits >> 19) & 1).astype(np.int32)
+    man = fm + rnd
+    exp2 = np.where(man > 7, ue + 1, ue)
+    man2 = np.where(man > 7, 0, man)
+    norm = np.where(exp2 >= 15, 0x7E, (exp2 << 3) | man2)
+    sub_man = np.clip((xv * 512.0 + 0.5).astype(np.int32), 0, 7)
+    sub = np.where(sub_man < 1, 0, sub_man)
+    out = np.where(ue <= 0, sub, norm).astype(np.uint8)
+    return np.where(pos, out, 0).astype(np.uint8)
+
+
+def _q_nvfp4(x):
+    """quantize_row_nvfp4_ref (ggml-quants.c:342): per-16 UE4M3 scale
+    (amax/6 through the fp32->ue4m3 rounding), E2M1 nibbles by nearest
+    LUT value at the DECODED scale, half-split lo/hi."""
+    x = x.reshape(-1, 64).astype(np.float32)
+    sub = x.reshape(-1, 4, 16)
+    amax = np.abs(sub).max(-1)
+    ue = _fp32_to_ue4m3(amax / 6.0)
+    d = _ue4m3_to_f32(ue)  # decoded scale (includes the 0.5 factor)
+    lut = np.asarray(KVALUES_MXFP4, np.float32)  # (16,)
+    err = np.abs(lut.reshape(1, 1, 1, 16) * d[..., None, None]
+                 - sub[..., None])
+    idx = err.argmin(-1).astype(np.uint8)  # first-min == reference '<'
+    lo, hi = idx[..., :8], idx[..., 8:]
+    qs = (lo | (hi << 4)).reshape(-1, 32)
+    out = np.zeros((x.shape[0], 36), np.uint8)
+    out[:, 0:4] = ue
+    out[:, 4:36] = qs
+    return out
+
+
 def _q_tq2_0(x):
     x = x.reshape(-1, 256).astype(np.float32)
     d = np.abs(x).max(axis=-1)
@@ -1206,6 +1282,8 @@ _QUANT = {
     GGMLType.Q6_K: _q_q6_K,
     GGMLType.MXFP4: _q_mxfp4,
     GGMLType.TQ2_0: _q_tq2_0,
+    GGMLType.TQ1_0: _q_tq1_0,
+    GGMLType.NVFP4: _q_nvfp4,
     GGMLType.IQ4_NL: _q_iq4_nl,
     GGMLType.IQ4_XS: _q_iq4_xs,
 }
@@ -1218,6 +1296,8 @@ def _register_iq_quantizers():
     from . import iq_quantize as iqq
 
     _QUANT.update({
+        GGMLType.IQ1_S: iqq.q_iq1_s,
+        GGMLType.IQ1_M: iqq.q_iq1_m,
         GGMLType.IQ2_XXS: iqq.q_iq2_xxs,
         GGMLType.IQ2_XS: iqq.q_iq2_xs,
         GGMLType.IQ2_S: iqq.q_iq2_s,
@@ -1258,7 +1338,8 @@ def quantize(x: np.ndarray, qtype: GGMLType, imatrix=None) -> np.ndarray:
     _IM_TYPES = (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
                  GGMLType.IQ4_NL, GGMLType.IQ4_XS,
                  GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-                 GGMLType.IQ3_XXS, GGMLType.IQ3_S)
+                 GGMLType.IQ3_XXS, GGMLType.IQ3_S,
+                 GGMLType.IQ1_S, GGMLType.IQ1_M)
     if imatrix is not None and qtype in _IM_TYPES:
         im = np.asarray(imatrix, np.float32)
         assert im.shape == (n,), (im.shape, n)

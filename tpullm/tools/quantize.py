@@ -62,6 +62,18 @@ FTYPES: dict[str, dict] = {
     "IQ3_M": dict(default=GGMLType.IQ3_S, output=GGMLType.Q6_K,
                   attn_v=GGMLType.Q4_K,
                   ffn_down_frac=(0.125, GGMLType.Q4_K)),
+    # 1-bit / ternary ftypes (llama_tensor_get_type IQ1/TQ branches:
+    # token_embd Q2_K, attn_v Q2_K, ffn_down bumped to IQ2_XXS at depth 0)
+    "IQ1_S": dict(default=GGMLType.IQ1_S, token_embd=GGMLType.Q2_K,
+                  output=GGMLType.Q5_K, attn_v=GGMLType.Q2_K),
+    "IQ1_M": dict(default=GGMLType.IQ1_M, token_embd=GGMLType.Q2_K,
+                  output=GGMLType.Q5_K, attn_v=GGMLType.Q2_K),
+    "TQ1_0": dict(default=GGMLType.TQ1_0, token_embd=GGMLType.Q4_K,
+                  output=GGMLType.Q4_K),
+    "TQ2_0": dict(default=GGMLType.TQ2_0, token_embd=GGMLType.Q4_K,
+                  output=GGMLType.Q4_K),
+    "NVFP4": dict(default=GGMLType.NVFP4, output=GGMLType.Q6_K),
+    "MXFP4": dict(default=GGMLType.MXFP4, output=GGMLType.Q6_K),
     "F16": dict(default=GGMLType.F16),
     "BF16": dict(default=GGMLType.BF16),
 }
@@ -166,7 +178,8 @@ _FTYPE_IDS = {
     "Q2_K": 10, "Q3_K_S": 11, "Q3_K_M": 12, "Q4_K_S": 14, "Q4_K_M": 15,
     "Q5_K_S": 16, "Q5_K_M": 17, "Q6_K": 18, "IQ2_XXS": 19, "IQ2_XS": 20,
     "IQ3_XXS": 23, "IQ4_NL": 25, "IQ3_S": 26, "IQ3_M": 27, "IQ2_S": 28,
-    "IQ2_M": 29, "IQ4_XS": 30, "BF16": 32,
+    "IQ2_M": 29, "IQ4_XS": 30, "BF16": 32, "IQ1_S": 24, "IQ1_M": 31,
+    "TQ1_0": 36, "TQ2_0": 37, "MXFP4": 38, "NVFP4": 39,
 }
 
 
