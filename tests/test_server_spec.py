@@ -136,3 +136,73 @@ def test_spec_context_shift(model):
                    max_seq_len=64)
     assert len(spec[0]) == 48
     assert m.get("context_shifts_total", 0) >= 1
+
+
+# ---------------------------------------------------------------------------
+# draft-MODEL speculation (spec="draft"): a second model proposes K tokens
+# per slot; the batched verify is shared with ngram mode.
+
+
+@pytest.fixture(scope="module")
+def draft_model(tmp_path_factory):
+    # same shapes, same vocab, DIFFERENT weights (seed) — drafts diverge
+    # from the target so both accept and reject paths are exercised
+    path = str(tmp_path_factory.mktemp("d") / "draft.gguf")
+    build_llama_gguf(path, vocab_size=96, n_embd=64, n_layer=2, n_head=4,
+                     n_head_kv=2, n_ff=128, qtype=GGMLType.Q8_0,
+                     with_vocab=False, seed=5)
+    cfg, params, _ = load_model(path)
+    return cfg, params
+
+
+def test_draft_model_matches_plain_greedy(model, draft_model):
+    cfg, params, _ = model
+    prompts = [[3, 9, 4, 17, 6, 2], [5, 7, 12, 3]]
+    gps = [GenParams(max_tokens=24, temperature=0.0, ignore_eos=True)
+           for _ in prompts]
+    plain, _ = _run(cfg, params, prompts, gps, spec=None)
+    spec, metrics = _run(cfg, params, prompts, gps, spec="draft",
+                         draft=draft_model)
+    assert spec == plain
+    assert metrics.get("spec_drafted_total", 0) > 0
+
+
+def test_draft_model_self_draft_accepts_everything(tmp_path):
+    """Draft == target: proposals must be mostly accepted (greedy identity
+    plus a high acceptance rate through /metrics). Uses a DECISIVE model
+    (larger weight scale) — near-uniform logits of the default tiny model
+    flip argmax ties between the draft's step-shaped and the verify's
+    batch-shaped reductions."""
+    path = str(tmp_path / "decisive.gguf")
+    build_llama_gguf(path, vocab_size=96, n_embd=64, n_layer=2, n_head=4,
+                     n_head_kv=2, n_ff=128, qtype=GGMLType.F32,
+                     with_vocab=False, scale=0.25, seed=11)
+    cfg, params, _ = load_model(path)
+    prompts = [[3, 9, 4, 17, 6, 2]]
+    gps = [GenParams(max_tokens=25, temperature=0.0, ignore_eos=True)]
+    plain, _ = _run(cfg, params, prompts, gps, spec=None)
+    spec, metrics = _run(cfg, params, prompts, gps, spec="draft",
+                         draft=(cfg, params))
+    assert spec == plain
+    drafted = metrics.get("spec_drafted_total", 0)
+    accepted = metrics.get("spec_accepted_total", 0)
+    assert drafted > 0
+    assert accepted >= 0.7 * drafted, (accepted, drafted)
+
+
+def test_draft_vocab_mismatch_rejected(model):
+    cfg, params, _ = model
+    import dataclasses
+
+    bad_cfg = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + 1)
+    with pytest.raises(ValueError, match="vocab"):
+        ServerContext(cfg, params, None, n_slots=1, max_seq_len=128,
+                      compute_dtype=jnp.float32, spec="draft",
+                      draft=(bad_cfg, params))
+
+
+def test_eagle3_is_explicit_stub(model):
+    cfg, params, _ = model
+    with pytest.raises(NotImplementedError, match="eagle3"):
+        ServerContext(cfg, params, None, n_slots=1, max_seq_len=128,
+                      compute_dtype=jnp.float32, spec="eagle3")

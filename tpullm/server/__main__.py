@@ -33,9 +33,13 @@ def build_args():
     ap.add("--lora-scale", type=float, default=1.0)
     ap.add("--kv-type", default="bf16", choices=("bf16", "f32", "q8"),
            help="KV cache storage type")
-    ap.add("--spec", default=None, choices=("ngram",),
+    ap.add("--spec", default=None, choices=("ngram", "draft"),
            help="speculative decoding mode inside continuous batching "
-                "(self-drafting n-gram map; greedy slots only)")
+                "(ngram: self-drafting map; draft: --model-draft proposes; "
+                "greedy slots only)")
+    ap.add("-md", "--model-draft", default=None,
+           help="draft model GGUF for --spec draft (same vocab; "
+                "common/speculative.cpp draft type)")
     ap.add("--spec-k", type=int, default=8,
            help="max draft tokens per verify forward")
     ap.add("--swa-full", action="store_true",
@@ -96,6 +100,13 @@ def main(argv=None):
 
     log.info("loading %s ...", args.model)
     cfg, params, g = load_model(args.model, override_kv=overrides or None)
+    draft = None
+    if args.model_draft:
+        log.info("loading draft model %s ...", args.model_draft)
+        dcfg, dparams, _ = load_model(args.model_draft)
+        draft = (dcfg, dparams)
+        if args.spec is None:
+            args.spec = "draft"
 
     tok = Tokenizer.from_gguf(g)
     import jax.numpy as jnp
@@ -110,7 +121,7 @@ def main(argv=None):
         lora=[(p, args.lora_scale) for p in (args.lora or [])],
         mmproj_path=args.mmproj,
         iswa=not args.swa_full,
-        spec=args.spec, spec_k=args.spec_k,
+        spec=args.spec, spec_k=args.spec_k, draft=draft,
     )
     log.info("serving %s on http://%s:%s (%d slots, ctx %d)",
              cfg.arch, args.host, args.port, args.parallel, args.ctx_size)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import ModelConfig
-from ..models.llama import forward
+from ..models.llama import KVCache, forward
 from ..ops.sampling import BatchSamplerParams, PenaltyState, SamplerConfig, sample_batch
 from ..runtime.memory import SlotMemory
 
@@ -164,8 +164,9 @@ class ServerContext:
         slot_save_path: str | None = None,
         mmproj_path: str | None = None,
         iswa: bool = False,  # dual SWA/full KV banks (gemma2/3 memory win)
-        spec: str | None = None,  # "ngram": self-speculative continuous batching
+        spec: str | None = None,  # "ngram" | "draft": spec inside the CB loop
         spec_k: int = 8,  # max draft tokens per verify forward
+        draft: tuple | None = None,  # (draft_cfg, draft_params) for spec="draft"
         lora: list | None = None,  # [(adapter_gguf_path, scale)] hot-swappable
     ):
         self.cfg = cfg
@@ -310,8 +311,62 @@ class ServerContext:
         # integrates draft+verify per slot with KV checkpoints,
         # tools/server/server-context.cpp:313-384 — here the position-keyed
         # cache makes rollback free: rejected rows are overwritten in place)
+        if spec == "eagle3":
+            # mirrored honestly: the reference's EAGLE3 path is itself an
+            # unimplemented stub (common/speculative.cpp:569-586 draft() is
+            # a TODO no-op), so there is no behavior to be parity with
+            raise NotImplementedError(
+                "eagle3 speculation is a stub in the reference "
+                "(common/speculative.cpp state_eagle3); use ngram or draft")
         self.spec = spec if self.family == "attn" else None
         self.spec_k = int(spec_k)
+        # draft-MODEL speculation (common/speculative.cpp 'draft' type,
+        # tools/server/server-context.cpp:313-384): a small model with the
+        # SAME vocab proposes K tokens per slot on-device; the batched
+        # target verify below is shared with ngram mode. The draft keeps
+        # its own slot-aligned position-keyed KV cache, so rollback after
+        # rejection is free (rejected rows are overwritten in place) —
+        # context shifts and slot restores leave the draft cache stale,
+        # which degrades acceptance but never correctness (verify decides).
+        self.draft = None
+        if self.spec == "draft":
+            if draft is None:
+                raise ValueError("spec='draft' needs draft=(cfg, params)")
+            dcfg, dparams = draft
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {dcfg.vocab_size} != target "
+                    f"{cfg.vocab_size} (common_speculative_are_compatible)")
+            self.draft = (dcfg, dparams)
+            dfwd = functools.partial(forward, cfg=dcfg, dtype=compute_dtype)
+            self._draft_cache = KVCache.create(dcfg, n_slots, max_seq_len,
+                                               compute_dtype)
+
+            def _draft_prefill(dp, tokens, positions, dcache, slot0, pos0):
+                _, dcache = dfwd(
+                    dp, tokens=tokens, positions=positions, cache=dcache,
+                    cache_pos=pos0, valid_from=jnp.zeros((1,), jnp.int32),
+                    slot0=slot0, logits_idx=0)
+                return dcache
+
+            self._draft_prefill = jax.jit(_draft_prefill, donate_argnums=(3,))
+
+            def _draft_chunk(dp, prev, pos0, dcache, k):
+                def body(carry, _):
+                    tok, pos, dcache = carry
+                    logits, dcache = dfwd(
+                        dp, tokens=tok[:, None], positions=pos[:, None],
+                        cache=dcache, cache_pos=pos,
+                        valid_from=jnp.zeros((tok.shape[0],), jnp.int32))
+                    nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+                    return (nxt, pos + 1, dcache), nxt
+
+                (_, _, dcache), drafts = jax.lax.scan(
+                    body, (prev, pos0, dcache), None, length=k)
+                return drafts.T, dcache  # (B, K)
+
+            self._draft_chunk = jax.jit(_draft_chunk, donate_argnums=(3,),
+                                        static_argnames=("k",))
 
         def _spec_verify(params, toks, positions, cache, pos0):
             """Batched verify: greedy target tokens at every draft position.
@@ -616,6 +671,15 @@ class ServerContext:
                 self.params, jnp.asarray(toks), jnp.asarray(pos), self.memory.cache,
                 jnp.int32(i), jnp.int32(st.n_past), jnp.int32(Tc - 1),
             )
+        if self.draft is not None and (r.task is None
+                                       or r.task.embeds is None):
+            # mirror the chunk into the draft model's slot cache so its
+            # proposals attend real history (common/speculative.cpp keeps a
+            # parallel draft context); multimodal prompts skip the draft
+            # (its cache stays stale -> drafts are rejected, never wrong)
+            self._draft_cache = self._draft_prefill(
+                self.draft[1], jnp.asarray(toks), jnp.asarray(pos),
+                self._draft_cache, jnp.int32(i), jnp.int32(st.n_past))
         self.metrics["prefill_seconds_total"] += time.time() - t0
         self.metrics["prompt_tokens_total"] += Tc
         st.tokens.extend(chunk)
@@ -828,8 +892,9 @@ class ServerContext:
             lg = np.asarray(self._logits_buf)
             for i in boot:
                 r = self.rt[i]
-                r.spec_map = NgramMap()
-                r.spec_map.begin(self.memory.slots[i].tokens)
+                if self.draft is None:
+                    r.spec_map = NgramMap()
+                    r.spec_map.begin(self.memory.slots[i].tokens)
                 r.spec_prev = int(lg[i].argmax())
                 self.metrics["generated_tokens_total"] += 1
                 self._emit(i, [r.spec_prev])
@@ -840,14 +905,35 @@ class ServerContext:
         toks = np.zeros((B, K + 1), np.int32)
         pos0 = np.minimum(self._pos, S - 1 - K).astype(np.int32)
         drafts: list = [()] * B
-        for i in range(B):
-            if not self._active[i]:
-                continue
-            r = self.rt[i]
-            toks[i, 0] = r.spec_prev
-            d = r.spec_map.draft(r.spec_prev)[:K]
-            drafts[i] = d
-            toks[i, 1: 1 + len(d)] = d
+        if self.draft is not None:
+            # device drafting: one K-step greedy scan of the draft model
+            # over all slots (inactive rows write beyond their n_past and
+            # are overwritten on resume — same trick as the target verify)
+            prev = np.array([self.rt[i].spec_prev or 0 for i in range(B)],
+                            np.int32)
+            t0d = time.time()
+            dtoks, self._draft_cache = self._draft_chunk(
+                self.draft[1], jnp.asarray(prev), jnp.asarray(pos0),
+                self._draft_cache, k=K)
+            dtoks = np.asarray(dtoks)  # (B, K)
+            self.metrics["draft_seconds_total"] = (
+                self.metrics.get("draft_seconds_total", 0.0)
+                + time.time() - t0d)
+            for i in range(B):
+                if not self._active[i]:
+                    continue
+                toks[i, 0] = self.rt[i].spec_prev
+                drafts[i] = [int(x) for x in dtoks[i]]
+                toks[i, 1: 1 + K] = dtoks[i]
+        else:
+            for i in range(B):
+                if not self._active[i]:
+                    continue
+                r = self.rt[i]
+                toks[i, 0] = r.spec_prev
+                d = r.spec_map.draft(r.spec_prev)[:K]
+                drafts[i] = d
+                toks[i, 1: 1 + len(d)] = d
         positions = pos0[:, None] + np.arange(K + 1, dtype=np.int32)[None]
         t0 = time.time()
         got, self.memory.cache = self._spec_verify(
@@ -865,12 +951,14 @@ class ServerContext:
                 m += 1
             emitted = [int(x) for x in d[:m]] + [int(got[i, m])]
             if d:
-                r.spec_map.accept(m)
+                if r.spec_map is not None:
+                    r.spec_map.accept(m)
                 self.metrics["spec_drafted_total"] = (
                     self.metrics.get("spec_drafted_total", 0) + len(d))
                 self.metrics["spec_accepted_total"] = (
                     self.metrics.get("spec_accepted_total", 0) + m)
-            r.spec_map.extend([r.spec_prev] + emitted[:-1])
+            if r.spec_map is not None:
+                r.spec_map.extend([r.spec_prev] + emitted[:-1])
             written = int(self._pos[i]) + m + 1  # prev + accepted drafts
             self._pos[i] = written
             self.memory.slots[i].n_past = written
