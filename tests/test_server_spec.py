@@ -187,7 +187,10 @@ def test_draft_model_self_draft_accepts_everything(tmp_path):
     drafted = metrics.get("spec_drafted_total", 0)
     accepted = metrics.get("spec_accepted_total", 0)
     assert drafted > 0
-    assert accepted >= 0.7 * drafted, (accepted, drafted)
+    # self-draft must accept essentially everything: the 2-token catch-up
+    # feed in _draft_chunk keeps the draft cache hole-free across fully-
+    # accepted rounds (round-4 regression: 15/72)
+    assert accepted >= 0.95 * drafted, (accepted, drafted)
 
 
 def test_draft_vocab_mismatch_rejected(model):

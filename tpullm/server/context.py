@@ -351,7 +351,21 @@ class ServerContext:
 
             self._draft_prefill = jax.jit(_draft_prefill, donate_argnums=(3,))
 
-            def _draft_chunk(dp, prev, pos0, dcache, k):
+            def _draft_chunk(dp, prev2, pos2, dcache, k):
+                """prev2 (B, 2) = [token@p, prev@p+1], pos2 (B,) = p. The
+                2-token first step rewrites the last accepted token's KV
+                (idempotent) and BACKFILLS the hole a fully-accepted round
+                leaves behind: the scan below never writes its LAST draft's
+                KV, so after m==K acceptance the draft cache has a garbage
+                row at the Kth draft's position that would poison every
+                subsequent proposal (the round-4 15/72 acceptance bug)."""
+                logits, dcache = dfwd(
+                    dp, tokens=prev2,
+                    positions=jnp.stack([pos2, pos2 + 1], axis=1),
+                    cache=dcache, cache_pos=pos2,
+                    valid_from=jnp.zeros((prev2.shape[0],), jnp.int32))
+                d1 = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+
                 def body(carry, _):
                     tok, pos, dcache = carry
                     logits, dcache = dfwd(
@@ -361,9 +375,10 @@ class ServerContext:
                     nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
                     return (nxt, pos + 1, dcache), nxt
 
-                (_, _, dcache), drafts = jax.lax.scan(
-                    body, (prev, pos0, dcache), None, length=k)
-                return drafts.T, dcache  # (B, K)
+                (_, _, dcache), rest = jax.lax.scan(
+                    body, (d1, pos2 + 2, dcache), None, length=k - 1)
+                drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)
+                return drafts, dcache  # (B, K)
 
             self._draft_chunk = jax.jit(_draft_chunk, donate_argnums=(3,),
                                         static_argnames=("k",))
@@ -908,12 +923,26 @@ class ServerContext:
         if self.draft is not None:
             # device drafting: one K-step greedy scan of the draft model
             # over all slots (inactive rows write beyond their n_past and
-            # are overwritten on resume — same trick as the target verify)
+            # are overwritten on resume — same trick as the target verify).
+            # Active rows feed [token@pos0-1, prev] so the first 2-token
+            # step backfills the draft-cache hole a fully-accepted round
+            # leaves at pos0-1 (see _draft_chunk).
             prev = np.array([self.rt[i].spec_prev or 0 for i in range(B)],
                             np.int32)
+            last = np.zeros(B, np.int32)
+            dpos = pos0.copy()
+            for i in range(B):
+                if not self._active[i]:
+                    continue
+                hist = self.memory.slots[i].tokens
+                p = int(pos0[i])
+                if 0 < p <= len(hist):
+                    last[i] = hist[p - 1]
+                    dpos[i] = p - 1
+            prev2 = np.stack([last, prev], axis=1)
             t0d = time.time()
             dtoks, self._draft_cache = self._draft_chunk(
-                self.draft[1], jnp.asarray(prev), jnp.asarray(pos0),
+                self.draft[1], jnp.asarray(prev2), jnp.asarray(dpos),
                 self._draft_cache, k=K)
             dtoks = np.asarray(dtoks)  # (B, K)
             self.metrics["draft_seconds_total"] = (
