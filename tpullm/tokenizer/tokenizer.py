@@ -54,6 +54,8 @@ class Tokenizer:
             self._session = _UGM(vocab)
         elif vocab.model == "rwkv":
             self._session = _RWKV(vocab)
+        elif vocab.model == "plamo2":
+            self._session = _PLAMO2(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 
@@ -160,6 +162,20 @@ class Tokenizer:
                 if skip_special and (a & TokenAttr.CONTROL):
                     continue
                 buf += _rwkv_unescape(v.tokens[i])
+            return buf.decode("utf-8", errors="replace")
+        if isinstance(self._session, _PLAMO2):
+            # plain text pieces; byte tokens are raw bytes
+            # (token_to_piece PLAMO2 case, src/llama-vocab.cpp:3366)
+            buf = bytearray()
+            for i in ids:
+                a = v.attrs[i]
+                if a & TokenAttr.BYTE:
+                    buf += bytes([int(v.tokens[i][3:5], 16)])
+                elif a & (TokenAttr.CONTROL | TokenAttr.UNKNOWN):
+                    if not skip_special:
+                        buf += v.tokens[i].encode()
+                else:
+                    buf += v.tokens[i].encode()
             return buf.decode("utf-8", errors="replace")
         if isinstance(self._session, (_SPM, _UGM)):  # SPM-style pieces
             buf = bytearray()
@@ -654,3 +670,71 @@ class _RWKV:
             else:
                 out.append(tid)
                 pos = end
+
+
+class _PLAMO2:
+    """PLaMo-2 tokenizer: Viterbi DP over codepoints with byte fallback
+    (llm_tokenizer_plamo2, src/llama-vocab.cpp:1303-1568).
+
+    The reference builds an Aho-Corasick suffix table whose net effect is:
+    at every position, the candidate pieces are exactly the vocab tokens
+    that prefix the remaining text, visited longest-first, followed by a
+    one-codepoint byte-fallback sentinel. This re-derivation runs that DP
+    directly off a piece dict — same integer score quantization
+    (round(score*1e4)), same int64 min-DP with strict <, so tie-breaks
+    (longest piece wins) are identical to the reference table walk."""
+
+    UNKNOWN_SCORE = -10_000_000
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+        self.pieces: dict[str, tuple[int, int]] = {}
+        self.maxlen = 1
+        scores = vocab.scores
+        for tid, text in enumerate(vocab.tokens):
+            if vocab.attrs[tid] & TokenAttr.BYTE or not text:
+                continue
+            sc = float(scores[tid]) if scores is not None else 0.0
+            v = sc * 1e4  # std::round: half away from zero (llama-vocab.cpp:1426)
+            self.pieces[text] = (tid, int(v + 0.5) if v >= 0 else int(v - 0.5))
+            self.maxlen = max(self.maxlen, len(text))
+
+    def tokenize(self, text: str, out: list) -> None:
+        if text and text[0] == "﻿":  # BOM skip (llama-vocab.cpp:1446)
+            text = text[1:]
+        n = len(text)
+        if not n:
+            return
+        INF = 1 << 60
+        scores = [INF] * (n + 1)
+        scores[n] = 0
+        path_len = [1] * (n + 1)
+        path_tok = [-1] * (n + 1)
+        pieces = self.pieces
+        for i in range(n - 1, -1, -1):
+            best = INF
+            blen, btok = 1, -1
+            lim = min(self.maxlen, n - i)
+            # longest-first == the reference's decreasing piece_length rows
+            for L in range(lim, 0, -1):
+                hit = pieces.get(text[i: i + L])
+                if hit is None:
+                    continue
+                s = scores[i + L] - hit[1]
+                if s < best:
+                    best, blen, btok = s, L, hit[0]
+            s = scores[i + 1] - self.UNKNOWN_SCORE  # byte-fallback sentinel
+            if s < best:
+                best, blen, btok = s, 1, -1
+            scores[i] = best
+            path_len[i], path_tok[i] = blen, btok
+        byt = self.vocab.byte_tokens
+        pos = 0
+        while pos < n:
+            tid = path_tok[pos]
+            if tid >= 0:
+                out.append(tid)
+            else:  # emit the codepoint's UTF-8 bytes as <0xXX> tokens
+                for b in text[pos].encode("utf-8"):
+                    out.append(byt[b])
+            pos += path_len[pos]

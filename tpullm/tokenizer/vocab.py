@@ -94,12 +94,15 @@ class Vocab:
             x = g.get(key)
             return int(x) if x is not None else default
 
-        v.bos_id = _id(K.BOS_ID, 1 if v.model == "llama" else None)
-        v.eos_id = _id(K.EOS_ID, 2 if v.model == "llama" else None)
+        # plamo2 shares SPM-style defaults: bos=1 eos=2 unk=0 (+pad=3)
+        # (llama-vocab.cpp:1892-1900)
+        spm_like = v.model in ("llama", "plamo2")
+        v.bos_id = _id(K.BOS_ID, 1 if spm_like else None)
+        v.eos_id = _id(K.EOS_ID, 2 if spm_like else None)
         v.eot_id = _id(K.EOT_ID)
-        v.unk_id = _id(K.UNK_ID, 0 if v.model == "llama" else None)
+        v.unk_id = _id(K.UNK_ID, 0 if spm_like else None)
         v.sep_id = _id(K.SEP_ID)
-        v.pad_id = _id(K.PAD_ID)
+        v.pad_id = _id(K.PAD_ID, 3 if v.model == "plamo2" else None)
         v.cls_id = _id("tokenizer.ggml.cls_token_id")
         v.mask_id = _id("tokenizer.ggml.mask_token_id")
         v.fim_pre_id = _id(getattr(K, "FIM_PRE_ID", "tokenizer.ggml.fim_pre_token_id"))
