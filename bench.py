@@ -173,6 +173,26 @@ def main():
     result["parity_ok"] = (parity_nmse is not None and parity_nmse < 1e-4)
     print(json.dumps(result), flush=True)
 
+    # prefill compute-roofline row (reference: llama-bench pp512 tables,
+    # benches/dgx-spark/dgx-spark.md:33-40): achieved TFLOP/s vs chip peak
+    # so prefill can't regress invisibly behind the decode metric.
+    flops_per_tok = 2.0 * (n_params - shape["vocab_size"] * shape["n_embd"])
+    peak = 197e12 if "v5 lite" in kind else 197e12  # bf16 peak, v5e
+    result["prefill_tflops"] = round(pp_tok_s * flops_per_tok / 1e12, 1)
+    result["prefill_mfu"] = round(pp_tok_s * flops_per_tok / peak, 4)
+    print(json.dumps(result), flush=True)
+
+    # batched decode row (B=8): aggregate tok/s through the same decode
+    # program — the continuous-batching throughput claim, measured.
+    if _elapsed() + 90.0 < budget:
+        try:
+            _note("batched decode B=8")
+            result["batched_tg_b8"] = round(_tg_batched(eng, 8, GREEDY), 2)
+        except Exception as e:
+            result["batched_tg_b8"] = None
+            result.setdefault("depth_errors", []).append(f"b8: {e}")
+        print(json.dumps(result), flush=True)
+
     # decode-at-depth rows (tg32 @ d): drive the engine's own decode program
     # at slot=d over a fresh cache — KV contents don't affect throughput, so
     # no multi-thousand-token prefill is paid per row. Each row costs one
@@ -194,6 +214,32 @@ def main():
         result["depth_skipped"] = skipped
     result["total_s"] = round(_elapsed(), 1)
     print(json.dumps(result), flush=True)
+
+
+def _tg_batched(eng, B: int, sampler) -> float:
+    """Aggregate decode tok/s with B live rows at depth 512 through the
+    engine's real decode program (batched-bench B-row analogue)."""
+    import jax
+    import jax.numpy as jnp
+
+    d = 512
+    fn = eng._decode_fn(sampler, 32, False, 1024)
+    cache = eng.new_cache(B)
+    tok = jnp.full((B,), 5, jnp.int32)
+    pos = jnp.full((B,), d, jnp.int32)
+    vf = jnp.zeros((B,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    toks, cache = fn(eng.params, tok, pos, cache, jnp.int32(d), vf, key)
+    jax.block_until_ready(toks)  # compile + program load
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        toks, cache = fn(eng.params, toks[-1], pos, cache, jnp.int32(d), vf,
+                         key)
+        jax.block_until_ready(toks)
+        best = min(best, time.time() - t0)
+    del cache
+    return B * 32.0 / best
 
 
 def _tg_at_depth(eng, d: int, sampler) -> float:
