@@ -317,6 +317,10 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     cfg.rope_base_swa = float(_k(g, "{arch}.rope.freq_base_swa", 0.0) or 0.0)
     if arch == "qwen":  # qwen-v1 GGUF stores DOUBLE the ffn width
         cfg.n_ff //= 2
+    if arch == "plamo2" and not cfg.attn_scale:
+        # plamo2 scales attention by 1/sqrt(v_dim), not qk_dim
+        # (src/models/plamo2.cpp build_plamo2_attn_layer)
+        cfg.attn_scale = 1.0 / float(np.sqrt(cfg.head_dim_v))
     from .registry import apply_arch_defaults
 
     apply_arch_defaults(cfg)

@@ -33,8 +33,8 @@ from .config import ModelConfig
 from .gdn import gdn_layer
 from .llama import attention, ffn, moe_ffn, rms_norm
 from .mamba import (RecurrentState, _layer as mamba_layer,
-                    _layer2 as mamba2_layer, conv_channels,
-                    shortconv_layer)
+                    _layer2 as mamba2_layer, _layer_plamo2 as plamo2_layer,
+                    conv_channels, shortconv_layer)
 
 
 def is_hybrid(cfg: ModelConfig) -> bool:
@@ -140,9 +140,9 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         from .llama import _mm, apply_rope
 
         gate = None
-        if "wqkv" in qw:
+        if "wqkv" in qw or "wqkv_cat" in qw:  # fused [q;k;v] (plamo2 GGUF)
             nq = cfg.n_head * cfg.head_dim
-            qkv = _mm(h, qw["wqkv"], dtype, li)
+            qkv = _mm(h, qw.get("wqkv", qw.get("wqkv_cat")), dtype, li)
             q = qkv[..., :nq].reshape(B, T, cfg.n_head, cfg.head_dim)
             k = qkv[..., nq:nq + hkv * cfg.head_dim].reshape(
                 B, T, hkv, cfg.head_dim)
@@ -195,12 +195,14 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         return o, (k_cache, v_cache)
 
     def ffn_part(x, p, qw, li, norm_key):
-        """norm -> FFN/MoE -> residual (with granite residual scale)."""
+        """norm -> FFN/MoE -> [post-norm] -> residual (granite scale)."""
         h2 = rms_norm(x, p[norm_key], cfg.rms_eps)
         if cfg.n_expert > 0 and "moe_gate_inp" in qw:
             f = moe_ffn(h2, p, qw, li, cfg, dtype)
         else:
             f = ffn(h2, qw, li, cfg, dtype, p)
+        if cfg.post_norms and "post_ffn_norm" in p:  # plamo2 sandwich
+            f = rms_norm(f, p["post_ffn_norm"], cfg.rms_eps)
         return x + f * res_s
 
     a_off = r_off = 0
@@ -220,11 +222,16 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                    or "ffn_up_exps" in qw)
         rec_fn = (shortconv_layer if is_shortconv
                   else gdn_layer if is_gdn
+                  else plamo2_layer if recurrent and "ssm_dt_norm" in gl
                   else mamba2_layer if recurrent and "ssm_norm" in gl
                   else mamba_layer)
         # qwen3next norms the FFN input with attn_post_norm (the residual
-        # is taken from BEFORE that norm — same shape as ffn_norm here)
-        ffn_nk = "post_attn_norm" if "post_attn_norm" in fl else "ffn_norm"
+        # is taken from BEFORE that norm — same shape as ffn_norm here);
+        # plamo2's post_attn_norm is instead a sandwich norm on the mixer
+        # OUTPUT (cfg.post_norms), so the ffn keeps its own pre-norm
+        ffn_nk = ("post_attn_norm"
+                  if "post_attn_norm" in fl and not cfg.post_norms
+                  else "ffn_norm")
         if recurrent:
             conv_g = jax.lax.dynamic_slice_in_dim(state.conv, r_off, L_g, 0)
             ssm_g = jax.lax.dynamic_slice_in_dim(state.ssm, r_off, L_g, 0)
@@ -262,9 +269,12 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 li, ct, ss = inp
                 out, tail, ssm = rec_fn(
                     x, li, gl, cfg, ct, ss, dtype, pad_mask, n_valid)
+                p = fl_at(li)
+                if cfg.post_norms and "post_attn_norm" in p:  # plamo2
+                    out = rms_norm(out, p["post_attn_norm"], cfg.rms_eps)
                 x = x + out * res_s
                 if has_ffn:  # jamba/granite-hybrid: FFN after the mixer
-                    x = ffn_part(x, fl_at(li), qw, li, ffn_nk)
+                    x = ffn_part(x, p, qw, li, ffn_nk)
                 return x, (tail, ssm)
 
             x, (tails, ssms) = jax.lax.scan(
@@ -277,6 +287,8 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 li, kv0, kv1 = inp
                 p = fl_at(li)
                 o, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
+                if cfg.post_norms and "post_attn_norm" in p:  # plamo2
+                    o = rms_norm(o, p["post_attn_norm"], cfg.rms_eps)
                 x = x + o * res_s
                 if has_ffn:
                     x = ffn_part(x, p, qw, li, ffn_nk)

@@ -190,6 +190,60 @@ def _layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
     return out, new_tail, new_ssm
 
 
+def _layer_plamo2(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
+                  pad_mask=None, n_valid=None):
+    """PLaMo-2 Mamba layer (src/models/plamo2.cpp build_plamo2_mamba_layer):
+    the in-proj emits per-head-interleaved [z|x] blocks, the causal conv
+    covers x only (no bias), a post-conv low-rank projection emits [B|C|dt]
+    each RMS-normed with its own weight, the decay is a per-head SCALAR
+    (ssm_dt_rank == SSM head count, like mamba-2's SSD form), and the
+    output is gated by silu(z). Pre-norm only here — the post-mixer norm
+    is applied by the hybrid walker (cfg.post_norms sandwich)."""
+    B, T, D = x.shape
+    Di, Ds = cfg.ssm_d_inner, cfg.ssm_d_state
+    nh = cfg.ssm_dt_rank
+    hd = Di // nh
+
+    h = rms_norm(x, p["attn_norm"][li], cfg.rms_eps)
+    zx = _mm(h, p["ssm_in"], dtype, layer=li)  # (B,T,2*Di)
+    # per-head [z(hd) | x(hd)] blocks (plamo2.cpp:292-306 view_4d split)
+    zx = zx.reshape(B, T, nh, 2 * hd)
+    z = zx[..., :hd].reshape(B, T, Di)
+    xs = zx[..., hd:].reshape(B, T, Di)
+
+    if pad_mask is not None:
+        xs = jnp.where(pad_mask[..., None], 0, xs)
+    xs, new_tail = _causal_conv(xs, conv_tail, p["ssm_conv1d"][li],
+                                jnp.zeros((Di,), jnp.float32), n_valid)
+    xs = jax.nn.silu(xs.astype(jnp.float32)).astype(dtype)
+
+    bcdt = _mm(xs, p["ssm_x"], dtype, layer=li)  # (B,T,2*Ds+dt_dim)
+    B_t = rms_norm(bcdt[..., :Ds], p["ssm_b_norm"][li], cfg.rms_eps)
+    C_t = rms_norm(bcdt[..., Ds:2 * Ds], p["ssm_c_norm"][li], cfg.rms_eps)
+    dt = rms_norm(bcdt[..., 2 * Ds:], p["ssm_dt_norm"][li], cfg.rms_eps)
+    dt = (_mm(dt, p["ssm_dt"], dtype, layer=li)
+          + p["ssm_dt_b"][li].astype(dtype))  # (B,T,nh)
+
+    dt_sp = jax.nn.softplus(dt.astype(jnp.float32))
+    if pad_mask is not None:  # dt'=0 at pads: state passes through
+        dt_sp = jnp.where(pad_mask[..., None], 0.0, dt_sp)
+    A = p["ssm_a"][li].reshape(-1).astype(jnp.float32)  # (nh,) scalar decay
+    dA_h = jnp.exp(dt_sp * A[None, None])  # (B,T,nh)
+    dA = jnp.broadcast_to(jnp.repeat(dA_h, hd, axis=-1)[..., None],
+                          (B, T, Di, Ds))
+    x_dt = xs.astype(jnp.float32) * jnp.repeat(dt_sp, hd, axis=-1)
+    y, new_ssm = _ssm_scan(ssm_state, x_dt, dA,
+                           B_t.astype(jnp.float32), C_t.astype(jnp.float32))
+
+    Dv = p["ssm_d"][li].reshape(-1).astype(jnp.float32)  # (nh,)
+    y = y + xs.astype(jnp.float32) * jnp.repeat(Dv, hd)[None, None]
+    y = (jax.nn.silu(z.astype(jnp.float32)) * y).astype(dtype)
+    out = _mm(y, p["ssm_out"], dtype, layer=li)
+    if "cvec" in p:
+        out = out + p["cvec"][li].astype(out.dtype)
+    return out, new_tail, new_ssm
+
+
 def _layer2(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
             pad_mask=None, n_valid=None):
     """Mamba-2 block (build_mamba2_layer): one fused in-proj emits

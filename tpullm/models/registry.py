@@ -170,6 +170,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     "xverse": dict(rope_type="norm"),
     "qwen": dict(rope_type="neox", attn_bias=True),
     "plamo": dict(rope_type="neox", parallel_residual=True),
+    # PLaMo-2 hybrid (src/models/plamo2.cpp): mamba layers with per-head
+    # scalar decay + dt/B/C norms interleaved with roped attention; both
+    # mixer AND ffn are post-normed before the residual (sandwich); the
+    # attention scale is 1/sqrt(v_dim) (build_plamo2_attn_layer)
+    "plamo2": dict(rope_type="neox", hybrid_rope=True, post_norms=True,
+                   attn_qk_norm=True),
     # llama-shaped singles (src/models/{arcee,ernie4-5,seed-oss,...}.cpp)
     "arcee": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
     "ernie4_5": dict(rope_type="norm"),

@@ -67,6 +67,10 @@ LAYER_TENSORS = {
     "ffn_down.weight": "ffn_down",
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
+    # plamo2 writes the sandwich norms WITHOUT the .weight suffix
+    # (src/models/plamo2.cpp: 2-arg tn(LLM_TENSOR_ATTN_POST_NORM, i))
+    "post_attention_norm": "post_attn_norm",
+    "post_ffw_norm": "post_ffn_norm",
     "attn_post_norm.weight": "post_attn_norm",
     "ffn_post_norm.weight": "post_ffn_norm",
     # MoE
@@ -100,6 +104,13 @@ LAYER_TENSORS = {
     "ssm_d": "ssm_d",
     "ssm_norm.weight": "ssm_norm",  # mamba2 grouped rmsnorm
     "ssm_out.weight": "ssm_out",
+    # PLaMo-2 per-part SSM norms (src/models/plamo2.cpp load_arch_tensors)
+    "ssm_dt_norm": "ssm_dt_norm",
+    "ssm_dt_norm.weight": "ssm_dt_norm",
+    "ssm_b_norm": "ssm_b_norm",
+    "ssm_b_norm.weight": "ssm_b_norm",
+    "ssm_c_norm": "ssm_c_norm",
+    "ssm_c_norm.weight": "ssm_c_norm",
     # LFM2 short-convolution mixer (src/models/lfm2.cpp)
     "shortconv.conv.weight": "shortconv_conv",
     "shortconv.in_proj.weight": "shortconv_in",

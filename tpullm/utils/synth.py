@@ -1029,6 +1029,142 @@ def build_hybrid2_gguf(
     return path
 
 
+def add_plamo2_toy_vocab(w: GGUFWriter, vocab_size: int) -> int:
+    """Usable plamo2 toy vocab: 4 specials + ALL 256 byte tokens (the
+    reference throws without them, src/llama-vocab.cpp:1352) + scored text
+    pieces; returns the actual token count written."""
+    specials = ["<|plamo:unk|>", "<|plamo:bos|>", "<|plamo:eos|>",
+                "<|plamo:pad|>"]
+    bytes_ = [f"<0x{i:02X}>" for i in range(256)]
+    chars = list("abcdefghijklmnopqrstuvwxyz0123456789 .,!?")
+    n_words = max(0, vocab_size - len(specials) - 256 - len(chars))
+    words = [f"tok{i}" for i in range(min(n_words, 50))]
+    toks = specials + bytes_ + chars + words
+    toks += [f"<fill{i}>" for i in range(vocab_size - len(toks))]
+    scores = np.zeros(len(toks), np.float32)
+    off = len(specials) + 256
+    scores[off:off + len(chars)] = -5.0       # chars
+    scores[off + len(chars):off + len(chars) + len(words)] = -2.0  # words win
+    ttypes = np.ones(len(toks), np.int32)
+    ttypes[0] = 2  # UNKNOWN
+    ttypes[1:4] = 3  # CONTROL
+    ttypes[4:260] = 6  # BYTE
+    w.add_string("tokenizer.ggml.model", "plamo2")
+    w.add_array("tokenizer.ggml.tokens", toks)
+    w.add_array("tokenizer.ggml.scores", scores)
+    w.add_array("tokenizer.ggml.token_type", ttypes)
+    w.add_bool("tokenizer.ggml.add_bos_token", False)
+    w.add_bool("tokenizer.ggml.add_eos_token", False)
+    return len(toks)
+
+
+def build_plamo2_gguf(
+    path: str,
+    *,
+    vocab_size: int = 340,
+    n_embd: int = 64,
+    pattern: str = "mama",  # per-layer kinds: m=plamo2-mamba a=attention
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    d_state: int = 16,
+    d_conv: int = 4,
+    ssm_heads: int = 4,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic PLaMo-2 checkpoint (src/models/plamo2.cpp
+    load_arch_tensors): mamba layers carry per-head scalar-decay SSM with
+    dt/B/C norms and a low-rank dt; attention layers carry fused QKV with
+    per-head q/k norms; EVERY layer has post_attention_norm, ffn_norm,
+    fused swiglu ffn_up (2*n_ff) and post_ffw_norm."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    d_inner = 2 * n_embd
+    dt_dim = max(64, n_embd // 16)  # plamo2.cpp:39
+    n_layer = len(pattern)
+    arch = "plamo2"
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-plamo2")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    kvp = [n_head_kv if k == "a" else 0 for k in pattern]
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kvp, np.uint32))
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", ssm_heads)
+    w.add_uint32(f"{arch}.ssm.group_count", 0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_plamo2_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i, kind in enumerate(pattern):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        if kind == "m":
+            addq(p + "ssm_in.weight", rand(2 * d_inner, n_embd))
+            add(p + "ssm_conv1d.weight", rand(d_inner, d_conv))
+            addq(p + "ssm_x.weight", rand(dt_dim + 2 * d_state, d_inner))
+            addq(p + "ssm_dt.weight", rand(ssm_heads, dt_dim))
+            add(p + "ssm_dt.bias", rand(ssm_heads) + 0.5)
+            add(p + "ssm_a", -np.exp(rand(ssm_heads)))
+            add(p + "ssm_d", np.ones(ssm_heads, np.float32)
+                + rand(ssm_heads))
+            addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+            add(p + "ssm_dt_norm", np.ones(dt_dim, np.float32)
+                + rand(dt_dim))
+            add(p + "ssm_b_norm", np.ones(d_state, np.float32)
+                + rand(d_state))
+            add(p + "ssm_c_norm", np.ones(d_state, np.float32)
+                + rand(d_state))
+        else:
+            nqkv = (n_head + 2 * n_head_kv) * head_dim
+            addq(p + "attn_qkv.weight", rand(nqkv, n_embd))
+            add(p + "attn_q_norm.weight", np.ones((n_head, head_dim),
+                                                  np.float32)
+                + rand(n_head, head_dim))
+            add(p + "attn_k_norm.weight", np.ones((n_head_kv, head_dim),
+                                                  np.float32)
+                + rand(n_head_kv, head_dim))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        add(p + "post_attention_norm", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        addq(p + "ffn_up.weight", rand(2 * n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        add(p + "post_ffw_norm", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+    w.write()
+    return path
+
+
 def build_qwen3next_gguf(
     path: str,
     *,
