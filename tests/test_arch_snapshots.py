@@ -26,7 +26,7 @@ SNAP_DIR = os.path.join(os.path.dirname(__file__), "snapshots")
 UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 
 # families with their own builders/tests (not the shared decoder graph)
-_SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba",
+_SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba", "plamo2",
          "nemotron_h", "granitehybrid", "falcon-h1",
          "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder",
          # encoder family: snapshot-locked in test_encoder_family.py

@@ -176,6 +176,10 @@ ARCH_REGISTRY: dict[str, dict] = {
     # attention scale is 1/sqrt(v_dim) (build_plamo2_attn_layer)
     "plamo2": dict(rope_type="neox", hybrid_rope=True, post_norms=True,
                    attn_qk_norm=True),
+    # PLaMo-3 (src/models/plamo3.cpp): dense transformer, fused QKV +
+    # shared per-head-dim q/k norms (pre-rope), sandwich post-norms, fused
+    # swiglu ffn_up, optional SWA pattern
+    "plamo3": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
     # llama-shaped singles (src/models/{arcee,ernie4-5,seed-oss,...}.cpp)
     "arcee": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
     "ernie4_5": dict(rope_type="norm"),

@@ -1402,6 +1402,8 @@ SYNTH_HINTS: dict[str, dict] = {
     "chatglm": dict(fused_qkv="bias", combined_gateup=True, rope_frac=2),
     "glm4": dict(rope_frac=2, norm_weight_only=True),
     "qwen": dict(fused_qkv="bias", double_ff=True),
+    "plamo3": dict(fused_qkv=True, combined_gateup=True,
+                   bare_post_norms=True),
     "gptneox": dict(ffn_norm_parallel=True),
     "arcee": dict(attn_scale_kv=0.125),
     # MoE family quirks: router probs bias, always-on shared experts,
@@ -1642,10 +1644,17 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                 w.add_tensor(p + "attn_k_norm.bias",
                              rand(n_head_kv * head_dim))
         if flags.get("post_norms"):
-            norm_pair(p + hints.get("post_attn_name", "post_attention_norm"),
-                      n_embd)
-            norm_pair(p + hints.get("post_ffn_name", "post_ffw_norm"),
-                      n_embd)
+            if hints.get("bare_post_norms"):
+                # plamo3: 2-arg tn() -> NO .weight suffix (plamo3.cpp:52)
+                w.add_tensor(p + "post_attention_norm",
+                             np.ones(n_embd, np.float32) + rand(n_embd))
+                w.add_tensor(p + "post_ffw_norm",
+                             np.ones(n_embd, np.float32) + rand(n_embd))
+            else:
+                norm_pair(p + hints.get("post_attn_name",
+                                        "post_attention_norm"), n_embd)
+                norm_pair(p + hints.get("post_ffn_name", "post_ffw_norm"),
+                          n_embd)
         if arch == "gpt-oss":
             w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
         if moe and i >= dense_lead:
