@@ -27,7 +27,7 @@ UPDATE = os.environ.get("TPULLM_UPDATE_SNAPSHOTS") == "1"
 
 # families with their own builders/tests (not the shared decoder graph)
 _SKIP = {"mamba", "mamba2", "bert", "deepseek2", "jamba", "plamo2",
-         "nemotron_h", "granitehybrid", "falcon-h1",
+         "nemotron_h", "granitehybrid", "falcon-h1", "deci", "openelm",
          "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "t5", "t5encoder",
          # encoder family: snapshot-locked in test_encoder_family.py
          "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",

@@ -125,6 +125,11 @@ class ModelConfig:
     # hybrid attention+recurrent (Jamba family): per-layer kv head counts,
     # 0 = recurrent layer (src/models/jamba.cpp:12)
     kv_head_pattern: tuple = ()
+    head_pattern: tuple = ()  # per-layer n_head (openelm/deci; 0 = no attn)
+    hybrid_graph: bool = False  # route through the hybrid group walker
+    # even without recurrent layers (deci/openelm per-layer-shape archs)
+    ffn_only_layers: bool = False  # nemotron-h: kv==0 AND ff>0 marks an
+    # FFN-only layer (not recurrent); other hybrids put FFN on every layer
     # T5 family: relative position buckets (no rope)
     n_rel_attn_bkts: int = 0
     # RWKV family
@@ -163,7 +168,15 @@ def _k(g: GGUFFile, key: str, default: Any = None, arch: str | None = None) -> A
 def config_from_gguf(g: GGUFFile) -> ModelConfig:
     arch = g.architecture
     n_embd = int(_k(g, "{arch}.embedding_length", 2048))
-    n_head = int(_k(g, "{arch}.attention.head_count", 32))
+    # head_count may be a per-layer ARRAY (openelm/deci variable-head
+    # layers; 0 = attention-free): scalar keeps the max for sizing
+    nh_raw = _k(g, "{arch}.attention.head_count", 32)
+    head_pattern = ()
+    if isinstance(nh_raw, (list, tuple, np.ndarray)):
+        head_pattern = tuple(int(h) for h in nh_raw)
+        n_head = max(head_pattern)
+    else:
+        n_head = int(nh_raw)
     head_dim = int(_k(g, "{arch}.attention.key_length", n_embd // max(n_head, 1)))
     n_vocab = _k(g, "{arch}.vocab_size")
     if n_vocab is None:
@@ -245,6 +258,7 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         cfg.expert_gating = {2: "sigmoid"}.get(int(gf), "softmax")
     cfg.kv_head_pattern = kv_pattern
     cfg.n_ff_pattern = ff_pattern
+    cfg.head_pattern = head_pattern
     sect = _k(g, "{arch}.rope.dimension_sections")
     if sect is not None:
         cfg.mrope_sections = tuple(int(s) for s in sect)

@@ -19,6 +19,8 @@ def model_family(cfg: ModelConfig) -> str:
         return "t5"
     if cfg.wkv_head_size > 0:
         return "rwkv"
+    if cfg.hybrid_graph:  # deci/openelm: per-layer-shape attention archs
+        return "hybrid"
     rec = cfg.ssm_d_conv > 0
     attn = any(h > 0 for h in cfg.kv_head_pattern)
     if rec and attn:

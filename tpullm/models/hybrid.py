@@ -38,7 +38,7 @@ from .mamba import (RecurrentState, _layer as mamba_layer,
 
 
 def is_hybrid(cfg: ModelConfig) -> bool:
-    if cfg.hybrid_parallel:
+    if cfg.hybrid_parallel or cfg.hybrid_graph:
         return True
     return bool(cfg.ssm_d_conv) and bool(cfg.kv_head_pattern) and any(
         h > 0 for h in cfg.kv_head_pattern)
@@ -51,13 +51,17 @@ def attn_layer_ids(cfg: ModelConfig) -> list[int]:
 
 
 def recurrent_layer_count(cfg: ModelConfig) -> int:
+    if cfg.hybrid_graph:  # deci/openelm: attention-only archs
+        return 0
     if cfg.hybrid_parallel:
         return cfg.n_layer
-    # nemotron-h has pure-FFN layers: recurrent iff kv==0 AND n_ff==0
+    # nemotron-h has pure-FFN layers (ffn_only_layers): there a kv==0
+    # layer with n_ff>0 is FFN-only, NOT recurrent; in jamba/granite-style
+    # hybrids every layer carries an FFN, so kv==0 alone marks recurrence
     ffp = cfg.n_ff_pattern or ()
     n = 0
     for i, h in enumerate(cfg.kv_head_pattern):
-        if h == 0 and (not ffp or ffp[i] == 0):
+        if h == 0 and (not cfg.ffn_only_layers or not ffp or ffp[i] == 0):
             n += 1
     return n
 
@@ -93,6 +97,9 @@ class HybridState:
                else max(cfg.kv_head_pattern))
         k = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim), dtype)
         v = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim_v), dtype)
+        if n_rec == 0:  # deci/openelm: attention-only, dummy banks
+            return HybridState(k, v, jnp.zeros((1, batch, 1, 1), dtype),
+                               jnp.zeros((1, batch, 1, 1), jnp.float32))
         rec = RecurrentState.create(
             ModelConfig(**{**cfg.__dict__, "n_layer": max(n_rec, 1),
                            "raw_kv": {}}), batch)
@@ -139,26 +146,33 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
         from .llama import _mm, apply_rope
 
+        # per-GROUP head counts derived from the weight shapes (openelm/
+        # deci vary n_head / n_head_kv by layer; uniform archs reduce to
+        # the cfg values): wo's input is n_head*head_dim_v
+        nh_g = qw["wo"].n_in // cfg.head_dim_v
         gate = None
         if "wqkv" in qw or "wqkv_cat" in qw:  # fused [q;k;v] (plamo2 GGUF)
-            nq = cfg.n_head * cfg.head_dim
-            qkv = _mm(h, qw.get("wqkv", qw.get("wqkv_cat")), dtype, li)
-            q = qkv[..., :nq].reshape(B, T, cfg.n_head, cfg.head_dim)
-            k = qkv[..., nq:nq + hkv * cfg.head_dim].reshape(
-                B, T, hkv, cfg.head_dim)
-            v = qkv[..., nq + hkv * cfg.head_dim:].reshape(
-                B, T, hkv, cfg.head_dim_v)
+            wf = qw.get("wqkv", qw.get("wqkv_cat"))
+            nq = nh_g * cfg.head_dim
+            hkv_g = (wf.n_out - nq) // (cfg.head_dim + cfg.head_dim_v)
+            qkv = _mm(h, wf, dtype, li)
+            q = qkv[..., :nq].reshape(B, T, nh_g, cfg.head_dim)
+            k = qkv[..., nq:nq + hkv_g * cfg.head_dim].reshape(
+                B, T, hkv_g, cfg.head_dim)
+            v = qkv[..., nq + hkv_g * cfg.head_dim:].reshape(
+                B, T, hkv_g, cfg.head_dim_v)
         else:
+            hkv_g = qw["wk"].n_out // cfg.head_dim
             q = _mm(h, qw["wq"], dtype, li)
             if cfg.attn_out_gate:  # fused [q | gate] projection
-                q = q.reshape(B, T, cfg.n_head, 2 * cfg.head_dim)
+                q = q.reshape(B, T, nh_g, 2 * cfg.head_dim)
                 gate = q[..., cfg.head_dim:]
                 q = q[..., :cfg.head_dim]
             else:
-                q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
-            k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv, cfg.head_dim)
+                q = q.reshape(B, T, nh_g, cfg.head_dim)
+            k = _mm(h, qw["wk"], dtype, li).reshape(B, T, hkv_g, cfg.head_dim)
             v = _mm(h, qw["wv"], dtype, li).reshape(
-                B, T, hkv, cfg.head_dim_v)
+                B, T, hkv_g, cfg.head_dim_v)
         if cfg.attn_qk_norm and "q_norm" in p:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             k = rms_norm(k, p["k_norm"], cfg.rms_eps)
@@ -178,17 +192,18 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
                 v_cache, vt.astype(v_cache.dtype), (0, 0, cache_pos[0], 0))
         else:  # per-row slot positions (server decode)
             rows = jnp.arange(B)[:, None, None]
-            hh = jnp.arange(hkv)[None, :, None]
+            hh = jnp.arange(hkv_g)[None, :, None]
             k_cache = k_cache.at[rows, hh, q_slots[:, None, :]].set(
                 kt.astype(k_cache.dtype))
             v_cache = v_cache.at[rows, hh, q_slots[:, None, :]].set(
                 vt.astype(v_cache.dtype))
-        att = attention(q, k_cache.astype(dtype), v_cache.astype(dtype),
+        att = attention(q, k_cache[:, :hkv_g].astype(dtype),
+                        v_cache[:, :hkv_g].astype(dtype),
                         q_slots, kv_positions, positions, valid_from, cfg)
         if gate is not None:  # sigmoid output gate per head (qwen3next)
             att = att * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(
                 att.dtype)
-        att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
+        att = att.reshape(B, T, nh_g * cfg.head_dim_v)
         o = _mm(att, qw["wo"], dtype, li)
         if "wo_b" in p:
             o = o + p["wo_b"].astype(o.dtype)
@@ -208,6 +223,8 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
     a_off = r_off = 0
     new_k, new_v, new_conv, new_ssm = [], [], [], []
     for gl in groups:
+        if not gl:  # deci no-op layers (n_head==0 AND n_ff==0)
+            continue
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         L_g = next(iter(gl.values())).shape[0]
@@ -299,9 +316,26 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             new_k.append(ks)
             new_v.append(vs)
             a_off += L_g
-        else:  # nemotron-h FFN-only layers (normed by attn_norm)
+        elif "wo" in qw:  # deci "linear attention": norm -> wo, no KV
+            def lstep(x, li, qw=qw, fl_at=fl_at):
+                from .llama import _mm
+
+                p = fl_at(li)
+                o = _mm(rms_norm(x, p["attn_norm"], cfg.rms_eps),
+                        qw["wo"], dtype, li)
+                if "wo_b" in p:
+                    o = o + p["wo_b"].astype(o.dtype)
+                x = x + o * res_s
+                if has_ffn:
+                    x = ffn_part(x, p, qw, li, ffn_nk)
+                return x, None
+
+            x, _ = jax.lax.scan(lstep, x, jnp.arange(L_g))
+        else:  # FFN-only layers: nemotron-h norms by attn_norm; deci's
+            # attention-free layers carry only ffn_norm
             def fstep(x, li, qw=qw, fl_at=fl_at):
-                return ffn_part(x, fl_at(li), qw, li, "attn_norm"), None
+                nk = "attn_norm" if "attn_norm" in fl else "ffn_norm"
+                return ffn_part(x, fl_at(li), qw, li, nk), None
 
             x, _ = jax.lax.scan(fstep, x, jnp.arange(L_g))
 

@@ -81,7 +81,7 @@ ARCH_REGISTRY: dict[str, dict] = {
     "jamba": dict(),
     # hybrid mamba2+attention — src/models/nemotron-h.cpp: each layer is
     # exactly ONE of {mamba2, attention, relu^2-FFN}; attention has no rope
-    "nemotron_h": dict(ffn_gate=False),
+    "nemotron_h": dict(ffn_gate=False, ffn_only_layers=True),
     # granite-hybrid (src/models/granite-hybrid.cpp): jamba-shaped layers
     # (mixer + FFN each) with granite scales and roped attention
     "granitehybrid": dict(rope_type="norm", hybrid_rope=True),
@@ -180,6 +180,21 @@ ARCH_REGISTRY: dict[str, dict] = {
     # shared per-head-dim q/k norms (pre-rope), sandwich post-norms, fused
     # swiglu ffn_up, optional SWA pattern
     "plamo3": dict(rope_type="neox", post_norms=True, attn_qk_norm=True),
+    # deci / nemotron-NAS (src/models/deci.cpp): llama blocks with
+    # per-layer (n_head, n_head_kv, n_ff) — attention-free layers,
+    # "linear attention" (norm->wo only) layers, FFN-free layers; routed
+    # through the hybrid group walker (per-group shapes)
+    "deci": dict(rope_type="norm", hybrid_graph=True, hybrid_rope=True),
+    # openelm (src/models/openelm.cpp): per-layer head counts, fused QKV
+    # ordered by heads, shared per-head-dim q/k RMS norms (pre-rope),
+    # neox rope, tied embeddings
+    "openelm": dict(rope_type="neox", hybrid_graph=True, hybrid_rope=True,
+                    attn_qk_norm=True),
+    # gptj: enum-only in the reference (no loader/graph there,
+    # src/llama-arch.cpp:17 with no llama_model_gptj) — covered here by
+    # the flag table: parallel residual, gelu MLP, first-rot-dims rope
+    "gptj": dict(rope_type="norm", parallel_residual=True, act_fn="gelu",
+                 ffn_gate=False),
     # llama-shaped singles (src/models/{arcee,ernie4-5,seed-oss,...}.cpp)
     "arcee": dict(rope_type="norm", act_fn="relu2", ffn_gate=False),
     "ernie4_5": dict(rope_type="norm"),

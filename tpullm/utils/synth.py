@@ -1165,6 +1165,145 @@ def build_plamo2_gguf(
     return path
 
 
+def build_deci_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    layers: tuple = ((4, 2, 96), (4, 0, 96), (0, 0, 96), (4, 1, 64)),
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic deci / nemotron-NAS checkpoint (src/models/deci.cpp):
+    layers = per-layer (n_head, n_head_kv, n_ff) triples — (h,kv,ff) with
+    kv=0,h>0 = "linear attention" (norm->wo), h=0 = attention-free,
+    ff=0 = FFN-free. Variable kv exercises the per-group GQA path."""
+    rng = np.random.default_rng(seed)
+    n_head_max = max(h for h, _, _ in layers)
+    head_dim = n_embd // n_head_max
+    arch = "deci"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-deci")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", len(layers))
+    w.add_array(f"{arch}.attention.head_count",
+                np.asarray([h for h, _, _ in layers], np.uint32))
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray([kv for _, kv, _ in layers], np.uint32))
+    w.add_array(f"{arch}.feed_forward_length",
+                np.asarray([f for _, _, f in layers], np.uint32))
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32)
+                 + rand(n_embd))
+    for i, (h, kv, ff) in enumerate(layers):
+        p = f"blk.{i}."
+        if h > 0 and kv == 0:  # linear attention (deci.cpp:35-39)
+            w.add_tensor(p + "attn_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_embd))
+        elif kv > 0:
+            w.add_tensor(p + "attn_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            addq(p + "attn_q.weight", rand(h * head_dim, n_embd))
+            addq(p + "attn_k.weight", rand(kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(kv * head_dim, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, h * head_dim))
+        if ff > 0:
+            w.add_tensor(p + "ffn_norm.weight",
+                         np.ones(n_embd, np.float32) + rand(n_embd))
+            addq(p + "ffn_gate.weight", rand(ff, n_embd))
+            addq(p + "ffn_up.weight", rand(ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, ff))
+    w.write()
+    return path
+
+
+def build_openelm_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    head_dim: int = 16,
+    layers: tuple = ((2, 1, 64), (4, 2, 96), (4, 1, 96)),
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic openelm checkpoint (src/models/openelm.cpp): per-layer
+    (n_head, n_head_kv, n_ff); fused QKV ordered [q-heads | k | v],
+    shared per-head-dim q/k RMS norms, tied embeddings (no output)."""
+    rng = np.random.default_rng(seed)
+    arch = "openelm"
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-openelm")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", len(layers))
+    w.add_array(f"{arch}.attention.head_count",
+                np.asarray([h for h, _, _ in layers], np.uint32))
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray([kv for _, kv, _ in layers], np.uint32))
+    w.add_array(f"{arch}.feed_forward_length",
+                np.asarray([f for _, _, f in layers], np.uint32))
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))  # tied output
+    w.add_tensor("output_norm.weight", np.ones(n_embd, np.float32)
+                 + rand(n_embd))
+    for i, (h, kv, ff) in enumerate(layers):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+                     + rand(n_embd))
+        addq(p + "attn_qkv.weight", rand((h + 2 * kv) * head_dim, n_embd))
+        w.add_tensor(p + "attn_q_norm.weight",
+                     np.ones(head_dim, np.float32) + rand(head_dim))
+        w.add_tensor(p + "attn_k_norm.weight",
+                     np.ones(head_dim, np.float32) + rand(head_dim))
+        addq(p + "attn_output.weight", rand(n_embd, h * head_dim))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+                     + rand(n_embd))
+        addq(p + "ffn_gate.weight", rand(ff, n_embd))
+        addq(p + "ffn_up.weight", rand(ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, ff))
+    w.write()
+    return path
+
+
 def build_qwen3next_gguf(
     path: str,
     *,
