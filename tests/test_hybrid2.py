@@ -16,6 +16,7 @@ from tpullm.utils.synth import build_hybrid2_gguf
 
 CASES = [
     ("nemotron_h", "marfma"),   # one of each kind + repeats
+    ("nemotron_h_moe", "marfmf"),  # 'f' layers = latent relu^2 MoE
     ("granitehybrid", "mama"),  # mixer + FFN every layer, scales, rope
     ("falcon-h1", "aaa"),       # parallel attn+mamba2 every layer
 ]

@@ -400,38 +400,47 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
     # expert bytes — the MUL_MAT_ID bandwidth behavior (ggml.h:507) without
     # a ragged kernel. At prefill most experts are active, so the dense
     # evaluation runs unconditionally (conds would all be true).
-    gate_w = qw["moe_gate_exps"]
+    gate_w = qw.get("moe_gate_exps")  # None: ungated relu^2 experts
     up_w = qw["moe_up_exps"]
     down_w = qw["moe_down_exps"]
+    # nemotron-h-moe latent MoE (nemotron-h.cpp:99-103,210-245): experts
+    # operate in a moe_latent_size space; the router reads the FULL input
+    x_moe = x
+    if "moe_latent_down" in qw:
+        x_moe = _mm(x, qw["moe_latent_down"], dtype, li)
+    D_out = down_w.shape[-2]  # latent width when latent projections exist
 
     def one_expert(e):
-        ge = _expert_mm(x, gate_w, li, e, dtype)
-        ue = _expert_mm(x, up_w, li, e, dtype)
-        if "moe_gate_exps_b" in p:  # gpt-oss per-expert biases
-            ge = ge + p["moe_gate_exps_b"][e].astype(dtype)
+        ue = _expert_mm(x_moe, up_w, li, e, dtype)
         if "moe_up_exps_b" in p:
             ue = ue + p["moe_up_exps_b"][e].astype(dtype)
-        if cfg.act_fn == "swiglu_oai":
-            gf = jnp.clip(ge.astype(jnp.float32), None, 7.0)
-            uf = jnp.clip(ue.astype(jnp.float32), -7.0, 7.0)
-            h = (gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)).astype(dtype)
-        elif cfg.act_fn == "gelu":
-            h = jax.nn.gelu(ge.astype(jnp.float32), approximate=True).astype(dtype) * ue
-        elif cfg.act_fn == "relu":
-            h = jax.nn.relu(ge.astype(jnp.float32)).astype(dtype) * ue
+        if gate_w is None:  # ungated relu^2 (LLM_FFN_RELU_SQR, no gate)
+            h = (jax.nn.relu(ue.astype(jnp.float32)) ** 2).astype(dtype)
         else:
-            h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
-        de = _expert_mm(h, down_w, li, e, dtype)  # (B, T, D)
+            ge = _expert_mm(x_moe, gate_w, li, e, dtype)
+            if "moe_gate_exps_b" in p:  # gpt-oss per-expert biases
+                ge = ge + p["moe_gate_exps_b"][e].astype(dtype)
+            if cfg.act_fn == "swiglu_oai":
+                gf = jnp.clip(ge.astype(jnp.float32), None, 7.0)
+                uf = jnp.clip(ue.astype(jnp.float32), -7.0, 7.0)
+                h = (gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)).astype(dtype)
+            elif cfg.act_fn == "gelu":
+                h = jax.nn.gelu(ge.astype(jnp.float32), approximate=True).astype(dtype) * ue
+            elif cfg.act_fn == "relu":
+                h = jax.nn.relu(ge.astype(jnp.float32)).astype(dtype) * ue
+            else:
+                h = jax.nn.silu(ge.astype(jnp.float32)).astype(dtype) * ue
+        de = _expert_mm(h, down_w, li, e, dtype)  # (B, T, D_out)
         if "moe_down_exps_b" in p:
             de = de + p["moe_down_exps_b"][e].astype(dtype)
         we = (w * (top_i == e)).sum(-1)  # (B, T)
         return de * we[..., None].astype(dtype)
 
-    if B * T <= 16:  # decode: skip unselected experts entirely
+    if B * T <= 16 or gate_w is None:  # decode: skip unselected experts
         def gated(e):
             return jax.lax.cond((top_i == e).any(),
                                 lambda: one_expert(e),
-                                lambda: jnp.zeros((B, T, D), dtype))
+                                lambda: jnp.zeros((B, T, D_out), dtype))
         out = gated(0)
         for e in range(1, E):
             out = out + gated(e)
@@ -475,6 +484,9 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
             adj = adj + one_chunk(e)
         out = out + adj * cfg.expert_group_scale
 
+    if "moe_latent_up" in qw:  # lift latent MoE output back to n_embd
+        out = _mm(out, qw["moe_latent_up"], dtype, li)
+
     if "ffn_gate_shexp" in qw:  # DeepSeek-style always-on shared experts
         g = _mm(x, qw["ffn_gate_shexp"], dtype, li)
         u = _mm(x, qw["ffn_up_shexp"], dtype, li)
@@ -488,6 +500,10 @@ def moe_ffn(x, p, qw, li, cfg: ModelConfig, dtype, router_x=None):
                 p["moe_gate_inp_shexp"].astype(jnp.float32)))
             sh = sh * sg[..., None].astype(sh.dtype)
         out = out + sh
+    elif "ffn_up_shexp" in qw:  # nemotron-h-moe: UNGATED relu^2 shared
+        u = _mm(x, qw["ffn_up_shexp"], dtype, li)
+        h = (jax.nn.relu(u.astype(jnp.float32)) ** 2).astype(dtype)
+        out = out + _mm(h, qw["ffn_down_shexp"], dtype, li)
     return out
 
 

@@ -82,6 +82,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # hybrid mamba2+attention — src/models/nemotron-h.cpp: each layer is
     # exactly ONE of {mamba2, attention, relu^2-FFN}; attention has no rope
     "nemotron_h": dict(ffn_gate=False, ffn_only_layers=True),
+    # nemotron-h-moe (src/models/nemotron-h-moe.cpp reuses the nemotron-h
+    # graph): MoE-FFN layers with UNGATED relu^2 experts in an optional
+    # latent space (ffn_latent_down/up), sigmoid gating (hardcoded in
+    # build_ffn_layer) + probs bias, ungated relu^2 shared expert
+    "nemotron_h_moe": dict(ffn_gate=False, ffn_only_layers=True,
+                           expert_gating="sigmoid"),
     # granite-hybrid (src/models/granite-hybrid.cpp): jamba-shaped layers
     # (mixer + FFN each) with granite scales and roped attention
     "granitehybrid": dict(rope_type="norm", hybrid_rope=True),

@@ -83,6 +83,9 @@ LAYER_TENSORS = {
     "ffn_gate_chexps.weight": "moe_gate_chexps",
     "ffn_up_chexps.weight": "moe_up_chexps",
     "ffn_down_chexps.weight": "moe_down_chexps",
+    # nemotron-h-moe latent MoE projections (nemotron-h.cpp:99-100)
+    "ffn_latent_down.weight": "moe_latent_down",
+    "ffn_latent_up.weight": "moe_latent_up",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",

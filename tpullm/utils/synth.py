@@ -933,6 +933,8 @@ def build_hybrid2_gguf(
     d_in_proj = 2 * d_inner + 2 * n_group * d_state + ssm_heads
     parallel = arch == "falcon-h1"
     per_ffn = arch in ("granitehybrid", "falcon-h1")  # FFN on every layer
+    moe_ffn = arch == "nemotron_h_moe"  # 'f' layers carry latent MoE
+    n_expert, n_used, latent, ff_shexp = 4, 2, n_embd // 2, n_ff // 2
     n_layer = len(pattern)
     kinds = ["p"] * n_layer if parallel else list(pattern.replace("r", "m"))
 
@@ -963,6 +965,13 @@ def build_hybrid2_gguf(
         w.add_float32(f"{arch}.embedding_scale", 2.0)
         w.add_float32(f"{arch}.residual_scale", 0.5)
         w.add_float32(f"{arch}.logit_scale", 0.25)
+    if moe_ffn:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count", n_used)
+        w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_uint32(f"{arch}.expert_shared_feed_forward_length", ff_shexp)
+        w.add_uint32(f"{arch}.moe_latent_size", latent)
+        w.add_float32(f"{arch}.expert_weights_scale", 1.0)
     if with_vocab:
         add_spm_toy_vocab(w, vocab_size)
 
@@ -1024,7 +1033,19 @@ def build_hybrid2_gguf(
                 sfx = "" if parallel else ".weight"
                 add(p + "ffn_norm" + sfx, np.ones(n_embd, np.float32)
                     + rand(n_embd))
-            add_ffn(p, gated=per_ffn)  # nemotron_h: ungated relu^2
+            if moe_ffn:  # nemotron-h-moe latent MoE layer
+                add(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+                add(p + "exp_probs_b.bias", rand(n_expert))
+                addq(p + "ffn_latent_down.weight", rand(latent, n_embd))
+                addq(p + "ffn_latent_up.weight", rand(n_embd, latent))
+                addq(p + "ffn_up_exps.weight",
+                     rand(n_expert, n_ff, latent))
+                addq(p + "ffn_down_exps.weight",
+                     rand(n_expert, latent, n_ff))
+                addq(p + "ffn_up_shexp.weight", rand(ff_shexp, n_embd))
+                addq(p + "ffn_down_shexp.weight", rand(n_embd, ff_shexp))
+            else:
+                add_ffn(p, gated=per_ffn)  # nemotron_h: ungated relu^2
     w.write()
     return path
 
