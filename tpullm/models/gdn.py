@@ -102,11 +102,17 @@ def gdn_layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
         z = full[..., 2 * Dk + R * Dv:].reshape(B, T, Di)
         qkv = jnp.concatenate([qf, kf, vf], axis=-1)
 
-    # beta / alpha: (B,T,G,2R) -> sigmoid(b), gated decay from alpha
-    ba = _mm(h, p["ssm_ba"], dtype, layer=li).astype(jnp.float32)
-    ba = ba.reshape(B, T, G, 2 * R)
-    beta = jax.nn.sigmoid(ba[..., :R]).reshape(B, T, H)
-    alpha = ba[..., R:].reshape(B, T, H)
+    # beta / alpha -> sigmoid(b), gated decay g = ssm_a * softplus(a+dt_b)
+    tile_heads = "ssm_beta" in p
+    if tile_heads:  # qwen35: SEPARATE per-v-head projections
+        beta = jax.nn.sigmoid(
+            _mm(h, p["ssm_beta"], dtype, layer=li).astype(jnp.float32))
+        alpha = _mm(h, p["ssm_alpha"], dtype, layer=li).astype(jnp.float32)
+    else:  # qwen3next fused ssm_ba: (B,T,G,2R) interleave
+        ba = _mm(h, p["ssm_ba"], dtype, layer=li).astype(jnp.float32)
+        ba = ba.reshape(B, T, G, 2 * R)
+        beta = jax.nn.sigmoid(ba[..., :R]).reshape(B, T, H)
+        alpha = ba[..., R:].reshape(B, T, H)
     g = p["ssm_a"][li].astype(jnp.float32) * jax.nn.softplus(
         alpha + p["ssm_dt_b"][li].astype(jnp.float32))
     decay = jnp.exp(g)
@@ -126,9 +132,17 @@ def gdn_layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
     k = _l2_norm(qkv[..., key_dim:2 * key_dim].reshape(B, T, G, Dk),
                  cfg.rms_eps)
     v = qkv[..., 2 * key_dim:].reshape(B, T, H, Dv)
-    if R > 1:  # repeat-interleave k-heads to the v-head count (h = g*R + r)
-        q = jnp.repeat(q, R, axis=2)
-        k = jnp.repeat(k, R, axis=2)
+    if R > 1:
+        if tile_heads:
+            # qwen35 uses plain ggml_repeat_4d: cyclic TILE (h = r*G + g,
+            # src/models/qwen35.cpp:420-424)
+            q = jnp.tile(q, (1, 1, R, 1))
+            k = jnp.tile(k, (1, 1, R, 1))
+        else:
+            # qwen3next repeat-INTERLEAVES (h = g*R + r, the reshape
+            # trick at src/models/qwen3next.cpp:520-530)
+            q = jnp.repeat(q, R, axis=2)
+            k = jnp.repeat(k, R, axis=2)
     q = q * (1.0 / jnp.sqrt(jnp.float32(Dk)))
 
     s0 = ssm_state.reshape(B, H, Dv, Dk)

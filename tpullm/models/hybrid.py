@@ -228,7 +228,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
         L_g = next(iter(gl.values())).shape[0]
-        is_gdn = "ssm_ba" in gl  # gated delta net (qwen3next)
+        is_gdn = ("ssm_ba" in gl or "ssm_beta" in gl)  # gated delta net (qwen3next/qwen35)
         is_shortconv = "shortconv_in" in qw  # lfm2 conv mixer
         recurrent = "ssm_in" in qw or is_gdn or is_shortconv
         # gdn layers reuse the attn_qkv projection name for their packed

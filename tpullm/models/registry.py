@@ -244,6 +244,17 @@ ARCH_REGISTRY: dict[str, dict] = {
     "qwen3next": dict(rope_type="neox", attn_qk_norm=True,
                       attn_out_gate=True, hybrid_rope=True,
                       expert_weights_norm=True, full_attn_interval=4),
+    # qwen35 / qwen35moe (src/models/qwen35.cpp, qwen35moe.cpp): the
+    # qwen3next hybrid shape with SEPARATE beta/alpha GDN projections
+    # (TILED k-head repeat via plain ggml_repeat, not interleave), M-RoPE
+    # sections on the full-attention layers (text reduces to neox), dense
+    # silu FFN (qwen35) or renorm-softmax MoE + sigmoid-gated shared
+    # expert (qwen35moe)
+    "qwen35": dict(rope_type="neox", attn_qk_norm=True, attn_out_gate=True,
+                   hybrid_rope=True, full_attn_interval=4),
+    "qwen35moe": dict(rope_type="neox", attn_qk_norm=True,
+                      attn_out_gate=True, hybrid_rope=True,
+                      expert_weights_norm=True, full_attn_interval=4),
     # minimax-m2 (src/models/minimax-m2.cpp): flat (full-row) qk RMS before
     # rope, every layer MoE with router probs bias
     "minimax-m2": dict(rope_type="neox", attn_qk_norm_flat=True),

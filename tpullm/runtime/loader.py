@@ -122,6 +122,9 @@ LAYER_TENSORS = {
     # [q|k|v] projection reuses attn_qkv; attn_gate is the z gate
     "attn_gate.weight": "wqkv_gate",
     "ssm_ba.weight": "ssm_ba",
+    # qwen35 split beta/alpha projections (src/models/qwen35.cpp:79-80)
+    "ssm_beta.weight": "ssm_beta",
+    "ssm_alpha.weight": "ssm_alpha",
     # RWKV6 family — src/models/rwkv6.cpp / rwkv6qwen2.cpp load_arch_tensors
     "time_mix_lerp_x.weight": "tm_lerp_x",
     "time_mix_lerp_w.weight": "tm_lerp_w",

@@ -1325,6 +1325,130 @@ def build_openelm_gguf(
     return path
 
 
+def build_qwen35_gguf(
+    path: str,
+    *,
+    moe: bool = False,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    full_attn_interval: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_k_heads: int = 2,
+    n_v_heads: int = 4,
+    n_ff: int = 96,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 48,
+    n_ff_shexp: int = 64,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic qwen35 / qwen35moe checkpoint (src/models/qwen35.cpp,
+    qwen35moe.cpp load_arch_tensors): GDN layers with SEPARATE beta/alpha
+    projections + split attn_qkv/attn_gate, M-RoPE'd gated full attention
+    every full_attn_interval-th layer, dense silu FFN (qwen35) or MoE +
+    sigmoid-gated shared expert (qwen35moe)."""
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    d_inner = n_v_heads * d_state
+    key_dim = d_state * n_k_heads
+    conv_dim = 2 * key_dim + d_inner
+    arch = "qwen35moe" if moe else "qwen35"
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", f"synth-{arch}")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_array(f"{arch}.rope.dimension_sections",
+                np.asarray([head_dim // 4, head_dim // 8, head_dim // 8, 0],
+                           np.int32))
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_uint32(f"{arch}.full_attention_interval", full_attn_interval)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_uint32(f"{arch}.ssm.state_size", d_state)
+    w.add_uint32(f"{arch}.ssm.time_step_rank", n_v_heads)
+    w.add_uint32(f"{arch}.ssm.group_count", n_k_heads)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    if moe:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count", n_expert_used)
+        w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff_exp)
+        w.add_uint32(f"{arch}.expert_shared_feed_forward_length", n_ff_shexp)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        full_attn = (i + 1) % full_attn_interval == 0
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "post_attention_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        if full_attn:
+            addq(p + "attn_q.weight", rand(n_head * head_dim * 2, n_embd))
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+            add(p + "attn_q_norm.weight", np.ones(head_dim, np.float32)
+                + rand(head_dim))
+            add(p + "attn_k_norm.weight", np.ones(head_dim, np.float32)
+                + rand(head_dim))
+        else:
+            addq(p + "attn_qkv.weight", rand(conv_dim, n_embd))
+            addq(p + "attn_gate.weight", rand(d_inner, n_embd))
+            add(p + "ssm_conv1d.weight", rand(conv_dim, d_conv))
+            add(p + "ssm_dt.bias", rand(n_v_heads) + 0.5)
+            add(p + "ssm_a", -np.exp(rand(n_v_heads)))
+            addq(p + "ssm_beta.weight", rand(n_v_heads, n_embd))
+            addq(p + "ssm_alpha.weight", rand(n_v_heads, n_embd))
+            add(p + "ssm_norm.weight", np.ones(d_state, np.float32)
+                + rand(d_state))
+            addq(p + "ssm_out.weight", rand(n_embd, d_inner))
+        if moe:
+            add(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
+            addq(p + "ffn_gate_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_up_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff_exp))
+            add(p + "ffn_gate_inp_shexp.weight", rand(n_embd))
+            addq(p + "ffn_gate_shexp.weight", rand(n_ff_shexp, n_embd))
+            addq(p + "ffn_up_shexp.weight", rand(n_ff_shexp, n_embd))
+            addq(p + "ffn_down_shexp.weight", rand(n_embd, n_ff_shexp))
+        else:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+    w.write()
+    return path
+
+
 def build_qwen3next_gguf(
     path: str,
     *,
