@@ -241,6 +241,12 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
             _k(g, "{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0) / 0.1
     cfg.n_layer_dense_lead = int(
         _k(g, "{arch}.leading_dense_block_count", 0) or 0)
+    # NextN/MTP layers are preserved-but-unused in the reference (glm4moe/
+    # glm-dsa TENSOR_SKIP, src/models/glm-dsa.cpp:81-85): the decode depth
+    # excludes them
+    nextn = int(_k(g, "{arch}.nextn_predict_layers", 0) or 0)
+    if nextn:
+        cfg.n_layer -= nextn
     es = _k(g, "{arch}.embedding_scale")
     if es is not None:
         cfg.embedding_scale = float(es)

@@ -211,6 +211,12 @@ ARCH_REGISTRY: dict[str, dict] = {
     # exaone-moe,dots1,bailingmoe,hunyuan-moe}.cpp) ----
     "ernie4_5-moe": dict(rope_type="norm"),
     "glm4moe": dict(rope_type="neox", attn_qk_norm=True),
+    # glm-dsa (src/models/glm-dsa.cpp): deepseek2's MLA graph verbatim
+    # (models.h:1013 `using graph = llama_model_deepseek2::graph`) +
+    # sigmoid-gated MoE w/ probs bias; the DSA indexer tensors are loaded
+    # but UNUSED by the reference graph (sparse top-k not implemented
+    # there) — mirrored here by ignoring them at load
+    "glm-dsa": dict(rope_type="neox", expert_gating="sigmoid"),
     "phimoe": dict(rope_type="neox", norm_type="layernorm"),
     "exaone-moe": dict(rope_type="neox", attn_qk_norm=True),
     "dots1": dict(rope_type="neox", attn_qk_norm=True),

@@ -69,6 +69,9 @@ class GenParams:
     # {token_id: bias} (OpenAI dict) or [[token_id, bias|false], ...]
     # (llama.cpp list form); false -> token banned
     logit_bias: dict | list | None = None
+    # opt-in infill sampler (llama_sampler_init_infill; requested via
+    # "samplers": [..., "infill"] like common/sampling.cpp:352)
+    infill_sampler: bool = False
 
     def sampler_config(self) -> SamplerConfig:
         greedy = self.temperature <= 0
@@ -824,6 +827,36 @@ class ServerContext:
         q /= q.sum()
         return int(r.rng.choice(allowed, p=q))
 
+    def _infill_sample(self, i: int) -> int:
+        """Host-side infill-sampler step for slot i (llama_sampler_infill,
+        src/llama-sampler.cpp:3609): softmax the carried logits, filter
+        candidates per the infill rules, then sample/argmax."""
+        from ..ops.infill import infill_apply
+
+        r = self.rt[i]
+        logits = np.asarray(self._logits_buf[i], np.float64)
+        row = self._bias_row(r.task.params.logit_bias)
+        if row is not None:
+            logits = logits + row
+        p = r.task.params
+        if p.temperature > 0:
+            logits = logits / max(p.temperature, 1e-6)
+        q = np.exp(logits - logits.max())
+        q /= q.sum()
+        k = min(64, len(q))  # candidates beyond this have ~0 probability
+        cand = np.argpartition(-q, k - 1)[:k]
+        cand = cand[np.argsort(-q[cand])]
+        v = self.tok.vocab
+        eog = {t for t in (v.eos_id, v.eot_id) if t is not None}
+        pieces = [self.tok.decode([int(t)]).encode("utf-8", "replace")
+                  for t in cand]
+        is_eog = np.asarray([int(t) in eog for t in cand])
+        eot = v.eot_id if v.eot_id is not None else (v.eos_id or 0)
+        kids, kp = infill_apply(cand, q[cand], pieces, is_eog, int(eot))
+        if p.temperature <= 0:
+            return int(kids[int(np.argmax(kp))])
+        return int(r.rng.choice(kids, p=kp / kp.sum()))
+
     def _context_shift_overdue(self, n_steps: int):
         """Shift slots that would overflow the cache this chunk
         (update_slots' context-shift, tools/server/server-context.cpp:2168)."""
@@ -1021,13 +1054,20 @@ class ServerContext:
         gslots = [i for i in range(self.n_slots)
                   if self._active[i] and self.rt[i].constraint is not None
                   and not self.rt[i].awaiting_trigger]
+        islots = [i for i in range(self.n_slots)
+                  if self._active[i] and self.rt[i].task
+                  and self.rt[i].task.params.infill_sampler
+                  and i not in gslots]
         forced = np.zeros(self.n_slots, np.int32)
         use_forced = np.zeros(self.n_slots, bool)
         n_steps = self.decode_chunk
-        if gslots:
-            n_steps = 1  # grammar slots need per-token host filtering
+        if gslots or islots:
+            n_steps = 1  # host-filtered slots need per-token sampling
             for i in gslots:
                 forced[i] = self._grammar_sample(i)
+                use_forced[i] = True
+            for i in islots:
+                forced[i] = self._infill_sample(i)
                 use_forced[i] = True
         # spec->plain transition: a slot carrying an unwritten spec_prev
         # forces it as step 0's token (writing its KV) without re-emitting

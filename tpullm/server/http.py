@@ -71,6 +71,12 @@ def _gen_params(body: dict) -> GenParams:
             else:
                 pats.append(_re.escape(str(t)))
         p.grammar_triggers = tuple(x for x in pats if x)
+    # opt-in infill sampler: "samplers": [..., "infill"] (the reference
+    # chain member, common/sampling.cpp:352) or a direct boolean
+    samplers = body.get("samplers")
+    if (isinstance(samplers, list) and "infill" in samplers) \
+            or body.get("infill_sampler"):
+        p.infill_sampler = True
     if body.get("json_schema"):
         p.json_schema = body["json_schema"]
     rf = body.get("response_format")

@@ -1591,18 +1591,32 @@ def build_deepseek2_gguf(
     scale: float = 0.05,
     with_vocab: bool = True,
     gated: bool = True,
+    moe: bool = False,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 64,
+    n_expert_shared: int = 1,
+    indexer: tuple | None = None,  # (n_head, head_size, top_k) — glm-dsa
+    split_mla: bool = False,  # write split wk_b/wv_b + *_mla keys (is_mla)
+    dense_lead: int | None = None,
 ) -> str:
-    """Synthetic deepseek2 (MLA) checkpoint, all-dense FFN layers.
+    """Synthetic deepseek2 (MLA) checkpoint.
 
     q_lora=0 emits a direct attn_q projection and gated=False an ungated
     MLP — the plm tensor set (src/models/plm.cpp load_arch_tensors).
+    moe adds sigmoid-gated MoE layers after dense_lead leading dense ones
+    (+probs bias, shared expert); indexer adds the glm-dsa DSA indexer
+    tensors (loaded but unused by the reference graph, models.h:1013);
+    split_mla writes the SPLIT attn_k_b/attn_v_b (is_mla branch).
 
-    Writes the legacy UNSPLIT attn_kv_b (src/models/deepseek2.cpp non-is_mla
-    branch): the reference then evaluates the decompressed-MHA form while
-    tpullm runs the absorbed-MQA form — numerically the same attention, so
-    differential tests cross-check the MLA algebra end to end."""
+    Without split_mla, writes the legacy UNSPLIT attn_kv_b: the reference
+    then evaluates the decompressed-MHA form while tpullm runs the
+    absorbed-MQA form — numerically the same attention, so differential
+    tests cross-check the MLA algebra end to end."""
     rng = np.random.default_rng(seed)
     head_dim = qk_nope + qk_rope
+    if dense_lead is None:
+        dense_lead = 1 if moe else n_layer
     w = GGUFWriter(path, arch=arch)
     w.add_string("general.name", f"synth-{arch}")
     w.add_uint32(f"{arch}.context_length", n_ctx)
@@ -1610,9 +1624,21 @@ def build_deepseek2_gguf(
     w.add_uint32(f"{arch}.block_count", n_layer)
     w.add_uint32(f"{arch}.feed_forward_length", n_ff)
     w.add_uint32(f"{arch}.attention.head_count", n_head)
-    w.add_uint32(f"{arch}.attention.head_count_kv", n_head)
-    w.add_uint32(f"{arch}.attention.key_length", head_dim)
-    w.add_uint32(f"{arch}.attention.value_length", v_dim)
+    # MLA converts to MQA under absorption: the compressed cache has ONE
+    # kv head (convert_hf_to_gguf.py DeepseekV2Model add_head_count_kv(1))
+    w.add_uint32(f"{arch}.attention.head_count_kv",
+                 1 if split_mla else n_head)
+    if split_mla:
+        # MLA GGUF convention (convert_hf_to_gguf.py DeepseekV2Model):
+        # key/value_length carry the COMPRESSED cache head sizes, the
+        # *_mla keys the decompressed per-head q/v dims
+        w.add_uint32(f"{arch}.attention.key_length", kv_lora + qk_rope)
+        w.add_uint32(f"{arch}.attention.value_length", kv_lora)
+        w.add_uint32(f"{arch}.attention.key_length_mla", head_dim)
+        w.add_uint32(f"{arch}.attention.value_length_mla", v_dim)
+    else:
+        w.add_uint32(f"{arch}.attention.key_length", head_dim)
+        w.add_uint32(f"{arch}.attention.value_length", v_dim)
     w.add_uint32(f"{arch}.rope.dimension_count", qk_rope)
     w.add_float32(f"{arch}.rope.freq_base", 10000.0)
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
@@ -1620,10 +1646,21 @@ def build_deepseek2_gguf(
     if q_lora:
         w.add_uint32(f"{arch}.attention.q_lora_rank", q_lora)
     w.add_uint32(f"{arch}.attention.kv_lora_rank", kv_lora)
-    # all layers dense (no MoE tensors needed); keys the reference requires
-    w.add_uint32(f"{arch}.leading_dense_block_count", n_layer)
-    w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff)
-    w.add_uint32(f"{arch}.expert_shared_count", 0)
+    w.add_uint32(f"{arch}.leading_dense_block_count", dense_lead)
+    w.add_uint32(f"{arch}.expert_feed_forward_length",
+                 n_ff_exp if moe else n_ff)
+    w.add_uint32(f"{arch}.expert_shared_count",
+                 n_expert_shared if moe else 0)
+    if moe:
+        w.add_uint32(f"{arch}.expert_count", n_expert)
+        w.add_uint32(f"{arch}.expert_used_count", n_expert_used)
+        w.add_float32(f"{arch}.expert_weights_scale", 1.0)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+    if indexer is not None:
+        inh, ihs, itk = indexer
+        w.add_uint32(f"{arch}.attention.indexer.head_count", inh)
+        w.add_uint32(f"{arch}.attention.indexer.key_length", ihs)
+        w.add_uint32(f"{arch}.attention.indexer.top_k", itk)
     if with_vocab:
         add_spm_toy_vocab(w, vocab_size)
 
@@ -1650,12 +1687,44 @@ def build_deepseek2_gguf(
         addq(p + "attn_kv_a_mqa.weight", rand(kv_lora + qk_rope, n_embd))
         w.add_tensor(p + "attn_kv_a_norm.weight",
                      np.ones(kv_lora, np.float32) + rand(kv_lora))
-        addq(p + "attn_kv_b.weight", rand(n_head * (qk_nope + v_dim), kv_lora))
+        if split_mla:  # per-head split banks (deepseek2.cpp is_mla branch)
+            # ggml ne {qk_nope, kv_lora, n_head} -> numpy (n_head, kv_lora,
+            # qk_nope); {kv_lora, v_dim, n_head} -> (n_head, v_dim, kv_lora)
+            # f32: qk_nope (48) is not a Q8_0 block multiple
+            w.add_tensor(p + "attn_k_b.weight",
+                         rand(n_head, kv_lora, qk_nope))
+            w.add_tensor(p + "attn_v_b.weight", rand(n_head, v_dim, kv_lora))
+        else:
+            addq(p + "attn_kv_b.weight",
+                 rand(n_head * (qk_nope + v_dim), kv_lora))
         addq(p + "attn_output.weight", rand(n_embd, n_head * v_dim))
-        if gated:
-            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
-        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
-        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        if indexer is not None:
+            inh, ihs, _ = indexer
+            w.add_tensor(p + "indexer.k_norm.weight",
+                         np.ones(ihs, np.float32) + rand(ihs))
+            w.add_tensor(p + "indexer.k_norm.bias", rand(ihs))
+            addq(p + "indexer.proj.weight", rand(inh, n_embd))
+            addq(p + "indexer.attn_k.weight", rand(ihs, n_embd))
+            addq(p + "indexer.attn_q_b.weight", rand(inh * ihs, q_lora))
+        if moe and i >= dense_lead:
+            # decisive router: tiny random logits put sigmoid probs all at
+            # ~0.5 and make top-k selection a coin flip between engines —
+            # scale up so both engines route identically
+            w.add_tensor(p + "ffn_gate_inp.weight",
+                         rand(n_expert, n_embd) * 20.0)
+            w.add_tensor(p + "exp_probs_b.bias", rand(n_expert))
+            addq(p + "ffn_gate_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_up_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff_exp))
+            sh = n_ff_exp * n_expert_shared
+            addq(p + "ffn_gate_shexp.weight", rand(sh, n_embd))
+            addq(p + "ffn_up_shexp.weight", rand(sh, n_embd))
+            addq(p + "ffn_down_shexp.weight", rand(n_embd, sh))
+        else:
+            if gated:
+                addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
     w.write()
     return path
 
