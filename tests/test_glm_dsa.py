@@ -53,21 +53,18 @@ def test_reference_greedy_parity(model):
     path, (cfg, params, g) = model
     from tpullm.tokenizer import Tokenizer
 
+    from tests.test_reference_parity import _ref_greedy_pieces
+
     tok = Tokenizer.from_gguf(g)
-    prompt, n = "abc tok4", 6
-    out = subprocess.run(
-        [os.path.join(REF_BIN, "llama-completion"), "-m", path, "-p", prompt,
-         "-n", str(n), "--temp", "0", "--no-warmup", "-t", "1"],
-        capture_output=True, timeout=300, stdin=subprocess.DEVNULL)
-    assert out.returncode == 0, out.stderr.decode(errors="replace")[-1500:]
-    ref_cont = out.stdout.decode("utf-8", errors="replace").split(
-        prompt, 1)[-1].strip("\n")
-    # teacher-forced margins (the test_reference_parity MLA methodology):
-    # the reference integer-dots Q8_K-quantized activations, so pure tie
-    # flips on a random model are expected — bound the logit margin and
-    # require majority argmax agreement instead of exact text
+    prompt, n = "abc tok4", 8
+    # piece-exact reference ids (no detok/retok ambiguity), then
+    # teacher-forced margins — the test_reference_parity MLA methodology
+    pieces = _ref_greedy_pieces(path, prompt, n)
+    assert len(pieces) >= n - 2, pieces
+    render = {t.replace("\u2581", " "): i
+              for i, t in enumerate(tok.vocab.tokens)}
+    c_ids = [render[p] for p in pieces]
     ids = tok.encode(prompt, add_special=True)
-    c_ids = tok.encode(ref_cont, add_special=False)
     full = ids + c_ids
     cache = KVCache.create(cfg, 1, len(full) + 1)
     lg, _ = forward(
