@@ -278,6 +278,10 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     cfg.ssm_d_state = int(_k(g, "{arch}.ssm.state_size", 0))
     cfg.ssm_dt_rank = int(_k(g, "{arch}.ssm.time_step_rank", 0))
     cfg.ssm_n_group = int(_k(g, "{arch}.ssm.group_count", 0))
+    kda_hd = int(_k(g, "{arch}.kda.head_dim", 0) or 0)
+    if kda_hd:  # kimi-linear KDA: state/conv sizes derive from head_dim
+        cfg.ssm_d_state = kda_hd
+        cfg.ssm_d_inner = cfg.n_head * kda_hd
     cfg.ssm_dt_b_c_rms = bool(_k(g, "{arch}.ssm.dt_b_c_rms", False))
     # encoder models: pooling enum (llama.h LLAMA_POOLING_TYPE_*) + causality
     _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}

@@ -67,6 +67,100 @@ def _delta_scan(s0, q, k, v, decay, beta):
     return o.transpose(1, 0, 2, 3), s
 
 
+def _kda_scan(s0, q, k, v, decay, beta):
+    """Kimi Delta Attention recurrence: per-KEY-CHANNEL decay
+    (ggml_compute_forward_gated_delta_net_one_chunk kda branch,
+    ggml/src/ggml-cpu/ops.cpp:10570-10600).
+
+    s0 (B,H,Dv,Dk); q/k (B,T,H,Dk) q pre-scaled; v (B,T,H,Dv);
+    decay (B,T,H,Dk) = exp(g); beta (B,T,H)."""
+    B, T, H, Dk = q.shape
+
+    def step(s, inp):
+        qt, kt, vt, dt_, bt = inp
+        s = s * dt_[..., None, :]                     # diag decay over Dk
+        ks = jnp.einsum("bhk,bhjk->bhj", kt, s)       # k^T S
+        d = (vt - ks) * bt[..., None]
+        s = s + d[..., :, None] * kt[..., None, :]
+        o = jnp.einsum("bhk,bhjk->bhj", qt, s)
+        return s, o
+
+    if T == 1:
+        s, o = step(s0, (q[:, 0], k[:, 0], v[:, 0], decay[:, 0], beta[:, 0]))
+        return o[:, None], s
+
+    xs = (q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+          v.transpose(1, 0, 2, 3), decay.transpose(1, 0, 2, 3),
+          beta.transpose(1, 0, 2))
+    s, o = jax.lax.scan(step, s0, xs)
+    return o.transpose(1, 0, 2, 3), s
+
+
+def kda_layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
+              pad_mask=None, n_valid=None):
+    """Kimi Delta Attention block (src/models/kimi-linear.cpp:288-375):
+    separate q/k/v projections each through its own silu'd causal conv
+    (shared 3*d_inner conv state bank, Q|K|V slices), l2-normed q/k,
+    per-key-channel decay g1 = ssm_a[h] * softplus(f_b(f_a(h)) + dt_b),
+    sigmoid beta per head, delta-rule recurrence, then a SIGMOID-gated
+    per-head RMS output norm (g2 = g_b(g_a(h))) and the wo projection."""
+    from .mamba import _causal_conv
+
+    B, T, D = x.shape
+    hd = cfg.ssm_d_state      # kda.head_dim
+    H = cfg.n_head
+    Di = H * hd
+
+    h = rms_norm(x, p["attn_norm"][li], cfg.rms_eps)
+    z0 = jnp.zeros((Di,), jnp.float32)
+
+    outs, tails = [], []
+    for j, (wkey, ckey) in enumerate((("wq", "ssm_conv_q"),
+                                      ("wk", "ssm_conv_k"),
+                                      ("wv", "ssm_conv_v"))):
+        xp = _mm(h, p[wkey], dtype, layer=li)  # (B,T,Di)
+        if pad_mask is not None:
+            xp = jnp.where(pad_mask[..., None], 0, xp)
+        cw = p[ckey][li].reshape(Di, -1)  # (Di, d_conv)
+        tail_j = conv_tail[:, j * Di:(j + 1) * Di]
+        y, nt = _causal_conv(xp, tail_j, cw, z0, n_valid)
+        outs.append(jax.nn.silu(y.astype(jnp.float32)))
+        tails.append(nt)
+    new_tail = jnp.concatenate(tails, axis=1)
+
+    q = _l2_norm(outs[0].reshape(B, T, H, hd), cfg.rms_eps)
+    k = _l2_norm(outs[1].reshape(B, T, H, hd), cfg.rms_eps)
+    v = outs[2].reshape(B, T, H, hd)
+
+    # g1: low-rank decay, per (head, channel)
+    f = _mm(_mm(h, p["ssm_f_a"], dtype, layer=li), p["ssm_f_b"], dtype,
+            layer=li).astype(jnp.float32)  # (B,T,Di)
+    g1 = jax.nn.softplus(f + p["ssm_dt_b"][li].astype(jnp.float32))
+    g1 = g1.reshape(B, T, H, hd) * p["ssm_a"][li].reshape(H, 1)[None, None]
+    decay = jnp.exp(g1)
+    beta = jax.nn.sigmoid(
+        _mm(h, p["ssm_beta"], dtype, layer=li).astype(jnp.float32))
+
+    if pad_mask is not None:
+        decay = jnp.where(pad_mask[..., None, None], 1.0, decay)
+        beta = jnp.where(pad_mask[..., None], 0.0, beta)
+
+    q = q * (1.0 / jnp.sqrt(jnp.float32(hd)))
+    s0 = ssm_state.reshape(B, H, hd, hd)
+    o, s = _kda_scan(s0, q, k, v, decay, beta)
+
+    # sigmoid-gated per-head-dim RMS norm (FusedRMSNormGated w/ sigmoid)
+    g2 = _mm(_mm(h, p["ssm_g_a"], dtype, layer=li), p["ssm_g_b"], dtype,
+             layer=li).astype(jnp.float32).reshape(B, T, H, hd)
+    o = rms_norm(o, p["ssm_norm"][li].astype(jnp.float32), cfg.rms_eps)
+    o = (o * jax.nn.sigmoid(g2)).reshape(B, T, Di).astype(dtype)
+
+    out = _mm(o, p["wo"], dtype, layer=li)
+    if "cvec" in p:
+        out = out + p["cvec"][li].astype(out.dtype)
+    return out, new_tail, s.reshape(B, Di, hd)
+
+
 def gdn_layer(x, li, p, cfg: ModelConfig, conv_tail, ssm_state, dtype,
               pad_mask=None, n_valid=None):
     """One gated-delta-net block on (B,T,D); returns (out, new_tail, new_ssm).

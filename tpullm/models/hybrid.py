@@ -30,7 +30,7 @@ import numpy as np
 
 from ..ops.qtensor import QTensor
 from .config import ModelConfig
-from .gdn import gdn_layer
+from .gdn import gdn_layer, kda_layer
 from .llama import attention, ffn, moe_ffn, rms_norm
 from .mamba import (RecurrentState, _layer as mamba_layer,
                     _layer2 as mamba2_layer, _layer_plamo2 as plamo2_layer,
@@ -93,10 +93,16 @@ class HybridState:
                dtype=jnp.bfloat16):
         n_attn = len(attn_layer_ids(cfg))
         n_rec = recurrent_layer_count(cfg)
-        hkv = (cfg.n_head_kv if cfg.hybrid_parallel
-               else max(cfg.kv_head_pattern))
-        k = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim), dtype)
-        v = jnp.zeros((n_attn, batch, hkv, max_len, cfg.head_dim_v), dtype)
+        if cfg.kv_lora_rank:
+            # MLA attention layers (kimi-linear): the cache holds the
+            # compressed [c_kv; k_pe] as one MQA head (KVCache MLA branch)
+            hkv, dk, dv = 1, cfg.kv_lora_rank + cfg.rope_dim, cfg.kv_lora_rank
+        else:
+            hkv = (cfg.n_head_kv if cfg.hybrid_parallel
+                   else max(cfg.kv_head_pattern))
+            dk, dv = cfg.head_dim, cfg.head_dim_v
+        k = jnp.zeros((n_attn, batch, hkv, max_len, dk), dtype)
+        v = jnp.zeros((n_attn, batch, hkv, max_len, dv), dtype)
         if n_rec == 0:  # deci/openelm: attention-only, dummy banks
             return HybridState(k, v, jnp.zeros((1, batch, 1, 1), dtype),
                                jnp.zeros((1, batch, 1, 1), jnp.float32))
@@ -209,6 +215,61 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             o = o + p["wo_b"].astype(o.dtype)
         return o, (k_cache, v_cache)
 
+    def mla_part(x, p, qw, kv, li):
+        """Ropeless absorbed-MQA MLA (kimi-linear MLA layers,
+        src/models/kimi-linear.cpp:378-441): q (optionally q-lora'd) splits
+        into nope/pe, nope absorbs through wk_b into the compressed space,
+        the cache stores [c_kv; k_pe] as one MQA head, and wv_b lifts the
+        attention output back out. No rope anywhere (rotary_emb=None)."""
+        from .llama import _mm
+
+        h = rms_norm(x, p["attn_norm"], cfg.rms_eps)
+        H = cfg.n_head
+        lora, rd = cfg.kv_lora_rank, cfg.rope_dim
+        nope = cfg.head_dim - rd
+        if "wq_a" in qw:
+            qa = rms_norm(_mm(h, qw["wq_a"], dtype, li), p["q_a_norm"],
+                          cfg.rms_eps)
+            q = _mm(qa, qw["wq_b"], dtype, li)
+        else:
+            q = _mm(h, qw["wq"], dtype, li)
+        q = q.reshape(B, T, H, cfg.head_dim)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        ckv = _mm(h, qw["wkv_a"], dtype, li)  # (B,T,lora+rd)
+        kv_c = rms_norm(ckv[..., :lora], p["kv_a_norm"], cfg.rms_eps)
+        k_pe = ckv[..., lora:]
+        # absorb: q_abs[l] = sum_n wk_b[h,l,n] q_nope[n]
+        q_abs = jnp.einsum("bthn,hln->bthl",
+                           q_nope.astype(jnp.float32),
+                           p["wk_b"]).astype(dtype)
+        qq = jnp.concatenate([q_abs, q_pe], axis=-1)  # (B,T,H,lora+rd)
+        k_new = jnp.concatenate([kv_c, k_pe], -1).reshape(B, T, 1, lora + rd)
+        v_new = kv_c.reshape(B, T, 1, lora)
+        k_cache, v_cache = kv
+        kt = k_new.transpose(0, 2, 1, 3)
+        vt = v_new.transpose(0, 2, 1, 3)
+        if uniform:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kt.astype(k_cache.dtype), (0, 0, cache_pos[0], 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vt.astype(v_cache.dtype), (0, 0, cache_pos[0], 0))
+        else:
+            rows = jnp.arange(B)[:, None, None]
+            hh = jnp.arange(1)[None, :, None]
+            k_cache = k_cache.at[rows, hh, q_slots[:, None, :]].set(
+                kt.astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, hh, q_slots[:, None, :]].set(
+                vt.astype(v_cache.dtype))
+        import math as _math
+
+        att = attention(qq, k_cache.astype(dtype), v_cache.astype(dtype),
+                        q_slots, kv_positions, positions, valid_from, cfg,
+                        scale=1.0 / _math.sqrt(cfg.head_dim))  # (B,T,H,lora)
+        o = jnp.einsum("bthl,hvl->bthv", att.astype(jnp.float32),
+                       p["wv_b"]).astype(dtype)
+        o = _mm(o.reshape(B, T, H * cfg.head_dim_v), qw["wo"], dtype, li)
+        return o, (k_cache, v_cache)
+
     def ffn_part(x, p, qw, li, norm_key):
         """norm -> FFN/MoE -> [post-norm] -> residual (granite scale)."""
         h2 = rms_norm(x, p[norm_key], cfg.rms_eps)
@@ -233,11 +294,13 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
         recurrent = "ssm_in" in qw or is_gdn or is_shortconv
         # gdn layers reuse the attn_qkv projection name for their packed
         # [q|k|v]; they are NOT attention layers
-        has_attn = ("wq" in qw or "wqkv" in qw
-                    or "wqkv_cat" in qw) and not is_gdn
+        has_attn = ("wq" in qw or "wq_a" in qw or "wqkv" in qw
+                    or "wqkv_cat" in qw) and not is_gdn \
+            and "ssm_f_a" not in gl
         has_ffn = ("ffn_up" in qw or "moe_gate_inp" in qw
                    or "ffn_up_exps" in qw)
         rec_fn = (shortconv_layer if is_shortconv
+                  else kda_layer if "ssm_f_a" in gl
                   else gdn_layer if is_gdn
                   else plamo2_layer if recurrent and "ssm_dt_norm" in gl
                   else mamba2_layer if recurrent and "ssm_norm" in gl
@@ -300,10 +363,12 @@ def forward(params, cfg: ModelConfig, tokens, positions, state: HybridState,
             new_ssm.append(ssms)
             r_off += L_g
         elif has_attn:
-            def astep(x, inp, qw=qw, fl_at=fl_at):
+            part = mla_part if "wkv_a" in qw else attn_part
+
+            def astep(x, inp, qw=qw, fl_at=fl_at, part=part):
                 li, kv0, kv1 = inp
-                p = fl_at(li)
-                o, (k2, v2) = attn_part(x, p, qw, (kv0, kv1), li)
+                p = fl_at(li)  # incl. the dense wk_b/wv_b MLA banks
+                o, (k2, v2) = part(x, p, qw, (kv0, kv1), li)
                 if cfg.post_norms and "post_attn_norm" in p:  # plamo2
                     o = rms_norm(o, p["post_attn_norm"], cfg.rms_eps)
                 x = x + o * res_s

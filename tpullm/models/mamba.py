@@ -62,6 +62,8 @@ def conv_channels(cfg: ModelConfig) -> int:
     """Mamba-2 convolves x, B, and C together (src/models/mamba-base.cpp
     build_mamba2_layer); Mamba-1 convolves only x. Group count > 0 marks
     the mamba-2 layout (hybrids: nemotron-h, granite-hybrid, falcon-h1)."""
+    if cfg.arch == "kimi-linear":  # separate Q|K|V conv states
+        return 3 * cfg.ssm_d_inner
     if cfg.arch == "mamba2" or cfg.ssm_n_group > 0:
         return cfg.ssm_d_inner + 2 * cfg.ssm_n_group * cfg.ssm_d_state
     return cfg.ssm_d_inner

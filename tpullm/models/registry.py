@@ -211,6 +211,11 @@ ARCH_REGISTRY: dict[str, dict] = {
     # exaone-moe,dots1,bailingmoe,hunyuan-moe}.cpp) ----
     "ernie4_5-moe": dict(rope_type="norm"),
     "glm4moe": dict(rope_type="neox", attn_qk_norm=True),
+    # kimi-linear (src/models/kimi-linear.cpp): KDA (per-key-channel-decay
+    # delta attention w/ separate q/k/v convs + sigmoid-gated output norm)
+    # on kv==0 layers, ROPELESS absorbed-MQA MLA on the rest, renormalized
+    # MoE + gated shared expert after a dense lead
+    "kimi-linear": dict(),
     # glm-dsa (src/models/glm-dsa.cpp): deepseek2's MLA graph verbatim
     # (models.h:1013 `using graph = llama_model_deepseek2::graph`) +
     # sigmoid-gated MoE w/ probs bias; the DSA indexer tensors are loaded

@@ -125,6 +125,14 @@ LAYER_TENSORS = {
     # qwen35 split beta/alpha projections (src/models/qwen35.cpp:79-80)
     "ssm_beta.weight": "ssm_beta",
     "ssm_alpha.weight": "ssm_alpha",
+    # kimi-linear KDA (src/models/kimi-linear.cpp:60-105)
+    "ssm_conv1d_q.weight": "ssm_conv_q",
+    "ssm_conv1d_k.weight": "ssm_conv_k",
+    "ssm_conv1d_v.weight": "ssm_conv_v",
+    "ssm_f_a.weight": "ssm_f_a",
+    "ssm_f_b.weight": "ssm_f_b",
+    "ssm_g_a.weight": "ssm_g_a",
+    "ssm_g_b.weight": "ssm_g_b",
     # RWKV6 family — src/models/rwkv6.cpp / rwkv6qwen2.cpp load_arch_tensors
     "time_mix_lerp_x.weight": "tm_lerp_x",
     "time_mix_lerp_w.weight": "tm_lerp_w",
@@ -309,8 +317,12 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 continue
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
-                "norm" in key or key.startswith("b") or key.endswith("_b")
+                "norm" in key or key.startswith("b")
+                # ssm_f_b/ssm_g_b are kimi-linear low-rank PROJECTIONS,
+                # not biases, despite the _b suffix
+                or (key.endswith("_b") and key not in ("ssm_f_b", "ssm_g_b"))
                 or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
+                           "ssm_conv_q", "ssm_conv_k", "ssm_conv_v",
                            "shortconv_conv",
                            "attn_sinks", "moe_gate_inp_shexp")
                 or key.startswith("tm_") and key not in ("tm_k", "tm_v",

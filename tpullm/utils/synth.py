@@ -1325,6 +1325,134 @@ def build_openelm_gguf(
     return path
 
 
+def build_kimi_linear_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    pattern: str = "kkma",  # k = KDA, a/m... only k and a are used
+    n_head: int = 4,
+    kda_head_dim: int = 16,
+    d_conv: int = 4,
+    qk_nope: int = 48,
+    qk_rope: int = 16,
+    v_dim: int = 32,
+    kv_lora: int = 64,
+    n_ff: int = 96,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    n_ff_exp: int = 64,
+    dense_lead: int = 1,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic kimi-linear checkpoint (src/models/kimi-linear.cpp
+    load_arch_tensors): KDA layers ('k') with separate q/k/v convs and
+    low-rank decay/gate projections; ropeless MLA layers ('a') with split
+    wk_b/wv_b; dense-lead then renormalized MoE + gated shared expert."""
+    rng = np.random.default_rng(seed)
+    Di = n_head * kda_head_dim
+    head_dim = qk_nope + qk_rope  # n_embd_head_k_mla
+    arch = "kimi-linear"
+    kinds = list(pattern.replace("m", "k"))
+    n_layer = len(kinds)
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-kimi-linear")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    # MLA absorbs to MQA: ONE kv head on attention layers, 0 marks KDA
+    kvp = [1 if k == "a" else 0 for k in kinds]
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kvp, np.uint32))
+    # MLA GGUF convention: compressed cache head sizes + *_mla keys
+    w.add_uint32(f"{arch}.attention.key_length", kv_lora + qk_rope)
+    w.add_uint32(f"{arch}.attention.value_length", kv_lora)
+    w.add_uint32(f"{arch}.attention.key_length_mla", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length_mla", v_dim)
+    w.add_uint32(f"{arch}.attention.kv_lora_rank", kv_lora)
+    w.add_uint32(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_uint32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_uint32(f"{arch}.kda.head_dim", kda_head_dim)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    w.add_uint32(f"{arch}.expert_count", n_expert)
+    w.add_uint32(f"{arch}.expert_used_count", n_expert_used)
+    w.add_uint32(f"{arch}.expert_feed_forward_length", n_ff_exp)
+    w.add_uint32(f"{arch}.expert_shared_count", 1)
+    w.add_uint32(f"{arch}.leading_dense_block_count", dense_lead)
+    w.add_float32(f"{arch}.expert_weights_scale", 1.0)
+    w.add_bool(f"{arch}.expert_weights_norm", True)
+    w.add_uint32(f"{arch}.expert_gating_func", 1)  # softmax
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    for i, kind in enumerate(kinds):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        if kind == "k":  # KDA layer
+            for nm in ("q", "k", "v"):
+                add(p + f"ssm_conv1d_{nm}.weight",
+                    rand(Di, 1, d_conv))  # ggml {d_conv, 1, d_inner}
+            addq(p + "attn_q.weight", rand(Di, n_embd))
+            addq(p + "attn_k.weight", rand(Di, n_embd))
+            addq(p + "attn_v.weight", rand(Di, n_embd))
+            addq(p + "ssm_f_a.weight", rand(kda_head_dim, n_embd))
+            addq(p + "ssm_f_b.weight", rand(Di, kda_head_dim))
+            addq(p + "ssm_beta.weight", rand(n_head, n_embd))
+            add(p + "ssm_a", -np.exp(rand(n_head, 1)))
+            add(p + "ssm_dt.bias", rand(Di) + 0.5)
+            addq(p + "ssm_g_a.weight", rand(kda_head_dim, n_embd))
+            addq(p + "ssm_g_b.weight", rand(Di, kda_head_dim))
+            add(p + "ssm_norm.weight", np.ones(kda_head_dim, np.float32)
+                + rand(kda_head_dim))
+            addq(p + "attn_output.weight", rand(n_embd, Di))
+        else:  # ropeless MLA layer (no q-lora in the synth)
+            addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+            addq(p + "attn_kv_a_mqa.weight", rand(kv_lora + qk_rope, n_embd))
+            add(p + "attn_kv_a_norm.weight",
+                np.ones(kv_lora, np.float32) + rand(kv_lora))
+            add(p + "attn_k_b.weight", rand(n_head, kv_lora, qk_nope))
+            add(p + "attn_v_b.weight", rand(n_head, v_dim, kv_lora))
+            addq(p + "attn_output.weight", rand(n_embd, n_head * v_dim))
+        add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        if i < dense_lead:
+            addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+            addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        else:
+            add(p + "ffn_gate_inp.weight", rand(n_expert, n_embd) * 20.0)
+            add(p + "exp_probs_b.bias", rand(n_expert))
+            addq(p + "ffn_gate_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_up_exps.weight", rand(n_expert, n_ff_exp, n_embd))
+            addq(p + "ffn_down_exps.weight", rand(n_expert, n_embd, n_ff_exp))
+            addq(p + "ffn_gate_shexp.weight", rand(n_ff_exp, n_embd))
+            addq(p + "ffn_up_shexp.weight", rand(n_ff_exp, n_embd))
+            addq(p + "ffn_down_shexp.weight", rand(n_embd, n_ff_exp))
+    w.write()
+    return path
+
+
 def build_qwen35_gguf(
     path: str,
     *,
