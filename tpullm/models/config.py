@@ -49,6 +49,7 @@ class ModelConfig:
     # attention details
     sliding_window: int = 0
     swa_pattern: int = 1  # every Nth layer is full-attention (1 = all full)
+    swa_layer_pattern: tuple = ()  # explicit per-layer is-SWA flags (mimo2)
     swa_chunked: bool = False  # llama4: chunk-aligned windows, not sliding
     swa_dense_first: bool = False  # smallthinker: layer il%p==0 is dense
     no_rope_offset: int = 1  # (li+offset) % interval == 0 -> no rope
@@ -90,6 +91,7 @@ class ModelConfig:
     # rope at a different frequency base (LLM_KV_ROPE_FREQ_BASE_SWA)
     rope_base_swa: float = 0.0
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
+    attn_out_scale: float = 0.0  # mimo2: scale on the attn OUTPUT (post-wo)
     clamp_kqv: float = 0.0
     # ALiBi position bias (mpt/bloom/jais/baichuan-13b families): slope_h *
     # (kv_pos - q_pos) added to scores (ggml_soft_max_ext max_bias semantics)
@@ -220,8 +222,6 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
         n_ff_exp=int(_k(g, "{arch}.expert_feed_forward_length", 0)),
         n_expert_shared=int(_k(g, "{arch}.expert_shared_count", 0)),
         sliding_window=int(_k(g, "{arch}.attention.sliding_window", 0)),
-        swa_pattern=int(_k(g, "{arch}.attention.sliding_window_pattern", 0)
-                        or 1),
         raw_kv=dict(g.metadata),
     )
     # MLA hparams (src/models/deepseek2.cpp load_arch_hparams): head_dim is
@@ -265,6 +265,14 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     cfg.kv_head_pattern = kv_pattern
     cfg.n_ff_pattern = ff_pattern
     cfg.head_pattern = head_pattern
+    # sliding_window_pattern: scalar period (gemma3-style) or a per-layer
+    # 0/1 ARRAY (mimo2/step35/gemma4 swa_layers via get_key_or_arr)
+    swp = _k(g, "{arch}.attention.sliding_window_pattern", 0)
+    if isinstance(swp, (list, tuple, np.ndarray)):
+        cfg.swa_layer_pattern = tuple(bool(x) for x in swp)
+        cfg.swa_pattern = 2  # any-swa marker for dual-cache gating
+    else:
+        cfg.swa_pattern = int(swp or 1)
     sect = _k(g, "{arch}.rope.dimension_sections")
     if sect is not None:
         cfg.mrope_sections = tuple(int(s) for s in sect)
@@ -303,6 +311,9 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     ls = _k(g, "{arch}.logit_scale")
     if ls is not None:
         cfg.logit_scale = float(ls)
+    vsc = _k(g, "{arch}.attention.value_scale")
+    if vsc is not None and float(vsc) != 1.0:  # mimo2 f_attn_value_scale
+        cfg.attn_out_scale = float(vsc)
     asc = _k(g, "{arch}.attention.scale")
     if asc is not None:
         cfg.attn_scale = float(asc)

@@ -28,6 +28,9 @@ def swa_flags(cfg: ModelConfig) -> list:
     """Per-layer is-SWA flags for interleaved local/global models
     (src/llama-hparams.h:132 set_swa_pattern: every swa_pattern-th layer
     is full attention)."""
+    if cfg.sliding_window and cfg.swa_layer_pattern:
+        # explicit per-layer flags (mimo2/step35/gemma4 swa_layers array)
+        return [bool(f) for f in cfg.swa_layer_pattern[:cfg.n_layer]]
     if cfg.sliding_window and cfg.swa_pattern > 1:
         if cfg.swa_dense_first:  # smallthinker: layer il%p==0 is dense
             return [(li % cfg.swa_pattern) != 0 for li in range(cfg.n_layer)]
@@ -1023,10 +1026,19 @@ def forward(
         att, kv = _attend(q, k, v, p, kv, li, lr)
         if cfg.attn_gate_proj and "wqkv_gate" in qw:
             # afmoe: attn_out * sigmoid(gate(attn_input)) BEFORE the output
-            # projection (src/models/afmoe.cpp:177-190)
+            # projection (src/models/afmoe.cpp:177-190); step35's g_proj is
+            # only (n_head,) wide — one sigmoid scalar per head
+            # (src/models/step35.cpp:177-196)
             gate = _mm(h, qw["wqkv_gate"], dtype, li)
-            att = (att.astype(jnp.float32)
-                   * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(dtype)
+            if gate.shape[-1] == cfg.n_head:
+                ab, at, _ = att.shape
+                a4 = att.reshape(ab, at, cfg.n_head, cfg.head_dim_v)
+                a4 = (a4.astype(jnp.float32) * jax.nn.sigmoid(
+                    gate.astype(jnp.float32))[..., None]).astype(dtype)
+                att = a4.reshape(ab, at, -1)
+            else:
+                att = (att.astype(jnp.float32)
+                       * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(dtype)
         if use_block:
             # one fused program: wo + residual + rmsnorm + gate/up + act +
             # down + residual (ops/layer_kernel.py) — the decode hot path
@@ -1049,6 +1061,8 @@ def forward(
             att = att + p["bo"].astype(dtype)
         if tp_axis:  # Megatron row-parallel wo: partial sums -> all-reduce
             att = jax.lax.psum(att.astype(jnp.float32), tp_axis).astype(dtype)
+        if cfg.attn_out_scale:  # mimo2 value_scale on the post-wo output
+            att = (att.astype(jnp.float32) * cfg.attn_out_scale).astype(dtype)
         if cfg.post_norms and "post_attn_norm" in p:
             att = _norm(att, p["post_attn_norm"], None, cfg)
         def _ffn(inp):

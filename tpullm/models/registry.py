@@ -211,6 +211,17 @@ ARCH_REGISTRY: dict[str, dict] = {
     # exaone-moe,dots1,bailingmoe,hunyuan-moe}.cpp) ----
     "ernie4_5-moe": dict(rope_type="norm"),
     "glm4moe": dict(rope_type="neox", attn_qk_norm=True),
+    # paddleocr (src/models/paddleocr.cpp): "same with qwen2vl.cpp, but
+    # bias tensors are optional" — M-RoPE text reduction applies
+    "paddleocr": dict(rope_type="neox", attn_bias=True),
+    # mimo2 (src/models/mimo2.cpp): per-layer SWA array + swa rope base,
+    # optional per-layer attention sinks, attention-output value scale,
+    # sigmoid MoE with probs bias, nextn trim
+    "mimo2": dict(rope_type="neox", expert_gating="sigmoid"),
+    # step35 (src/models/step35.cpp): qk norms, per-layer SWA array,
+    # per-HEAD sigmoid attention gate (g_proj -> (n_head,)), MoE + shexp
+    "step35": dict(rope_type="neox", attn_qk_norm=True,
+                   attn_gate_proj=True),
     # kimi-linear (src/models/kimi-linear.cpp): KDA (per-key-channel-decay
     # delta attention w/ separate q/k/v convs + sigmoid-gated output norm)
     # on kv==0 layers, ROPELESS absorbed-MQA MLA on the rest, renormalized

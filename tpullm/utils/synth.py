@@ -1885,6 +1885,11 @@ SYNTH_HINTS: dict[str, dict] = {
     "qwen": dict(fused_qkv="bias", double_ff=True),
     "plamo3": dict(fused_qkv=True, combined_gateup=True,
                    bare_post_norms=True),
+    "paddleocr": dict(),
+    "mimo2": dict(swa_layers=(1, 1, 0, 1), sinks=True, value_scale=0.9,
+                  moe=True, moe_probs_b=True, ff_exp=True),
+    "step35": dict(swa_layers=(1, 0, 1, 1), attn_gate_head=True,
+                   moe=True, moe_probs_b=True, moe_shexp=True, ff_exp=True),
     "gptneox": dict(ffn_norm_parallel=True),
     "arcee": dict(attn_scale_kv=0.125),
     # MoE family quirks: router probs bias, always-on shared experts,
@@ -1976,7 +1981,12 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
     w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_float32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     w.add_uint32(f"{arch}.vocab_size", vocab_size)
-    if hints.get("swa"):
+    if hints.get("swa_layers"):  # explicit per-layer 0/1 SWA array
+        w.add_uint32(f"{arch}.attention.sliding_window", 32)
+        w.add_array(f"{arch}.attention.sliding_window_pattern",
+                    np.asarray(hints["swa_layers"][:n_layer], np.uint32))
+        w.add_float32(f"{arch}.rope.freq_base_swa", 10000.0)
+    elif hints.get("swa"):
         win, pat = hints["swa"]
         w.add_uint32(f"{arch}.attention.sliding_window", win)
         w.add_uint32(f"{arch}.attention.sliding_window_pattern", pat)
@@ -1990,6 +2000,8 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
         w.add_float32(f"{arch}.logit_scale", hints["logit_scale"])
     if hints.get("attn_scale_kv"):
         w.add_float32(f"{arch}.attention.scale", hints["attn_scale_kv"])
+    if hints.get("value_scale"):  # mimo2 attention.value_scale
+        w.add_float32(f"{arch}.attention.value_scale", hints["value_scale"])
     if hints.get("residual_scale"):
         w.add_float32(f"{arch}.residual_scale", hints["residual_scale"])
     moe = hints.get("moe", arch.endswith("moe") or arch in ("mixtral", "dbrx"))
@@ -2136,8 +2148,10 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
                                         "post_attention_norm"), n_embd)
                 norm_pair(p + hints.get("post_ffn_name", "post_ffw_norm"),
                           n_embd)
-        if arch == "gpt-oss":
+        if arch == "gpt-oss" or hints.get("sinks"):
             w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
+        if hints.get("attn_gate_head"):  # step35 per-head g_proj
+            addq(p + "attn_gate.weight", rand(n_head, n_embd))
         if moe and i >= dense_lead:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             _add_quant_tensor(w, p + "ffn_gate_exps.weight",
