@@ -311,6 +311,12 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     ls = _k(g, "{arch}.logit_scale")
     if ls is not None:
         cfg.logit_scale = float(ls)
+    al = _k(g, "{arch}.rope.scaling.alpha")
+    if al is not None and float(al) > 0:
+        # XDRoPE / NTK-aware alpha: base *= alpha^(dim/(dim-2))
+        # (src/models/hunyuan-vl.cpp:8-12, hunyuan-moe alike)
+        d = float(cfg.rope_dim)
+        cfg.rope_base = cfg.rope_base * float(al) ** (d / (d - 2.0))
     vsc = _k(g, "{arch}.attention.value_scale")
     if vsc is not None and float(vsc) != 1.0:  # mimo2 f_attn_value_scale
         cfg.attn_out_scale = float(vsc)

@@ -211,6 +211,19 @@ ARCH_REGISTRY: dict[str, dict] = {
     # exaone-moe,dots1,bailingmoe,hunyuan-moe}.cpp) ----
     "ernie4_5-moe": dict(rope_type="norm"),
     "glm4moe": dict(rope_type="neox", attn_qk_norm=True),
+    # deepseek2-ocr (src/models/deepseek2ocr.cpp + deepseek2.cpp is_ocr
+    # branch): PLAIN MHA (no MLA) with full-head neox rope hardcoded in
+    # the graph, deepseek-style gated MoE + shared experts after a dense
+    # lead
+    "deepseek2-ocr": dict(rope_type="neox"),
+    # hunyuan_vl (src/models/hunyuan-vl.cpp): qwen2vl-shaped with
+    # POST-rope per-head qk RMS norms and XDRoPE alpha freq-base scaling
+    "hunyuan_vl": dict(rope_type="neox", attn_qk_norm=True,
+                       qk_norm_post_rope=True),
+    # cogvlm (src/models/cogvlm.cpp): fused-QKV llama block with a
+    # parallel VISION-EXPERT weight set (visexp_*) selected per token
+    # kind; text serving uses the language weights
+    "cogvlm": dict(rope_type="neox"),
     # paddleocr (src/models/paddleocr.cpp): "same with qwen2vl.cpp, but
     # bias tensors are optional" — M-RoPE text reduction applies
     "paddleocr": dict(rope_type="neox", attn_bias=True),

@@ -1886,6 +1886,10 @@ SYNTH_HINTS: dict[str, dict] = {
     "plamo3": dict(fused_qkv=True, combined_gateup=True,
                    bare_post_norms=True),
     "paddleocr": dict(),
+    "deepseek2-ocr": dict(moe=True, moe_shexp=True, moe_probs_b=True,
+                          dense_lead=1, ff_exp=True),
+    "hunyuan_vl": dict(),
+    "cogvlm": dict(fused_qkv=True, visexp=True),
     "mimo2": dict(swa_layers=(1, 1, 0, 1), sinks=True, value_scale=0.9,
                   moe=True, moe_probs_b=True, ff_exp=True),
     "step35": dict(swa_layers=(1, 0, 1, 1), attn_gate_head=True,
@@ -2152,6 +2156,14 @@ def build_arch_gguf(path: str, arch: str, *, vocab_size: int = 256,
             w.add_tensor(p + "attn_sinks.weight", rand(n_head) * 4.0)
         if hints.get("attn_gate_head"):  # step35 per-head g_proj
             addq(p + "attn_gate.weight", rand(n_head, n_embd))
+        if hints.get("visexp"):  # cogvlm vision-expert weight set
+            addq(p + "vis_attn_qkv.weight", rand(3 * n_head * head_dim,
+                                                 n_embd))
+            addq(p + "vis_attn_output.weight",
+                 rand(n_embd, n_head * head_dim))
+            addq(p + "vis_gate.weight", rand(n_ff, n_embd))
+            addq(p + "vis_up.weight", rand(n_ff, n_embd))
+            addq(p + "vis_down.weight", rand(n_embd, n_ff))
         if moe and i >= dense_lead:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_expert, n_embd))
             _add_quant_tensor(w, p + "ffn_gate_exps.weight",
