@@ -92,6 +92,22 @@ class ModelConfig:
     rope_base_swa: float = 0.0
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim)
     attn_out_scale: float = 0.0  # mimo2: scale on the attn OUTPUT (post-wo)
+    # gemma4/gemma3n: per-layer token-embedding stream width (0 = off)
+    n_embd_per_layer: int = 0
+    # gemma4/gemma3n: layers >= this REUSE the cache of layer
+    # n_kv_from_start - (2 if swa else 1) (llama-model.cpp:2005 reuse cb)
+    n_layer_kv_from_start: int = -1
+    gemma4_attn: bool = False  # weightless V norm, optional wv (v=k)
+    # gemma3n AltUp (src/models/gemma3n.cpp): the residual stream is a
+    # STACK of altup_n streams; stream altup_act runs the layer, a
+    # router-predicted mix corrects the rest (llama-hparams.h:189-193
+    # fixed defaults: n_altup=4, i_altup_act=0)
+    altup_n: int = 0
+    altup_act: int = 0
+    # gemma3n activation sparsity: first N layers relu-cut the FFN gate at
+    # mean + std*mul (models.h:735-736 fixed: 10, icdf(0.95))
+    n_layer_sparsity: int = 0
+    sparsity_std_mul: float = 1.6448533535003662
     clamp_kqv: float = 0.0
     # ALiBi position bias (mpt/bloom/jais/baichuan-13b families): slope_h *
     # (kv_pos - q_pos) added to scores (ggml_soft_max_ext max_bias semantics)
@@ -311,6 +327,16 @@ def config_from_gguf(g: GGUFFile) -> ModelConfig:
     ls = _k(g, "{arch}.logit_scale")
     if ls is not None:
         cfg.logit_scale = float(ls)
+    pl = _k(g, "{arch}.embedding_length_per_layer_input")
+    if pl:
+        cfg.n_embd_per_layer = int(pl)
+    shared_kv = _k(g, "{arch}.attention.shared_kv_layers")
+    if shared_kv:
+        cfg.n_layer_kv_from_start = cfg.n_layer - int(shared_kv)
+    if arch == "gemma3n":
+        # reference HARDCODES the altup geometry (gemma3n.cpp:9 +
+        # llama-hparams.h:189-193); the per-layer width still reads its key
+        cfg.n_layer_kv_from_start = min(20, cfg.n_layer)
     al = _k(g, "{arch}.rope.scaling.alpha")
     if al is not None and float(al) > 0:
         # XDRoPE / NTK-aware alpha: base *= alpha^(dim/(dim-2))

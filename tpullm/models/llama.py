@@ -88,10 +88,15 @@ class KVCache:
             dv = cfg.kv_lora_rank
         else:
             hkv, dk, dv = cfg.n_head_kv, cfg.head_dim, cfg.head_dim_v
-        flags = swa_flags(cfg)
+        # gemma4 shared-KV: only the leading n_layer_kv_from_start layers
+        # own cache rows; trailing layers reuse them (no banks allocated)
+        n_kv = (cfg.n_layer if cfg.n_layer_kv_from_start < 0
+                else cfg.n_layer_kv_from_start)
+        flags = swa_flags(cfg)[:n_kv]
         dual = (iswa and any(flags) and not cfg.swa_chunked
+                and not cfg.gemma4_attn
                 and not cfg.kv_lora_rank and dtype not in ("q8", "int8"))
-        n_full = cfg.n_layer - sum(flags) if dual else cfg.n_layer
+        n_full = n_kv - sum(flags) if dual else n_kv
         shape_k = (n_full, batch, hkv, max_len, dk)
         shape_v = (n_full, batch, hkv, max_len, dv)
         if dtype in ("q8", "int8"):
@@ -714,6 +719,52 @@ def forward(
         # bloom: layernorm directly on the embedding (tok_norm)
         x = _norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg)
     cos, sin = rope_cache(cfg, positions)
+    # per-layer SWA rope base (gemma-family freq_base_swa): SWA layers
+    # rope at a different frequency; selected per layer inside the scan
+    if cfg.rope_base_swa and cfg.rope_base_swa != cfg.rope_base:
+        import dataclasses as _dc
+
+        cfg_swa = _dc.replace(cfg, rope_base=cfg.rope_base_swa, raw_kv={})
+        cos_swa, sin_swa = rope_cache(cfg_swa, positions)
+    else:
+        cos_swa, sin_swa = cos, sin
+    swa_arr = jnp.asarray(swa_flags(cfg), jnp.bool_) if cfg.sliding_window \
+        else jnp.zeros((cfg.n_layer,), jnp.bool_)
+
+    # gemma4 per-layer token-embedding stream (gemma4.cpp
+    # build_inp_per_layer + project_per_layer_inputs): gathered per-layer
+    # embeddings merge with a projection of the scaled input, one (B,T,P)
+    # slice threaded to each layer through the scan xs
+    pli_all = None
+    if "per_layer_tok_embd" in params and cfg.n_embd_per_layer:
+        import math as _math
+
+        P, L_all = cfg.n_embd_per_layer, cfg.n_layer
+        if embeds is not None:  # multimodal rows use the pad-token row
+            ple = params["per_layer_tok_embd"].take_rows(
+                jnp.zeros((B, T), jnp.int32), dtype)
+        else:
+            ple = params["per_layer_tok_embd"].take_rows(tokens, dtype)
+        ple = (ple.astype(jnp.float32).reshape(B, T, L_all, P)
+               * _math.sqrt(P))
+        proj = _mm(x, params["per_layer_model_proj"], dtype)
+        proj = (proj.astype(jnp.float32)
+                / _math.sqrt(cfg.n_embd)).reshape(B, T, L_all, P)
+        proj = rms_norm(proj, params["per_layer_proj_norm"], cfg.rms_eps)
+        pli_all = (((proj.astype(jnp.float32) + ple) / _math.sqrt(2.0))
+                   .astype(dtype).transpose(2, 0, 1, 3))  # (L, B, T, P)
+    if cfg.altup_n > 1:
+        # gemma3n altup stream expansion (gemma3n.cpp:119-130): project the
+        # single input stream to altup_n-1 extra streams, each rescaled to
+        # the input's per-token L2 magnitude; pack as (B, T, A*D)
+        xf = x.astype(jnp.float32)
+        tm = jnp.sqrt((xf ** 2).sum(-1, keepdims=True))  # (B,T,1)
+        added = jnp.einsum("btd,jkd->btjk", xf,
+                           params["altup_proj"].astype(jnp.float32))
+        nm = jnp.sqrt((added ** 2).sum(-1, keepdims=True))
+        added = added * (tm[..., None] / nm)
+        x = (jnp.concatenate([xf[..., None, :], added], axis=-2)
+             .reshape(B, T, -1).astype(dtype))
 
     S = cache.max_len
     uniform = jnp.ndim(cache_pos) == 0 and slot0 is None and B == cache.k.shape[1]
@@ -746,6 +797,8 @@ def forward(
 
     # per-run free variables, rebound before each scan trace (iSWA dual)
     ring_run = False
+    g_off = 0  # global layer offset of the current group (swa_arr index)
+    shared_banks = None  # gemma4 shared-KV runs: (k_full, v_full, k_swa, v_swa)
 
     def _store(bank, val, lr, bi=None, si=None, wrap=False):
         # bank layer-stacked head-major (L, Bc, Hkv, S[, D]); val
@@ -797,11 +850,19 @@ def forward(
             else:
                 q = rms_norm(q, p["q_norm"], cfg.rms_eps)
                 k = rms_norm(k, p["k_norm"], cfg.rms_eps)
+        if cfg.gemma4_attn:
+            # gemma4: WEIGHTLESS rms-norm on V (gemma4.cpp:229)
+            v = rms_norm(v, None, cfg.rms_eps)
         if not cfg.use_rope:
             q_r, k_r = q, k
         else:
-            q_r = apply_rope(q, cos, sin, cfg.rope_type, cfg.rope_dim)
-            k_r = apply_rope(k, cos, sin, cfg.rope_type, cfg.rope_dim)
+            cos_l, sin_l = cos, sin
+            if cos_swa is not cos and li is not None:
+                sw = swa_arr[li + g_off]
+                cos_l = jnp.where(sw, cos_swa, cos)
+                sin_l = jnp.where(sw, sin_swa, sin)
+            q_r = apply_rope(q, cos_l, sin_l, cfg.rope_type, cfg.rope_dim)
+            k_r = apply_rope(k, cos_l, sin_l, cfg.rope_type, cfg.rope_dim)
         if cfg.attn_qk_norm and cfg.qk_norm_post_rope:  # maincoder
             q_r = rms_norm(q_r, p["q_norm"], cfg.rms_eps)
             k_r = rms_norm(k_r, p["k_norm"], cfg.rms_eps)
@@ -872,8 +933,11 @@ def forward(
             # interleaved local/global layers (gemma2/3, cohere2 style:
             # every swa_pattern-th layer is full attention,
             # src/llama-hparams.h:132 set_swa_pattern) — the window is a
-            # traced per-layer value so one compiled graph covers both
-            is_swa_l = ((li + 1) % cfg.swa_pattern) != 0
+            # traced per-layer value so one compiled graph covers both;
+            # explicit per-layer arrays (mimo2/step35/gemma4 swa_layers)
+            # index the flag table instead of the modular formula
+            is_swa_l = (swa_arr[li + g_off] if cfg.swa_layer_pattern
+                        else ((li + 1) % cfg.swa_pattern) != 0)
             window = jnp.where(is_swa_l, cfg.sliding_window, 1 << 30)
             att = attention(q, k_view, v_view, q_slots, kv_positions,
                             positions, valid_from, cfg, True,
@@ -884,6 +948,27 @@ def forward(
                             positions, valid_from, cfg, is_swa, sinks=sinks,
                             kv_q8=kv_q8)
         return att.reshape(B, T, cfg.n_head * cfg.head_dim_v), kv
+
+    def _attend_shared(h, p, li):
+        """Q-only attention over the shared_banks views (gemma4/gemma3n
+        trailing shared-KV layers, gemma3n.cpp:177-193): per-layer swa rope
+        base + window select, no KV write. Returns post-wo (B,T,n_embd)."""
+        q = _mm(h, qw["wq"], dtype, li)
+        q = q.reshape(B, T, cfg.n_head, cfg.head_dim)
+        if cfg.attn_qk_norm and "q_norm" in p:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+        sw = swa_arr[li + g_off]
+        cos_l = jnp.where(sw, cos_swa, cos)
+        sin_l = jnp.where(sw, sin_swa, sin)
+        q = apply_rope(q, cos_l, sin_l, cfg.rope_type, cfg.rope_dim)
+        kf, vf, ksw, vsw = shared_banks
+        k_view = jnp.where(sw, ksw, kf).astype(dtype)
+        v_view = jnp.where(sw, vsw, vf).astype(dtype)
+        window = jnp.where(sw, cfg.sliding_window or (1 << 30), 1 << 30)
+        att = attention(q, k_view, v_view, q_slots, kv_positions,
+                        positions, valid_from, cfg, True, window=window)
+        att = att.reshape(B, T, cfg.n_head * cfg.head_dim_v)
+        return _mm(att, qw["wo"], dtype, li)
 
     def _attend_mla(h, p, kv, li, lr=None):
         """MLA attention in the absorbed-MQA form (deepseek2.cpp is_mla):
@@ -954,6 +1039,19 @@ def forward(
                        p["wv_b"]).astype(dtype)
         return o.reshape(B, T, H * cfg.head_dim_v), kv
 
+    def _per_layer_embd(x, p, li):
+        """gemma4 per-layer token-embedding block (gemma4.cpp:338-359):
+        x + post_norm(proj(gelu(inp_gate(x)) * pli_l)). No-op for models
+        without the per-layer stream."""
+        if "per_layer_inp_gate" not in qw or "pli" not in p:
+            return x
+        g = jax.nn.gelu(_mm(x, qw["per_layer_inp_gate"], dtype, li)
+                        .astype(jnp.float32), approximate=True)
+        cur = (g * p["pli"].astype(jnp.float32)).astype(dtype)
+        cur = _mm(cur, qw["per_layer_proj"], dtype, li)
+        cur = rms_norm(cur, p["per_layer_post_norm"], cfg.rms_eps)
+        return x + cur
+
     def layer_fold(carry, inp):
         """One-program-per-layer path: the megakernel emitted this layer's
         fused qkv already; attention runs in XLA; the kernel then does
@@ -970,9 +1068,89 @@ def forward(
             x = x + p["cvec"].astype(dtype)
         return (x, y_next, kv), None
 
+    def _altup_layer(x, kv, p, li, lr):
+        """gemma3n AltUp layer (src/models/gemma3n.cpp:133-262): the carry
+        packs altup_n residual streams as (B, T, A*D). Router-predicted
+        stream mix -> active stream through attention+laurel+ffn (with
+        activation sparsity on the first n_layer_sparsity layers) ->
+        innovation-corrected streams -> per-layer embedding into streams
+        1..A-1."""
+        A, D = cfg.altup_n, cfg.n_embd
+        s = x.reshape(B, T, A, D).astype(jnp.float32)
+        act = s[..., cfg.altup_act, :]
+
+        def _modalities(y):
+            # compute_router_modalities (gemma3n.cpp:402-410)
+            ri = rms_norm(y, p["altup_router_norm"], cfg.rms_eps) / D
+            return jnp.tanh(ri @ p["altup_router"].T.astype(jnp.float32))
+
+        # altup_predict (gemma3n.cpp:414-434)
+        mod = _modalities(act)  # (B,T,A)
+        cp = (mod @ p["altup_predict_coef"].T.astype(jnp.float32))
+        cp = cp.reshape(B, T, A, A)  # [j_out, i_in]
+        preds = jnp.einsum("btji,btid->btjd", cp, s) + s
+        ap = preds[..., cfg.altup_act, :]
+        h = rms_norm(ap, p["attn_norm"], cfg.rms_eps).astype(dtype)
+        # laurel low-rank bypass (gemma3n.cpp:375-383)
+        lau = (h.astype(jnp.float32) @ p["laurel_l"].T.astype(jnp.float32)
+               ) @ p["laurel_r"].T.astype(jnp.float32)
+        lau = rms_norm(lau, p["laurel_post_norm"], cfg.rms_eps) \
+            + h.astype(jnp.float32)
+        if shared_banks is not None:
+            att = _attend_shared(h, p, li)
+        else:
+            if "wqkv" in qw:  # load-time fused QKV (quantized checkpoints)
+                q, k, v = _split_qkv(_mm(h, qw["wqkv"], dtype, li))
+            else:
+                q = _mm(h, qw["wq"], dtype, li)
+                k = _mm(h, qw["wk"], dtype, li)
+                v = _mm(h, qw["wv"], dtype, li)
+            att, kv = _attend(q, k, v, p, kv, li, lr)
+            att = _mm(att, qw["wo"], dtype, li)
+        att = rms_norm(att, p["post_attn_norm"], cfg.rms_eps)
+        cur = att.astype(jnp.float32) + ap
+        attn_laurel = (cur + lau) * float(1.0 / np.sqrt(2.0))
+        h2 = rms_norm(attn_laurel, p["ffn_norm"], cfg.rms_eps).astype(dtype)
+        gate = _mm(h2, qw["ffn_gate"], dtype, li).astype(jnp.float32)
+        up = _mm(h2, qw["ffn_up"], dtype, li).astype(jnp.float32)
+        if cfg.n_layer_sparsity:
+            # gaussian_topk activation sparsity (gemma3n.cpp:387-393):
+            # relu-cut at mean + std*icdf(0.95), per token over n_ff
+            mean = gate.mean(-1, keepdims=True)
+            std = jnp.sqrt(((gate - mean) ** 2).sum(-1, keepdims=True)
+                           / (gate.shape[-1] - 1))
+            cut = jnp.maximum(gate - (mean + std * cfg.sparsity_std_mul), 0)
+            gate = jnp.where(li + g_off < cfg.n_layer_sparsity, cut, gate)
+        f = _mm((jax.nn.gelu(gate, approximate=True) * up).astype(dtype),
+                qw["ffn_down"], dtype, li)
+        f = rms_norm(f.astype(jnp.float32), p["post_ffn_norm"], cfg.rms_eps)
+        gated = f + attn_laurel
+        # altup_correct (gemma3n.cpp:439-459)
+        cc = _modalities(gated) @ p["altup_correct_coef"].T.astype(
+            jnp.float32) + 1.0  # (B,T,A)
+        innov = gated - ap
+        corrected = preds + innov[..., None, :] * cc[..., None]
+        # per-layer embedding into streams 1..A-1 (gemma3n.cpp:230-255)
+        fp = corrected[..., cfg.altup_act, :] \
+            * p["altup_correct_scale"].astype(jnp.float32)
+        fp = jax.nn.gelu(
+            _mm(fp.astype(dtype), qw["per_layer_inp_gate"], dtype, li)
+            .astype(jnp.float32), approximate=True)
+        fp = fp * p["pli"].astype(jnp.float32)
+        fp = _mm(fp.astype(dtype), qw["per_layer_proj"], dtype, li)
+        fp = rms_norm(fp.astype(jnp.float32), p["per_layer_post_norm"],
+                      cfg.rms_eps)
+        corrected = jnp.concatenate(
+            [corrected[..., :1, :], corrected[..., 1:, :] + fp[..., None, :]],
+            axis=-2)
+        x = corrected.astype(dtype).reshape(B, T, A * D)
+        return (x, kv), (x if collect_hidden else None)
+
     def layer(carry, inp):
         x, kv = carry
         p, li, lr = inp
+        if cfg.altup_n:
+            return _altup_layer(x, kv, p, li, lr)
         x0 = x  # layer input (arctic's MoE branch norms THIS, arctic.cpp)
         # olmo2/exaone4 run attention on the RAW residual stream and
         # normalize only the outputs (src/models/olmo2.cpp:93)
@@ -996,6 +1174,26 @@ def forward(
             if "cvec" in p:
                 x = x + p["cvec"].astype(dtype)
             return (x, kv), None
+        if shared_banks is not None and "wk" not in qw and "wqkv" not in qw:
+            # gemma4/gemma3n shared-KV layer: only a Q projection; attention
+            # reads the cache of layer n_kv_from_start - (2 if swa else 1)
+            # (llama-model.cpp:2005 reuse cb) — no KV write
+            att = _attend_shared(h, p, li)
+            if cfg.post_norms and "post_attn_norm" in p:
+                att = _norm(att, p["post_attn_norm"], None, cfg)
+            x = x + att
+            h2 = _norm(x, p.get("ffn_norm"), p.get("ffn_norm_b"), cfg)
+            f = ffn(h2, qw, li, cfg, dtype, p)
+            if cfg.post_norms and "post_ffn_norm" in p:
+                f = _norm(f, p["post_ffn_norm"], None, cfg)
+            x = x + f
+            x = _per_layer_embd(x, p, li)
+            if "out_scale" in p:
+                x = (x.astype(jnp.float32)
+                     * p["out_scale"].astype(jnp.float32)).astype(dtype)
+            if "cvec" in p:
+                x = x + p["cvec"].astype(dtype)
+            return (x, kv), (x if collect_hidden else None)
         nq = cfg.n_head * cfg.head_dim
         nk = cfg.n_head_kv * cfg.head_dim
         if "wqkv" in qw:  # load-time fused QKV (padded offsets)
@@ -1011,7 +1209,13 @@ def forward(
         else:
             q = _mm(h, qw["wq"], dtype, li)
             k = _mm(h, qw["wk"], dtype, li)
-            v = _mm(h, qw["wv"], dtype, li)
+            # gemma4 alternative attention: v_proj may be absent -> v is the
+            # RAW k projection, pre-k_norm (gemma4.cpp:218-221); the
+            # weightless V rms-norm is applied downstream in _attend_qkv
+            if "wv" in qw:
+                v = _mm(h, qw["wv"], dtype, li)
+            else:
+                v = k
         q = _lora_add(q, h, p, "wq", dtype)
         k = _lora_add(k, h, p, "wk", dtype)
         v = _lora_add(v, h, p, "wv", dtype)
@@ -1117,6 +1321,10 @@ def forward(
             if cfg.residual_scale != 1.0:
                 f = (f.astype(jnp.float32) * cfg.residual_scale).astype(dtype)
             x = x + f
+        x = _per_layer_embd(x, p, li)
+        if "out_scale" in p:  # gemma4 per-layer output scalar
+            x = (x.astype(jnp.float32)
+                 * p["out_scale"].astype(jnp.float32)).astype(dtype)
         if collect_stats:
             # per-column sum(x^2) of each matmul's input over the ubatch
             # (the imatrix activation hook, tools/imatrix/imatrix.cpp:229)
@@ -1164,9 +1372,13 @@ def forward(
 
     new_full, new_swa = [], []
     bank_off = {False: 0, True: 0}  # cumulative per-bank layer counts
+    run_records = []  # (global_lo, global_hi, kv_out) of finished runs
     for gl in groups:
         qw = {k: v for k, v in gl.items() if isinstance(v, QTensor)}
         fl = {k: v for k, v in gl.items() if not isinstance(v, QTensor)}
+        g_off = off
+        shared_run = (cfg.gemma4_attn and "wq" in qw and "wk" not in qw
+                      and "wqkv" not in qw)
         use_block = (
             path == "mega"
             and B * T <= 16
@@ -1181,12 +1393,16 @@ def forward(
             and not cfg.attn_bias
             and not cfg.attn_qk_norm_flat
             and cfg.kv_lora_rank == 0
+            and not cfg.altup_n  # gemma3n: bespoke stream-stack layer
             and not any(k.startswith("lora_") for k in gl)
             and _block_supported(cfg, qw)
         )
         any_leaf = next(iter(gl.values()))
         L_g = (any_leaf.shape[0] if not isinstance(any_leaf, QTensor)
                else any_leaf.shape[0])
+        if pli_all is not None:  # thread this group's per-layer inputs
+            fl = dict(fl)
+            fl["pli"] = pli_all[off:off + L_g]
         # uniform-bank runs within this group (single run when not dual)
         if dual:
             runs = []
@@ -1205,12 +1421,50 @@ def forward(
             and "attn_norm" in gl
             and not cfg.no_rope_interval
         )
+        # scan-body closure identity, scoped per (group, run kind):
+        # lax.scan caches the traced jaxpr by (body identity, input avals),
+        # and the bodies capture per-group state (qw, g_off) plus per-run
+        # state (ring_run, shared_banks) by CLOSURE. Two aval-identical
+        # scans with different closure state would replay the first trace's
+        # constants (e.g. gemma4's two single-layer groups ran the same
+        # weights twice). Fresh lambdas per (group, kind) bust exactly those
+        # collisions while same-kind runs within a group (dual-iSWA's many
+        # alternating segments) still share one trace.
+        body_cache = {}
+
+        def _body(kind, fn):
+            if kind not in body_cache:
+                body_cache[kind] = (lambda c, i: fn(c, i))
+            return body_cache[kind]
+
         for lo, hi, run_swa in runs:
             ring_run = bool(dual and run_swa)
+            layer_ = _body(("layer", ring_run, shared_run), layer)
+            layer_fold_ = _body(("fold", ring_run), layer_fold)
             blo = bank_off[run_swa] if dual else off + lo
             ids = jnp.arange(lo, hi)
             rel = jnp.arange(0, hi - lo)  # run-relative bank index
             fl_r = {k: v[lo:hi] for k, v in fl.items()} if len(runs) > 1 else fl
+            if shared_run:
+                # gemma4 shared-KV run: bind the (already-updated) banks of
+                # the last full/swa KV layers; this run writes no KV
+                # (llama-model.cpp:2005 reuse cb)
+                def _find(t):
+                    for glo, ghi, ko in run_records:
+                        if glo <= t < ghi:
+                            return ko[0][t - glo], ko[1][t - glo]
+                    return (cache.k[t], cache.v[t])
+                nks = cfg.n_layer_kv_from_start
+                kf, vf = _find(nks - 1)
+                ksw, vsw = _find(nks - 2)
+                shared_banks = (kf, vf, ksw, vsw)
+                (x, _), ys = jax.lax.scan(layer_, (x, ()), (fl_r, ids, rel))
+                shared_banks = None
+                if collect_stats:
+                    all_stats.append(ys)
+                if collect_hidden:
+                    all_hidden.append(ys)
+                continue
             # KV banks ride the scan CARRY (not xs/ys): per-layer writes are
             # in-place dynamic updates on the carried buffer, so decode cost
             # is O(rows written + view read), not O(max_seq_len) — banks as
@@ -1222,12 +1476,14 @@ def forward(
                 anrm_stacked = gl["attn_norm"]
                 h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
                 y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
-                (x, _, kv_out), ys = jax.lax.scan(layer_fold, (x, y0, kv_in),
+                (x, _, kv_out), ys = jax.lax.scan(layer_fold_, (x, y0, kv_in),
                                                   (fl_r, ids, rel))
             else:
-                (x, kv_out), ys = jax.lax.scan(layer, (x, kv_in),
+                (x, kv_out), ys = jax.lax.scan(layer_, (x, kv_in),
                                                (fl_r, ids, rel))
             (new_swa if ring_run else new_full).append(kv_out)
+            if not dual:
+                run_records.append((off + lo, off + hi, kv_out))
             if collect_stats:
                 all_stats.append(ys)
             if collect_hidden:
@@ -1256,6 +1512,18 @@ def forward(
         # lm_head over one position only (prefill chunks need just the last
         # real token's logits; skips the vocab matmul for the other T-1 rows)
         x = jax.lax.dynamic_slice_in_dim(x, jnp.asarray(logits_idx, jnp.int32), 1, axis=1)
+    if cfg.altup_n > 1:
+        # gemma3n altup merge (gemma3n.cpp:266-285): unembd-project streams
+        # 1..A-1 back, magnitude-matched to the active stream, then mean
+        A, D = cfg.altup_n, cfg.n_embd
+        s = x.reshape(x.shape[0], x.shape[1], A, D).astype(jnp.float32)
+        tm = jnp.sqrt((s[..., cfg.altup_act, :] ** 2)
+                      .sum(-1, keepdims=True))  # (B,T,1)
+        un = jnp.einsum("btjd,jkd->btjk", s[..., 1:, :],
+                        params["altup_unembd_proj"].astype(jnp.float32))
+        nm = jnp.sqrt((un ** 2).sum(-1, keepdims=True))
+        un = un * (tm[..., None] / nm)
+        x = (((s[..., 0, :] + un.sum(-2)) / A)).astype(dtype)
     x = _norm(x, params.get("output_norm"), params.get("output_norm_b"), cfg)
     hidden = x
     logits = _mm(x, params["output"], dtype).astype(jnp.float32)

@@ -67,6 +67,20 @@ LAYER_TENSORS = {
     "ffn_down.weight": "ffn_down",
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
+    # gemma4 per-layer-input block + layer output scale (llama-arch:432-434)
+    "inp_gate.weight": "per_layer_inp_gate",
+    "proj.weight": "per_layer_proj",
+    "post_norm.weight": "per_layer_post_norm",
+    "layer_output_scale.weight": "out_scale",
+    # gemma3n altup + laurel (llama-arch.cpp:435-442)
+    "altup_correct_coef.weight": "altup_correct_coef",
+    "altup_correct_scale.weight": "altup_correct_scale",
+    "altup_predict_coef.weight": "altup_predict_coef",
+    "altup_router.weight": "altup_router",
+    "altup_router_norm.weight": "altup_router_norm",
+    "laurel_l.weight": "laurel_l",
+    "laurel_r.weight": "laurel_r",
+    "laurel_post_norm.weight": "laurel_post_norm",
     # plamo2 writes the sandwich norms WITHOUT the .weight suffix
     # (src/models/plamo2.cpp: 2-arg tn(LLM_TENSOR_ATTN_POST_NORM, i))
     "post_attention_norm": "post_attn_norm",
@@ -189,6 +203,13 @@ LAYER_TENSORS = {
 
 GLOBAL_TENSORS = {
     "token_embd.weight": "tok_embd",
+    # gemma4/gemma3n per-layer token-embedding stream (llama-arch.cpp:427)
+    "per_layer_token_embd.weight": "per_layer_tok_embd",
+    "per_layer_model_proj.weight": "per_layer_model_proj",
+    "per_layer_proj_norm.weight": "per_layer_proj_norm",
+    # gemma3n altup stream expansion / merge (llama-arch.cpp:430-431)
+    "altup_proj.weight": "altup_proj",
+    "altup_unembd_proj.weight": "altup_unembd_proj",
     "output.weight": "output",
     "output_norm.weight": "output_norm",
     "output_norm.bias": "output_norm_b",
@@ -208,6 +229,7 @@ GLOBAL_TENSORS = {
 
 # global tensors kept as plain f32 arrays (small, or added elementwise)
 _FLOAT_GLOBALS = {
+    "per_layer_proj_norm", "altup_proj", "altup_unembd_proj",
     "output_norm", "output_norm_b", "rope_freqs", "pos_embd", "type_embd",
     "tok_norm", "tok_norm_b", "cls_w", "cls_b", "cls_out_w", "cls_out_b",
     "cls_norm", "output_norm_enc",
@@ -309,11 +331,20 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
     # of layers (e.g. deepseek2's leading dense-FFN layers vs MoE layers) —
     # tracked per layer index, segmented below.
     per_key: dict[str, dict[int, Any]] = {}
+    # gemma3n ships K/V projections for its shared-KV layers but the graph
+    # never runs them (gemma3n.cpp:177-193 Q-only branch) — drop them so
+    # the shared layers group separately and waste no HBM
+    nks = cfg.n_layer_kv_from_start
+    shared_kv_dead = (
+        {"wk", "wv", "k_norm", "bk", "bv"}
+        if (cfg.altup_n and 0 <= nks < cfg.n_layer) else frozenset())
     for i in range(cfg.n_layer):
         prefix = f"blk.{i}."
         for suffix, key in LAYER_TENSORS.items():
             tname = prefix + suffix
             if tname not in g.tensors:
+                continue
+            if i >= nks and key in shared_kv_dead:
                 continue
             ti = g.tensors[tname]
             if ti.ggml_type in _FLOAT_TYPES and (
@@ -321,7 +352,11 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
                 # ssm_f_b/ssm_g_b are kimi-linear low-rank PROJECTIONS,
                 # not biases, despite the _b suffix
                 or (key.endswith("_b") and key not in ("ssm_f_b", "ssm_g_b"))
-                or key in ("moe_probs_b", "ssm_a", "ssm_d", "ssm_conv1d",
+                or key in ("moe_probs_b", "out_scale",
+                           "altup_correct_coef", "altup_correct_scale",
+                           "altup_predict_coef", "altup_router",
+                           "laurel_l", "laurel_r",
+                           "ssm_a", "ssm_d", "ssm_conv1d",
                            "ssm_conv_q", "ssm_conv_k", "ssm_conv_v",
                            "shortconv_conv",
                            "attn_sinks", "moe_gate_inp_shexp")
@@ -401,7 +436,10 @@ def load_model(path: str, device_put: bool = True, fuse: bool = True,
         # token_embd_norm (LLM_TENSOR_OUTPUT_NORM_LFM2, llama-arch.cpp:347)
         params["output_norm"] = params.pop("tok_norm")
     if device_put:
-        for key in ("tok_embd", "output"):
+        for key in ("tok_embd", "output", "per_layer_tok_embd",
+                    "per_layer_model_proj"):
+            if key not in params:
+                continue
             qt = params[key]
             if isinstance(qt, QTensor) and isinstance(next(iter(qt.data.values())), np.ndarray):
                 params[key] = QTensor(

@@ -1325,6 +1325,219 @@ def build_openelm_gguf(
     return path
 
 
+def build_gemma3n_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_dim: int = 16,
+    n_ff: int = 96,
+    n_layer: int = 25,  # 20 KV layers (hardcoded nks=20) + 5 shared
+    swa_period: int = 5,  # full attention every 5th layer
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic gemma3n checkpoint (src/models/gemma3n.cpp
+    load_arch_tensors): AltUp 4-stream stack, laurel bypass, per-layer
+    token-embedding stream, activation sparsity, trailing shared-KV layers.
+    The altup geometry is HARDCODED in the reference (llama-hparams.h:
+    n_altup=4, n_embd_altup=256, laurel_rank=64; models.h n_layer_sparsity
+    =10), so the tensors must carry those exact dims."""
+    rng = np.random.default_rng(seed)
+    P, A, LR = 256, 4, 64
+    arch = "gemma3n"
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-gemma3n")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.attention.sliding_window", 32)
+    w.add_uint32(f"{arch}.attention.sliding_window_pattern", swa_period)
+    w.add_uint32(f"{arch}.embedding_length_per_layer_input", P)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_float32(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    add("altup_proj.weight", rand(A - 1, n_embd, n_embd))
+    add("altup_unembd_proj.weight", rand(A - 1, n_embd, n_embd))
+    addq("per_layer_token_embd.weight", rand(vocab_size, n_layer * P))
+    addq("per_layer_model_proj.weight", rand(n_layer * P, n_embd))
+    add("per_layer_proj_norm.weight", np.ones(P, np.float32) + rand(P))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+        addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_v.weight", rand(n_head_kv * head_dim, n_embd))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        add(p + "attn_q_norm.weight", np.ones(head_dim, np.float32)
+            + rand(head_dim))
+        add(p + "attn_k_norm.weight", np.ones(head_dim, np.float32)
+            + rand(head_dim))
+        add(p + "post_attention_norm.weight",
+            np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        add(p + "post_ffw_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "inp_gate.weight", rand(P, n_embd))
+        add(p + "proj.weight", rand(n_embd, P))
+        add(p + "post_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "altup_correct_coef.weight", rand(A, A))
+        add(p + "altup_correct_scale.weight",
+            np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "altup_predict_coef.weight", rand(A * A, A))
+        add(p + "altup_router.weight", rand(A, n_embd))
+        add(p + "altup_router_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "laurel_l.weight", rand(LR, n_embd))
+        add(p + "laurel_r.weight", rand(n_embd, LR))
+        add(p + "laurel_post_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+    w.write()
+    return path
+
+
+def build_gemma4_gguf(
+    path: str,
+    *,
+    vocab_size: int = 256,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_dim: int = 16,
+    n_ff: int = 96,
+    n_embd_per_layer: int = 32,
+    swa_layers: tuple = (1, 1, 1, 0, 1, 0),  # layer nks-2 swa, nks-1 full
+    shared_kv: int = 2,
+    no_wv_layer: int = 1,  # this layer omits wv (alternative attention)
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> str:
+    """Synthetic gemma4 checkpoint (src/models/gemma4.cpp
+    load_arch_tensors, dense variant): per-layer token-embedding stream,
+    trailing shared-KV layers, optional wv (v=k), per-layer out_scale,
+    SWA layer array + swa rope base, gelu FFN, sandwich norms."""
+    rng = np.random.default_rng(seed)
+    n_layer = len(swa_layers)
+    P = n_embd_per_layer
+    arch = "gemma4"
+    nks = n_layer - shared_kv
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.name", "synth-gemma4")
+    w.add_uint32(f"{arch}.context_length", 512)
+    w.add_uint32(f"{arch}.embedding_length", n_embd)
+    w.add_uint32(f"{arch}.block_count", n_layer)
+    w.add_uint32(f"{arch}.feed_forward_length", n_ff)
+    w.add_uint32(f"{arch}.attention.head_count", n_head)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_uint32(f"{arch}.attention.key_length", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length", head_dim)
+    w.add_uint32(f"{arch}.attention.key_length_swa", head_dim)
+    w.add_uint32(f"{arch}.attention.value_length_swa", head_dim)
+    w.add_uint32(f"{arch}.attention.sliding_window", 32)
+    w.add_array(f"{arch}.attention.sliding_window_pattern",
+                np.asarray(swa_layers, np.uint32))
+    w.add_uint32(f"{arch}.attention.shared_kv_layers", shared_kv)
+    w.add_uint32(f"{arch}.embedding_length_per_layer_input", P)
+    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_float32(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_float32(f"{arch}.rope.freq_base_swa", 10000.0)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_float32(f"{arch}.final_logit_softcapping", 30.0)
+    w.add_uint32(f"{arch}.vocab_size", vocab_size)
+    add_spm_toy_vocab(w, vocab_size)
+
+    def rand(*shape):
+        return (rng.normal(0, scale, size=shape)).astype(np.float32)
+
+    def add(name, arr):
+        w.add_tensor(name, arr)
+
+    def addq(name, arr):
+        if qtype == GGMLType.F32:
+            w.add_tensor(name, arr)
+        else:
+            _add_quant_tensor(w, name, arr, qtype)
+
+    addq("token_embd.weight", rand(vocab_size, n_embd))
+    addq("output.weight", rand(vocab_size, n_embd))
+    add("output_norm.weight", np.ones(n_embd, np.float32) + rand(n_embd))
+    addq("per_layer_token_embd.weight", rand(vocab_size, n_layer * P))
+    addq("per_layer_model_proj.weight", rand(n_layer * P, n_embd))
+    add("per_layer_proj_norm.weight", np.ones(P, np.float32) + rand(P))
+    # ROPE_FREQS is a GLOBAL name (no blk prefix, llama-arch.cpp): the
+    # proportional-rope factors shared by full-attn layers; neutral ones
+    add("rope_freqs.weight", np.ones(head_dim // 2, np.float32))
+    for i, sw in enumerate(swa_layers):
+        p = f"blk.{i}."
+        has_kv = i < nks
+        add(p + "attn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        addq(p + "attn_q.weight", rand(n_head * head_dim, n_embd))
+        add(p + "attn_q_norm.weight", np.ones(head_dim, np.float32)
+            + rand(head_dim))
+        if has_kv:
+            addq(p + "attn_k.weight", rand(n_head_kv * head_dim, n_embd))
+            if i != no_wv_layer:
+                addq(p + "attn_v.weight",
+                     rand(n_head_kv * head_dim, n_embd))
+            add(p + "attn_k_norm.weight", np.ones(head_dim, np.float32)
+                + rand(head_dim))
+        addq(p + "attn_output.weight", rand(n_embd, n_head * head_dim))
+        add(p + "post_attention_norm.weight",
+            np.ones(n_embd, np.float32) + rand(n_embd))
+        add(p + "layer_output_scale.weight",
+            np.asarray([1.0 + 0.01 * i], np.float32))
+        add(p + "ffn_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        addq(p + "ffn_gate.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_up.weight", rand(n_ff, n_embd))
+        addq(p + "ffn_down.weight", rand(n_embd, n_ff))
+        add(p + "post_ffw_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+        add(p + "inp_gate.weight", rand(P, n_embd))
+        add(p + "proj.weight", rand(n_embd, P))
+        add(p + "post_norm.weight", np.ones(n_embd, np.float32)
+            + rand(n_embd))
+    w.write()
+    return path
+
+
 def build_kimi_linear_gguf(
     path: str,
     *,
