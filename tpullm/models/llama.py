@@ -1470,6 +1470,20 @@ def forward(
             # is O(rows written + view read), not O(max_seq_len) — banks as
             # xs/ys forced a full-bank HBM copy per layer per step
             kv_in = _kv_slices(blo, blo + (hi - lo), run_swa)
+            # DECODE UNROLL: a scanned layer walk passes the layer id as a
+            # runtime scalar-prefetch value, which blocks cross-invocation
+            # weight-DMA prefetch (the next megakernel's block addresses
+            # depend on it) — measured 430 -> 460+ GB/s effective stream and
+            # ~3x faster XLA compile when the decode walk is fully unrolled
+            # so the layer ids become compile-time constants. Prefill keeps
+            # the scan (compute-bound; depth-independent compile matters).
+            unroll_walk = (
+                B * T <= 16
+                and (hi - lo) <= 64
+                and not collect_stats
+                and _os.environ.get("TPULLM_DECODE_UNROLL", "1") == "1"
+                and _use_pallas()
+            )
             if use_fold:
                 # prime the carry: layer 0's norm + fused qkv; thereafter
                 # each megakernel invocation emits the next layer's qkv
@@ -1477,10 +1491,12 @@ def forward(
                 h0 = rms_norm(x, anrm_stacked[0], cfg.rms_eps)
                 y0 = _mm(h0, qw["wqkv"], dtype, jnp.int32(0))
                 (x, _, kv_out), ys = jax.lax.scan(layer_fold_, (x, y0, kv_in),
-                                                  (fl_r, ids, rel))
+                                                  (fl_r, ids, rel),
+                                                  unroll=unroll_walk)
             else:
                 (x, kv_out), ys = jax.lax.scan(layer_, (x, kv_in),
-                                               (fl_r, ids, rel))
+                                               (fl_r, ids, rel),
+                                               unroll=unroll_walk)
             (new_swa if ring_run else new_full).append(kv_out)
             if not dual:
                 run_records.append((off + lo, off + hi, kv_out))

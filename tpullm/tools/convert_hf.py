@@ -101,12 +101,29 @@ _ARCHS = {
     "phi3": "phi3", "stablelm": "stablelm",
     "olmo2": "olmo2", "gpt_oss": "gpt-oss",
     "mamba": "mamba", "mamba2": "mamba2",
+    # round-5 breadth (reference classes: convert_hf_to_gguf.py)
+    "granite": "granite", "granitemoe": "granitemoe",
+    "cohere": "command-r", "cohere2": "cohere2",
+    "starcoder2": "starcoder2", "olmoe": "olmoe",
+    "nemotron": "nemotron", "smollm3": "smollm3",
+    "arcee": "arcee", "ernie4_5": "ernie4_5",
+    "seed_oss": "seed_oss", "glm4": "glm4",
+    "qwen2_moe": "qwen2moe", "exaone4": "exaone4",
+    "phi": "phi2", "minicpm": "minicpm", "orion": "orion",
+    "apertus": "apertus", "helium": "llama", "olmo3": "olmo2",
+    "ernie4_5_moe": "ernie4_5-moe", "dots1": "dots1",
+    "bitnet": "bitnet-b1.58",
 }
-# archs whose q/k need the HF->ggml rope permute (rope type "norm")
-_PERMUTE = {"llama", "mistral", "mixtral"}
+# archs whose q/k need the HF->ggml rope permute: ggml "norm" (interleaved)
+# rope order vs HF's half-split (convert_hf_to_gguf.py LlamaModel.permute).
+# Derived from the engine's per-arch rope type at call time; this set covers
+# archs registered with rope_type "norm".
+_PERMUTE = {"llama", "mistral", "mixtral", "granite", "granitemoe",
+            "smollm3", "arcee", "minicpm"}
 # gemma-family RMSNorm stores (w) with output x*(1+w): GGUF adds the 1
-# (convert_hf_to_gguf.py GemmaModel.modify_tensors)
-_NORM_PLUS_ONE = {"gemma", "gemma2", "gemma3"}
+# (convert_hf_to_gguf.py GemmaModel.modify_tensors); nemotron layernorm1p
+# gets the same +1 fold (NemotronModel.modify_tensors)
+_NORM_PLUS_ONE = {"gemma", "gemma2", "gemma3", "nemotron"}
 
 _LAYER_MAP = {
     "self_attn.q_proj.weight": "attn_q.weight",
@@ -138,6 +155,38 @@ _LAYER_MAP = {
 # norm is pre_feedforward_layernorm (convert_hf_to_gguf Gemma2Model)
 _GEMMA2_OVERRIDES = {
     "post_attention_layernorm.weight": "post_attention_norm.weight",
+}
+# glm4: sandwich norms named post_self_attn/post_mlp (Glm4Model)
+_GLM4_OVERRIDES = {
+    "post_self_attn_layernorm.weight": "post_attention_norm.weight",
+    "post_mlp_layernorm.weight": "post_ffw_norm.weight",
+}
+# phi2: parallel-residual block with dense/fc naming (Phi2Model); layernorm
+# biases ride along via the generic .bias twin rule below
+_PHI2_OVERRIDES = {
+    "self_attn.dense.weight": "attn_output.weight",
+    "self_attn.dense.bias": "attn_output.bias",
+    "mlp.fc1.weight": "ffn_up.weight",
+    "mlp.fc1.bias": "ffn_up.bias",
+    "mlp.fc2.weight": "ffn_down.weight",
+    "mlp.fc2.bias": "ffn_down.bias",
+    "input_layernorm.bias": "attn_norm.bias",
+}
+# starcoder2: c_fc/c_proj MLP + layernorm biases (StarCoder2Model)
+_SC2_OVERRIDES = {
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+}
+# qwen2moe/olmoe shared-expert block (Qwen2MoeModel)
+_SHEXP_MAP = {
+    "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
 }
 # per-expert tensors collected then stacked [n_expert, ...]
 _EXPERT_MAP = {
@@ -320,7 +369,9 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
     w.add_uint32(f"{arch}.attention.head_count_kv", n_kv)
     w.add_uint32(f"{arch}.attention.key_length", head_dim)
     w.add_uint32(f"{arch}.attention.value_length", head_dim)
-    w.add_uint32(f"{arch}.rope.dimension_count", head_dim)
+    rot_pct = float(cfg.get("partial_rotary_factor",
+                             0.5 if mt == "glm4" else 1.0))
+    w.add_uint32(f"{arch}.rope.dimension_count", int(rot_pct * head_dim))
     w.add_float32(f"{arch}.rope.freq_base",
                   float(cfg.get("rope_theta", 10000.0)))
     rs = cfg.get("rope_scaling") or {}
@@ -340,10 +391,45 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
         elif arch == "gpt-oss":
             w.add_uint32(f"{arch}.expert_feed_forward_length",
                          int(cfg["intermediate_size"]))
-    # sliding window (gemma2/3, gpt-oss)
+    # sliding window (gemma2/3, gpt-oss, cohere2, exaone4)
     if cfg.get("sliding_window"):
         w.add_uint32(f"{arch}.attention.sliding_window",
                      int(cfg["sliding_window"]))
+        if cfg.get("layer_types"):  # per-layer swa arrays (exaone4/olmo3)
+            w.add_array(f"{arch}.attention.sliding_window_pattern",
+                        np.asarray([t == "sliding_attention"
+                                    for t in cfg["layer_types"]], np.uint32))
+        elif isinstance(cfg.get("sliding_window_pattern"), int):
+            w.add_uint32(f"{arch}.attention.sliding_window_pattern",
+                         int(cfg["sliding_window_pattern"]))
+    # per-arch scale/eps keys (reference converter class behaviors)
+    if mt in ("granite", "granitemoe"):  # GraniteModel.set_gguf_parameters
+        for hf_k, gg_k in (("attention_multiplier", "attention.scale"),
+                           ("embedding_multiplier", "embedding_scale"),
+                           ("residual_multiplier", "residual_scale"),
+                           ("logits_scaling", "logit_scale")):
+            if cfg.get(hf_k):
+                w.add_float32(f"{arch}.{gg_k}", float(cfg[hf_k]))
+        if cfg.get("shared_intermediate_size"):
+            w.add_uint32(f"{arch}.expert_shared_feed_forward_length",
+                         int(cfg["shared_intermediate_size"]))
+    if mt == "minicpm":  # MiniCPMModel: derived scale triple
+        w.add_float32(f"{arch}.embedding_scale", float(cfg["scale_emb"]))
+        w.add_float32(f"{arch}.residual_scale",
+                      float(cfg["scale_depth"])
+                      / float(cfg["num_hidden_layers"]) ** 0.5)
+        w.add_float32(f"{arch}.logit_scale",
+                      float(cfg["hidden_size"])
+                      / float(cfg["dim_model_base"]))
+    if mt in ("cohere", "cohere2") and cfg.get("logit_scale"):
+        w.add_float32(f"{arch}.logit_scale", float(cfg["logit_scale"]))
+    if cfg.get("layer_norm_eps") is not None:
+        w.add_float32(f"{arch}.attention.layer_norm_epsilon",
+                      float(cfg["layer_norm_eps"]))
+    if mt == "qwen2_moe":  # Qwen2MoeModel
+        if cfg.get("shared_expert_intermediate_size"):
+            w.add_uint32(f"{arch}.expert_shared_feed_forward_length",
+                         int(cfg["shared_expert_intermediate_size"]))
     # gemma2 softcaps
     if cfg.get("attn_logit_softcapping"):
         w.add_float32(f"{arch}.attn_logit_softcapping",
@@ -358,15 +444,55 @@ def convert(hf_dir: str, out_path: str, outtype: str = "f16") -> str:
     layer_map = dict(_LAYER_MAP)
     if arch in ("gemma2", "gemma3", "olmo2"):
         layer_map.update(_GEMMA2_OVERRIDES)
+    if arch == "glm4":
+        layer_map.update(_GLM4_OVERRIDES)
+    if arch == "phi2":
+        layer_map.update(_PHI2_OVERRIDES)
+    if arch == "starcoder2":
+        layer_map.update(_SC2_OVERRIDES)
+    if arch in ("qwen2moe", "olmoe"):
+        layer_map.update(_SHEXP_MAP)
+    if arch == "granitemoe":
+        # JetMoe-style parallel experts: router + fused input_linear
+        # split into gate/up below (GraniteMoeModel.modify_tensors)
+        layer_map["block_sparse_moe.router.layer.weight"] = \
+            "ffn_gate_inp.weight"
+    if arch in ("olmo2", "exaone4"):
+        # post-norm archs reading HF's post_attention_layernorm as the
+        # POST-attention norm with q/k norms (Olmo2Model)
+        layer_map.update(_GEMMA2_OVERRIDES)
 
     def norm_fix(arr):
         return arr.astype(np.float32) + 1.0 if plus_one else arr
 
+    # apertus xIELU per-layer activation scalars -> global arrays
+    # (ApertusModel.modify_tensors)
+    if mt == "apertus":
+        n_l = int(cfg["num_hidden_layers"])
+        for pname, key in (("alpha_n", "xielu.alpha_n"),
+                           ("alpha_p", "xielu.alpha_p"),
+                           ("beta", "xielu.beta"), ("eps", "xielu.eps")):
+            vals = []
+            for i in range(n_l):
+                t = tensors.get(f"model.layers.{i}.mlp.act_fn.{pname}")
+                if t is None:
+                    break
+                vals.append(float(np.asarray(t).reshape(-1)[0]))
+            if len(vals) == n_l:
+                w.add_array(key, np.asarray(vals, np.float32))
+
     addw("token_embd.weight", tensors["model.embed_tokens.weight"])
     if "lm_head.weight" in tensors:
         addw("output.weight", tensors["lm_head.weight"])
-    addw("output_norm.weight", norm_fix(tensors["model.norm.weight"]),
-         quantize=False)
+    if "lm_head.bias" in tensors:  # phi2
+        addw("output.bias", tensors["lm_head.bias"], quantize=False)
+    fin = tensors.get("model.norm.weight")
+    if fin is None:  # phi2 names the final norm final_layernorm
+        fin = tensors["model.final_layernorm.weight"]
+        fb = tensors.get("model.final_layernorm.bias")
+        if fb is not None:
+            addw("output_norm.bias", fb, quantize=False)
+    addw("output_norm.weight", norm_fix(fin), quantize=False)
     n_layer = int(cfg["num_hidden_layers"])
     for i in range(n_layer):
         pre = f"model.layers.{i}."
